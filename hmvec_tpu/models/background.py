@@ -1,0 +1,229 @@
+"""FRW background: H(z), distances, densities, growth -- pure jnp.
+
+The reference delegates all of this to CAMB/CLASS (Fortran/C), e.g.
+hmvec/cosmology.py:83-130 (distances, H), :232-243 (densities),
+:288-332 (growth).  Here everything is closed-form or fixed-order
+Gauss-Legendre quadrature in jnp: differentiable, jit-able, vectorized over
+z, with no host round-trips.
+
+Conventions follow the reference: no h units; Mpc, Msun, km/s/Mpc.
+Massive neutrinos are treated as matter in the background (the reference's
+own omm0 derivation carries a "FIXME: neutrinos", cosmology.py:213); photons
+and massless neutrinos contribute an omr term that CAMB includes implicitly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.weights import gauss_legendre
+from ..ops.special import hyp2f1_growth
+
+CSPEED_KMS = 299792.458
+
+# Same numeric constants as the reference (cosmology.py:239-243) so the
+# rho_critical_z chain is bit-identical in f64.
+_HZ_TO_SI = 3.241e-20           # (km/s/Mpc) -> 1/s
+_G_SI = 6.67259e-11
+_RHO_SI_TO_MSUN_MPC3 = 1.477543e37
+
+_GL_NODES, _GL_WEIGHTS = gauss_legendre(128)
+
+
+class BackgroundParams(NamedTuple):
+    """Derived background parameters (a differentiable pytree of scalars)."""
+
+    H0: jnp.ndarray
+    omm0: jnp.ndarray       # (omch2+ombh2)/h^2, massive nu excluded (ref parity)
+    omk0: jnp.ndarray
+    oml0: jnp.ndarray       # 1 - omm0 - omk0 (ref cosmology.py:217)
+    omr0: jnp.ndarray       # photons + massless neutrinos
+    omnu0: jnp.ndarray      # massive neutrinos (matter-like here)
+    w0: jnp.ndarray
+    wa: jnp.ndarray
+    ombh2: jnp.ndarray
+    omch2: jnp.ndarray
+    ns: jnp.ndarray
+    As: jnp.ndarray
+    pivot_scalar: jnp.ndarray
+    as8: jnp.ndarray
+    Yp: jnp.ndarray
+    T_cmb_k: jnp.ndarray    # CMB temperature in K (for the transfer function)
+
+
+def background(params: dict, include_radiation: bool = True) -> BackgroundParams:
+    """Derive background parameters from a merged params dict.
+
+    Mirrors reference _init_cosmology derivations (cosmology.py:212-219):
+    omm0 from omch2+ombh2, oml0 = 1-omm0-omk0, optional as8 amplitude knob.
+    ``omm`` override (ref :148-154): if params['omm'] is set, omch2 is
+    re-derived as omm*h^2 - ombh2.
+    """
+    h = params["H0"] / 100.0
+    omch2 = params["omch2"]
+    if params.get("omm") is not None:
+        omch2 = params["omm"] * h**2 - params["ombh2"]
+    omh2 = omch2 + params["ombh2"]
+    omm0 = omh2 / h**2
+    omk0 = params["omk"]
+    oml0 = 1.0 - omm0 - omk0
+    t_cmb_k = 2.7255
+    if include_radiation:
+        # omega_gamma h^2 for T=2.7255K; massless-nu boost 0.2271*Neff
+        omr0 = 2.47282e-5 * (1.0 + 0.2271 * params["nnu"]) / h**2
+    else:
+        omr0 = 0.0
+    omnu0 = params["mnu"] / 93.14 / h**2
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    arr = lambda v: jnp.asarray(v, dtype=f64)
+    return BackgroundParams(
+        H0=arr(params["H0"]), omm0=arr(omm0), omk0=arr(omk0), oml0=arr(oml0),
+        omr0=arr(omr0), omnu0=arr(omnu0),
+        w0=arr(params["w0"]), wa=arr(params["wa"]),
+        ombh2=arr(params["ombh2"]), omch2=arr(omch2),
+        ns=arr(params["ns"]), As=arr(params["As"]),
+        pivot_scalar=arr(params["pivot_scalar"]),
+        as8=arr(params.get("as8", 1.0)),
+        Yp=arr(params.get("Yp", 0.24)),
+        T_cmb_k=arr(t_cmb_k),
+    )
+
+
+def e_of_z(bg: BackgroundParams, z):
+    """E(z) = H(z)/H0."""
+    zp1 = 1.0 + jnp.asarray(z)
+    de = zp1 ** (3.0 * (1.0 + bg.w0 + bg.wa)) * jnp.exp(-3.0 * bg.wa * (1.0 - 1.0 / zp1))
+    e2 = (
+        bg.omr0 * zp1**4
+        + (bg.omm0 + bg.omnu0) * zp1**3
+        + bg.omk0 * zp1**2
+        + bg.oml0 * de
+    )
+    return jnp.sqrt(e2)
+
+
+def hubble_parameter(bg: BackgroundParams, z):
+    """H(z) in km/s/Mpc (reference: cosmology.py:116-122)."""
+    return bg.H0 * e_of_z(bg, z)
+
+
+def h_of_z(bg: BackgroundParams, z):
+    """H(z) in 1/Mpc (reference: cosmology.py:124-130)."""
+    return hubble_parameter(bg, z) / CSPEED_KMS
+
+
+def comoving_radial_distance(bg: BackgroundParams, z):
+    """chi(z) in Mpc via 128-node Gauss-Legendre (spectrally accurate)."""
+    z = jnp.asarray(z)
+    nodes = jnp.asarray(_GL_NODES)
+    weights = jnp.asarray(_GL_WEIGHTS)
+    zz = z[..., None] * nodes  # (..., 128)
+    integrand = 1.0 / e_of_z(bg, zz)
+    return (CSPEED_KMS / bg.H0) * z * (integrand @ weights)
+
+
+def _curvature_comoving(bg: BackgroundParams, chi):
+    """S_k(chi): transverse comoving distance from radial chi."""
+    H0_invmpc = bg.H0 / CSPEED_KMS
+    k = -bg.omk0 * H0_invmpc**2
+    sqrt_abs_k = jnp.sqrt(jnp.abs(k) + 1e-300)
+    x = sqrt_abs_k * chi
+    open_case = jnp.sinh(x) / sqrt_abs_k
+    closed_case = jnp.sin(x) / sqrt_abs_k
+    return jnp.where(k > 1e-12, closed_case, jnp.where(k < -1e-12, open_case, chi))
+
+
+def angular_diameter_distance(bg: BackgroundParams, z1, z2=None):
+    """D_A(z) or D_A(z1, z2) in Mpc (reference: cosmology.py:83-93)."""
+    if z2 is None:
+        chi = comoving_radial_distance(bg, z1)
+        return _curvature_comoving(bg, chi) / (1.0 + jnp.asarray(z1))
+    chi1 = comoving_radial_distance(bg, z1)
+    chi2 = comoving_radial_distance(bg, z2)
+    return _curvature_comoving(bg, chi2 - chi1) / (1.0 + jnp.asarray(z2))
+
+
+def sigma_crit(bg: BackgroundParams, zlens, zsource):
+    """Lensing critical surface density (reference: cosmology.py:95-101)."""
+    Gval = 4.517e-48   # Newton G in Mpc, s, Msun units (ref value)
+    cval = 9.716e-15   # c in Mpc/s (ref value)
+    Dd = angular_diameter_distance(bg, zlens)
+    Ds = angular_diameter_distance(bg, zsource)
+    Dds = angular_diameter_distance(bg, zlens, zsource)
+    return cval**2 * Ds / 4.0 / jnp.pi / Gval / Dd / Dds
+
+
+def rho_critical_z(bg: BackgroundParams, z):
+    """Critical density in Msun/Mpc^3 (reference: cosmology.py:239-243)."""
+    Hz = hubble_parameter(bg, z) * _HZ_TO_SI
+    rho = 3.0 * Hz**2 / 8.0 / jnp.pi / _G_SI
+    return rho * _RHO_SI_TO_MSUN_MPC3
+
+
+def rho_matter_z(bg: BackgroundParams, z):
+    """Comoving->physical mean matter density (reference: cosmology.py:232-234)."""
+    return rho_critical_z(bg, 0.0) * bg.omm0 * (1.0 + jnp.asarray(z)) ** 3
+
+
+def omz(bg: BackgroundParams, z):
+    return rho_matter_z(bg, z) / rho_critical_z(bg, z)
+
+
+def growth_unnormalized(bg: BackgroundParams, a):
+    """D(a) with D ~ a in matter domination (Heath 1977 closed form).
+
+    Reference: cosmology.py:297-314 (D_growth_approx).  LCDM-shaped; exact
+    analytic integral via 2F1.
+    """
+    a = jnp.asarray(a)
+    x = (bg.oml0 / bg.omm0) ** (1.0 / 3.0) * a
+    x3 = x**3
+    return jnp.sqrt(1.0 + x3) * hyp2f1_growth(x3) * a
+
+
+def d_growth(bg: BackgroundParams, a, norm: str = "anorm"):
+    """Normalized growth factor (reference: cosmology.py:317-332)."""
+    d1 = growth_unnormalized(bg, jnp.asarray(1.0))
+    val = growth_unnormalized(bg, a) / d1
+    if norm == "z0norm":
+        return val
+    if norm == "anorm":
+        return val * d1
+    raise ValueError(norm)
+
+
+def growth_rate_f(bg: BackgroundParams, z):
+    """f(z) = dlnD/dlna via autodiff of the closed-form D.
+
+    Replaces the reference's CLASS-only growth rate
+    (cosmology.py:345-350) with an engine-free differentiable version.
+    """
+    z = jnp.atleast_1d(jnp.asarray(z))
+
+    def logd(lna):
+        return jnp.log(growth_unnormalized(bg, jnp.exp(lna)))
+
+    return jax.vmap(jax.grad(logd))(jnp.log(1.0 / (1.0 + z)))
+
+
+def redshift_at_comoving_radial_distance(bg: BackgroundParams, chi,
+                                         zmax: float = 1e4, num_iter: int = 80):
+    """Invert chi(z) by fixed-count bisection (reference: cosmology.py:713-730)."""
+    chi = jnp.asarray(chi)
+    lo = jnp.zeros_like(chi)
+    hi = jnp.full_like(chi, zmax)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) / 2.0
+        val = comoving_radial_distance(bg, mid)
+        too_far = val > chi
+        return jnp.where(too_far, lo, mid), jnp.where(too_far, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi))
+    return (lo + hi) / 2.0

@@ -1,0 +1,64 @@
+"""Quadrature weight constructors (pure numpy, shared by jax ops and twin).
+
+All halo-model integrals (sigma^2, mass-function integrals, Limber) are
+linear functionals of the integrand, so we precompute static weight vectors
+once per grid and reduce with einsum/matmul on device.  This turns the
+reference's scipy.integrate.simpson / np.trapz calls (cosmology.py:265,
+hmvec.py:526) into MXU-friendly contractions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def trapz_weights(x: np.ndarray) -> np.ndarray:
+    """Weights w such that w @ y == np.trapz(y, x) exactly."""
+    x = np.asarray(x, dtype=np.float64)
+    w = np.zeros_like(x)
+    dx = np.diff(x)
+    w[:-1] += dx / 2.0
+    w[1:] += dx / 2.0
+    return w
+
+
+def simpson_weights(x: np.ndarray) -> np.ndarray:
+    """Weights for composite Simpson on a (possibly nonuniform) grid.
+
+    Matches scipy.integrate.simpson semantics: interval pairs from the left;
+    if the number of intervals is odd, the trailing interval uses the
+    Cartwright asymmetric correction (as in scipy >= 1.11).
+    Used for the sigma^2(R,z) integral (reference: cosmology.py:262-265).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    if n < 3:
+        return trapz_weights(x)
+    w = np.zeros_like(x)
+    nint = n - 1
+    npairs = nint // 2
+    # paired panels [x0,x1,x2]
+    i0 = 2 * np.arange(npairs)
+    h0 = x[i0 + 1] - x[i0]
+    h1 = x[i0 + 2] - x[i0 + 1]
+    hsum = h0 + h1
+    np.add.at(w, i0, hsum / 6.0 * (2.0 - h1 / h0))
+    np.add.at(w, i0 + 1, hsum / 6.0 * (hsum**2 / (h0 * h1)))
+    np.add.at(w, i0 + 2, hsum / 6.0 * (2.0 - h0 / h1))
+    if nint % 2 == 1:
+        # Cartwright correction over the last three points
+        h0l = x[-2] - x[-3]
+        h1l = x[-1] - x[-2]
+        alpha = (2 * h1l**2 + 3 * h0l * h1l) / (6 * (h0l + h1l))
+        beta = (h1l**2 + 3 * h0l * h1l) / (6 * h0l)
+        eta = h1l**3 / (6 * h0l * (h0l + h1l))
+        w[-1] += alpha
+        w[-2] += beta
+        w[-3] -= eta
+    return w
+
+
+def gauss_legendre(n: int):
+    """Gauss-Legendre nodes/weights on [0, 1]."""
+    t, w = np.polynomial.legendre.leggauss(n)
+    return (t + 1.0) / 2.0, w / 2.0
