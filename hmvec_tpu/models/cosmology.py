@@ -1,0 +1,162 @@
+"""User-facing Cosmology class mirroring the reference API.
+
+Thin stateful wrapper over the pure staged functions (background, transfer,
+linear_power, limber).  Method names and signatures follow the reference
+Cosmology (hmvec/cosmology.py:51-904) so existing hmvec users can switch;
+the engine choice is preserved as config ('eh' analytic default here, or a
+tabulated P(z,k) standing in for CAMB/CLASS -- reference cosmology.py:17-25).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import merge_params
+from . import background as bgmod
+from . import limber as limb
+from . import linear_power as lpm
+from .transfer import transfer_eh98
+
+
+class Cosmology:
+    def __init__(self, params=None, halofit=None, engine="eh",
+                 accuracy="medium", pk_table=None):
+        self.accuracy = accuracy
+        self.p = merge_params(params)
+        self.params = self.p
+        self.engine_name = engine
+        self.engine = lpm.make_engine(engine, pk_table)
+        self.halofit = halofit
+        self.bg = bgmod.background(self.p)
+        self.h = float(self.p["H0"]) / 100.0
+        self.omm0 = float(self.bg.omm0)
+        self.omk0 = float(self.bg.omk0)
+        self.oml0 = float(self.bg.oml0)
+        self.ombh2 = float(self.bg.ombh2)
+        self.as8 = float(self.p.get("as8", 1.0))
+        self.YHe = float(self.p.get("Yp", 0.24))
+
+    # ---- background ----
+    def hubble_parameter(self, z):
+        return bgmod.hubble_parameter(self.bg, z)
+
+    def h_of_z(self, z):
+        return bgmod.h_of_z(self.bg, z)
+
+    def comoving_radial_distance(self, z):
+        return bgmod.comoving_radial_distance(self.bg, z)
+
+    def angular_diameter_distance(self, z1, z2=None):
+        return bgmod.angular_diameter_distance(self.bg, z1, z2)
+
+    def redshift_at_comoving_radial_distance(self, chi, zmax=1e4):
+        return bgmod.redshift_at_comoving_radial_distance(self.bg, chi, zmax)
+
+    def sigma_crit(self, zlens, zsource):
+        return bgmod.sigma_crit(self.bg, zlens, zsource)
+
+    def rho_critical_z(self, z):
+        return bgmod.rho_critical_z(self.bg, z)
+
+    def rho_matter_z(self, z):
+        return bgmod.rho_matter_z(self.bg, z)
+
+    def omz(self, z):
+        return bgmod.omz(self.bg, z)
+
+    # ---- growth ----
+    def D_growth_approx(self, a):
+        return bgmod.growth_unnormalized(self.bg, a)
+
+    def D_growth(self, a, type="anorm", exact=False):
+        del exact  # engine-free build: the closed form is the exact path
+        return bgmod.d_growth(self.bg, a, norm=type)
+
+    def get_growth_rate_f(self, zs):
+        return bgmod.growth_rate_f(self.bg, zs)
+
+    def bias_fnl(self, bg_bias, fnl, z, ks, deltac=1.42):
+        """Scale-dependent fNL bias (reference: cosmology.py:132-136)."""
+        beta = 2.0 * deltac * (bg_bias - 1.0)
+        a = 1.0 / (1.0 + z)
+        alpha = ((2.0 * jnp.asarray(ks) ** 2 * self.Tk(ks, "eisenhu_osc"))
+                 / (3.0 * self.bg.omm0 * bgmod.h_of_z(self.bg, 0.0) ** 2)
+                 * bgmod.d_growth(self.bg, a, norm="anorm"))
+        return bg_bias + fnl * (beta / alpha)
+
+    # ---- linear power ----
+    def Tk(self, ks, type="eisenhu_osc"):
+        return transfer_eh98(self.bg, ks, type)
+
+    def P_lin(self, ks, zs, knorm=1e-4, kmax=None):
+        del knorm, kmax
+        return self.engine.plin(self.bg, zs, ks, accuracy="medium")
+
+    def P_lin_slow(self, ks, zs, kmax=None):
+        del kmax
+        return self.engine.plin(self.bg, zs, ks, accuracy="high"
+                                if self.engine.name == "tabulated" else "medium")
+
+    def P_lin_approx(self, ks, zs, type="eisenhu_osc"):
+        return lpm.plin_approx(self.bg, zs, ks, type)
+
+    def _get_matter_power(self, zs, ks, nonlinear=False):
+        if nonlinear:
+            if self.engine.name == "tabulated":
+                return self.engine.pzk_grid(self.bg, zs, ks, nonlinear=True)
+            from .halofit import halofit_power
+            return halofit_power(self, zs, ks)
+        return self.engine.pzk_grid(self.bg, zs, ks, nonlinear=False)
+
+    def get_sigma2_R(self, R, zs, kmin=None, kmax=None, numks=None):
+        p = dict(self.p)
+        if kmin is not None:
+            p["sigma2_kmin"] = kmin
+        if kmax is not None:
+            p["sigma2_kmax"] = kmax
+        if numks is not None:
+            p["sigma2_numks"] = numks
+        ks_s2 = lpm.sigma2_k_grid(p)
+        spzk = self.engine.plin(self.bg, zs, ks_s2, accuracy=self.accuracy)
+        R = jnp.atleast_1d(jnp.asarray(R))
+        return lpm.sigma2_R(self.bg, R, zs, spzk, ks_s2,
+                            self.p["Wkr_taylor_switch"])
+
+    def get_sigma8(self, zs, kmin=1e-4, kmax=None, numks=1000):
+        r = self.get_sigma2_R(8.0 / self.p["H0"] * 100.0, zs,
+                              kmin=kmin, kmax=kmax, numks=numks)
+        return jnp.sqrt(r[:, 0])
+
+    # ---- Limber projections (delegate to the limber module) ----
+    def lensing_window(self, ezs, zs, dndz=None):
+        return limb.lensing_window(self.bg, ezs, zs, dndz)
+
+    def C_kk(self, ells, zs, ks, Pmm, **kw):
+        return limb.C_kk(self.bg, ells, zs, ks, Pmm, **kw)
+
+    def C_kg(self, ells, zs, ks, Pgm, gzs, **kw):
+        return limb.C_kg(self.bg, ells, zs, ks, Pgm, gzs, **kw)
+
+    def C_gg(self, ells, zs, ks, Pgg, gzs, **kw):
+        return limb.C_gg(self.bg, ells, zs, ks, Pgg, gzs, **kw)
+
+    def C_gy(self, ells, zs, ks, Pgp, gzs, **kw):
+        return limb.C_gy(self.bg, ells, zs, ks, Pgp, gzs, **kw)
+
+    def C_ky(self, ells, zs, ks, Pym, **kw):
+        return limb.C_ky(self.bg, ells, zs, ks, Pym, **kw)
+
+    def C_yy(self, ells, zs, ks, Ppp, **kw):
+        return limb.C_yy(self.bg, ells, zs, ks, Ppp, **kw)
+
+    # ---- baryon combinators ----
+    def total_matter_power_spectrum(self, Pnn, Pne, Pee):
+        from .power import total_matter_power_spectrum
+        return total_matter_power_spectrum(self.p["omch2"], self.p["ombh2"],
+                                           Pnn, Pne, Pee)
+
+    def total_matter_galaxy_power_spectrum(self, Pgn, Pge):
+        from .power import total_matter_galaxy_power_spectrum
+        return total_matter_galaxy_power_spectrum(self.p["omch2"],
+                                                  self.p["ombh2"], Pgn, Pge)

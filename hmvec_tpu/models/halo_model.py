@@ -1,0 +1,286 @@
+"""User-facing HaloModel mirroring the reference API (hmvec/hmvec.py:75).
+
+Stateful convenience wrapper over the pure staged functions; every array it
+stores is a jnp array, so downstream code can jit/grad through method calls.
+For the fully-fused single-jit pipeline used by the benchmark and the graft
+entry, see hmvec_tpu.pipeline.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import battaglia_defaults, scoped_override
+from ..ops.sine_transform import generic_profile_fft
+from . import background as bgmod
+from .cosmology import Cosmology
+from . import mass_function as mfm
+from . import profiles as prof
+from . import power as pwr
+from .hod import build_hod, HODGrid
+from .mass_conversion import mdelta_from_mdelta
+
+_HOD_PARAM_KEYS = [
+    "hod_sig_log_mstellar", "hod_bisection_search_min_log10mthresh",
+    "hod_bisection_search_max_log10mthresh", "hod_bisection_num_iter",
+    "hod_alphasat", "hod_Bsat", "hod_betasat", "hod_Bcut", "hod_betacut",
+    "hod_A_log10mthresh", "hod_Msat_override", "hod_Mcut_override",
+]
+
+
+class HaloModel(Cosmology):
+    def __init__(self, zs, ks, ms=None, params=None,
+                 mass_function="sheth-torman", halofit=None, mdef="vir",
+                 nfw_numeric=False, skip_nfw=False, accuracy="medium",
+                 engine="eh", pk_table=None):
+        super().__init__(params=params, halofit=halofit, engine=engine,
+                         accuracy=accuracy, pk_table=pk_table)
+        self.zs = jnp.asarray(zs)
+        self.ks = jnp.asarray(ks)
+        self.mdef = mdef
+        self.mode = mass_function
+        self.hods: dict = {}
+        self.uk_profiles: dict = {}
+        self.pk_profiles: dict = {}
+
+        # linear power on the target grid (reference hmvec.py:96-102)
+        if accuracy == "low":
+            self.Pzk = self.P_lin_approx(self.ks, self.zs)
+        else:
+            self.Pzk = self._get_matter_power(self.zs, self.ks, nonlinear=False)
+        if halofit is not None:
+            self.nPzk = self._get_matter_power(self.zs, self.ks, nonlinear=True)
+
+        if ms is not None:
+            self.ms = jnp.asarray(ms)
+            self.init_mass_function(self.ms)
+        if not skip_nfw:
+            self.add_nfw_profile("nfw", numeric=nfw_numeric)
+
+    # ---- virial definitions (hmvec.py:105-118) ----
+    def deltav(self, z):
+        return mfm.deltav_bryan_norman(self.omz(z))
+
+    def rvir(self, m, z):
+        if self.mdef == "vir":
+            return mfm.R_from_M(m, self.rho_critical_z(z), self.deltav(z))
+        if self.mdef == "mean":
+            return mfm.R_from_M(m, self.rho_matter_z(z), 200.0)
+        raise ValueError(self.mdef)
+
+    def R_of_m(self, ms):
+        return mfm.R_from_M(ms, self.rho_matter_z(0.0), delta=1.0)
+
+    # ---- mass function (hmvec.py:121-161) ----
+    def get_sigma2(self):
+        return self.get_sigma2_R(self.R_of_m(self.ms), self.zs)
+
+    def init_mass_function(self, ms):
+        self.ms = jnp.asarray(ms)
+        self.sigma2 = self.get_sigma2()
+        self.nzm, self.bh = mfm.mass_function_grid(
+            self.sigma2, self.zs, self.ms, self.rho_matter_z(0.0),
+            self.mode, self.p)
+
+    def get_nzm(self):
+        return self.nzm
+
+    def get_bh(self):
+        return self.bh
+
+    def concentration(self, mode="duffy"):
+        if mode != "duffy":
+            raise NotImplementedError(mode)
+        return prof.concentration_duffy(self.ms, self.zs, self.mdef,
+                                        self.p, self.h)
+
+    # ---- profiles ----
+    def add_nfw_profile(self, name, numeric=False, nxs=None, xmax=None,
+                        ignore_existing=False):
+        """Analytic (Si/Ci) or numeric (sine-DFT) NFW u(k|m,z)
+        (reference: hmvec.py:318-355)."""
+        if not ignore_existing:
+            assert name not in self.uk_profiles, "Profile name already exists."
+        if nxs is None:
+            nxs = self.p["nfw_integral_numxs"]
+        if xmax is None:
+            xmax = self.p["nfw_integral_xmax"]
+        cs = self.concentration()
+        rvirs = self.rvir(self.ms[None, :], self.zs[:, None])
+        rss = rvirs / cs
+        if numeric:
+            _, uk = generic_profile_fft(
+                lambda x: prof.rho_nfw_x(x, rhoscale=1.0)[None, None, :],
+                cs, rss, self.zs, self.ks, xmax, nxs)
+        else:
+            uk = prof.nfw_uk_analytic(self.ks, self.zs, cs, rss)
+        self.uk_profiles[name] = uk
+        return self.ks, uk
+
+    def _m200critz(self):
+        """Convert self.ms to M200(rho_crit(z)) and R200 (hmvec.py:215-226)."""
+        rhocritz = self.rho_critical_z(self.zs)
+        if self.mdef == "vir":
+            delta_rhos1 = rhocritz * self.deltav(self.zs)
+        else:
+            delta_rhos1 = self.rho_matter_z(self.zs) * 200.0
+        cs = self.concentration()
+        delta_rhos2 = 200.0 * rhocritz
+        m200 = mdelta_from_mdelta(self.ms, cs, delta_rhos1, delta_rhos2)
+        r200 = mfm.R_from_M(m200, rhocritz[:, None], delta=200.0)
+        return m200, r200, rhocritz
+
+    def add_battaglia_profile(self, name, family=None, param_override=None,
+                              nxs=None, xmax=None, ignore_existing=False):
+        """Battaglia 2016 gas density profile -> u(k) (hmvec.py:188-250)."""
+        if not ignore_existing:
+            assert name not in self.uk_profiles, "Profile name already exists."
+        assert name != "nfw", "Name nfw is reserved."
+        if nxs is None:
+            nxs = self.p["electron_density_profile_integral_numxs"]
+        if xmax is None:
+            xmax = self.p["electron_density_profile_integral_xmax"]
+        if family is None:
+            family = self.p["battaglia_gas_family"]
+        pparams = {"battaglia_gas_gamma": self.p["battaglia_gas_gamma"]}
+        pparams.update(battaglia_defaults[family])
+        pparams = scoped_override(
+            pparams, param_override,
+            set(pparams) | set(battaglia_defaults[family]), strict=False)
+
+        m200, r200, rhocritz = self._m200critz()
+        rvirs = self.rvir(self.ms[None, :], self.zs[:, None])
+        omb = self.p["ombh2"] / self.h**2
+        omm = self.omm0
+
+        def rhofunc(xs):
+            return prof.rho_gas_x(
+                xs[None, None, :], m200[..., None],
+                self.zs[:, None, None], omb, omm, rhocritz[:, None, None],
+                pparams["battaglia_gas_gamma"], pparams)
+
+        rgs = r200 / 2.0  # x = r/(R200/2) (hmvec.py:228-249)
+        cgs = rvirs / rgs
+        _, uk = generic_profile_fft(rhofunc, cgs, rgs, self.zs, self.ks,
+                                    xmax, nxs)
+        self.uk_profiles[name] = uk
+        return self.ks, uk
+
+    def add_battaglia_pres_profile(self, name, family=None,
+                                   param_override=None, nxs=None, xmax=None,
+                                   ignore_existing=False):
+        """Battaglia pressure profile -> y-weighted p(k) (hmvec.py:252-316)."""
+        if not ignore_existing:
+            assert name not in self.pk_profiles, "Profile name already exists."
+        assert name != "nfw", "Name nfw is reserved."
+        if nxs is None:
+            nxs = self.p["electron_pressure_profile_integral_numxs"]
+        if xmax is None:
+            xmax = self.p["electron_pressure_profile_integral_xmax"]
+        if family is None:
+            family = self.p["battaglia_pres_family"]
+        pparams = {"battaglia_pres_gamma": self.p["battaglia_pres_gamma"],
+                   "battaglia_pres_alpha": self.p["battaglia_pres_alpha"]}
+        pparams.update(battaglia_defaults[family])
+        pparams = scoped_override(
+            pparams, param_override,
+            set(pparams) | set(battaglia_defaults[family]), strict=False)
+
+        m200, r200, rhocritz = self._m200critz()
+        rvirs = self.rvir(self.ms[None, :], self.zs[:, None])
+        omb = self.p["ombh2"] / self.h**2
+        omm = self.omm0
+
+        def presfunc(xs):
+            return prof.pressure_x(
+                xs[None, None, :], m200[..., None], r200[..., None],
+                self.zs[:, None, None], omb, omm, rhocritz[:, None, None],
+                pparams["battaglia_pres_alpha"],
+                pparams["battaglia_pres_gamma"], pparams)
+
+        rgs = r200
+        cgs = rvirs / rgs
+        _, pk = generic_profile_fft(presfunc, cgs, rgs, self.zs, self.ks,
+                                    xmax, nxs, do_mass_norm=False)
+        # y-units conversion (hmvec.py:313-316)
+        sigmaT = 6.6524587321e-29          # Thomson cross-section, m^2
+        mElect = 9.1093837015e-31 / 1.989e30  # electron mass in Msun
+        c_SI = 299792458.0
+        unit = (4.0 * jnp.pi * (sigmaT / (mElect * c_SI**2))
+                * (r200**3 * ((1.0 + self.zs)**2
+                              / self.h_of_z(self.zs))[..., None])[..., None])
+        self.pk_profiles[name] = pk * unit
+        return self.ks, self.pk_profiles[name]
+
+    # ---- HOD (hmvec.py:357-466) ----
+    def add_hod(self, name, mthresh=None, ngal=None, corr="max",
+                satellite_profile_name="nfw", central_profile_name=None,
+                ignore_existing=False, param_override=None):
+        if not ignore_existing:
+            assert name not in self.uk_profiles, "HOD name already used by profile."
+            assert name not in self.hods, "HOD with that name already exists."
+        assert satellite_profile_name in self.uk_profiles
+        if central_profile_name is not None:
+            assert central_profile_name in self.uk_profiles
+        hp = {k: self.p[k] for k in _HOD_PARAM_KEYS if k in self.p}
+        hp = scoped_override(hp, param_override, set(_HOD_PARAM_KEYS),
+                             strict=True)
+        grid = build_hod(self.zs, self.ms, self.nzm, self.bh, hp,
+                         mthresh=mthresh, ngal=ngal, corr=corr,
+                         Msat_override=hp.get("hod_Msat_override"),
+                         Mcut_override=hp.get("hod_Mcut_override"))
+        self.hods[name] = {
+            "Nc": grid.Nc, "Ns": grid.Ns, "NsNsm1": grid.NsNsm1,
+            "NcNs": grid.NcNs, "ngal": grid.ngal, "bg": grid.bg,
+            "satellite_profile": satellite_profile_name,
+            "central_profile": central_profile_name,
+            "log10mthresh": grid.log10mthresh,
+        }
+        return self.hods[name]
+
+    def get_bg(self, Nc, Ns, ngal):
+        from ..utils.weights import trapz_weights
+        tw = jnp.asarray(trapz_weights(np.asarray(self.ms)))
+        return ((self.nzm * (Nc + Ns) * self.bh) @ tw) / ngal
+
+    def get_ngal(self, Nc, Ns):
+        from ..utils.weights import trapz_weights
+        tw = jnp.asarray(trapz_weights(np.asarray(self.ms)))
+        return (self.nzm * (Nc + Ns)) @ tw
+
+    # ---- tracer resolution ----
+    def _tracer(self, name):
+        if name in self.hods:
+            h = self.hods[name]
+            uc = (None if h["central_profile"] is None
+                  else self.uk_profiles[h["central_profile"]])
+            return pwr.HODTracer(
+                Nc=h["Nc"], Ns=h["Ns"], NsNsm1=h["NsNsm1"], NcNs=h["NcNs"],
+                ngal=h["ngal"], bg=h["bg"],
+                us=self.uk_profiles[h["satellite_profile"]], uc=uc)
+        if name in self.uk_profiles:
+            return pwr.MatterTracer(uk=self.uk_profiles[name])
+        if name in self.pk_profiles:
+            return pwr.PressureTracer(pk=self.pk_profiles[name])
+        raise ValueError(f"Unknown tracer {name!r}")
+
+    # ---- spectra (hmvec.py:500-572) ----
+    def get_power_1halo(self, name="nfw", name2=None):
+        t1 = self._tracer(name)
+        t2 = self._tracer(name if name2 is None else name2)
+        return pwr.power_1halo(t1, t2, self.nzm, self.ms, self.ks,
+                               self.rho_matter_z(0.0),
+                               self.p["kstar_damping"])
+
+    def get_power_2halo(self, name="nfw", name2=None, verbose=False,
+                        b1_in=None, b2_in=None):
+        del verbose
+        t1 = self._tracer(name)
+        t2 = self._tracer(name if name2 is None else name2)
+        return pwr.power_2halo(t1, t2, self.nzm, self.bh, self.ms, self.Pzk,
+                               self.rho_matter_z(0.0), b1_in, b2_in)
+
+    def get_power(self, name="nfw", name2=None, verbose=False, b1=None, b2=None):
+        return (self.get_power_1halo(name, name2)
+                + self.get_power_2halo(name, name2, verbose, b1, b2))

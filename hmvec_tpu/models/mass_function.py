@@ -1,0 +1,139 @@
+"""Halo mass function, bias and virial definitions -- pure jnp broadcasting.
+
+Implements Sheth-Tormen (reference: hmvec/hmvec.py:133-161) and Tinker 2010
+(reference: hmvec/tinker.py) mass functions and biases.  The Tinker
+bias-consistency normalization alpha(z) is computed on the fly from its
+defining integral (int f(nu) b(nu) dnu = 1) instead of the reference's
+pretabulated file (whose hardcoded path is broken in the installed layout,
+tinker.py:64); the recipe matches bin/generate_bias_consistency_data.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.weights import trapz_weights
+from ..ops.quadrature import gradient
+
+DELTAC = 1.686
+
+
+def R_from_M(M, rho, delta):
+    """Radius enclosing mass M at overdensity delta x rho (hmvec.py:627-628)."""
+    return (3.0 * M / 4.0 / jnp.pi / delta / rho) ** (1.0 / 3.0)
+
+
+def deltav_bryan_norman(omz):
+    """Virial overdensity wrt critical density (hmvec.py:105-109)."""
+    x = omz - 1.0
+    return 18.0 * jnp.pi**2 + 82.0 * x - 39.0 * x**2
+
+
+def fsigmaz_sheth_torman(sigma2, params):
+    """nu f(nu) for Sheth-Tormen (hmvec.py:136-141)."""
+    A = params["st_A"]
+    a = params["st_a"]
+    p = params["st_p"]
+    deltac = params["st_deltac"]
+    sigma = jnp.sqrt(sigma2)
+    return (A * jnp.sqrt(2.0 * a / jnp.pi)
+            * (1.0 + (sigma2 / a / deltac**2) ** p)
+            * (deltac / sigma)
+            * jnp.exp(-a * deltac**2 / 2.0 / sigma2))
+
+
+def bias_sheth_torman(sigma2, params):
+    """ST halo bias (hmvec.py:152-156)."""
+    a = params["st_a"]
+    p = params["st_p"]
+    deltac = params["st_deltac"]
+    return (1.0 + (1.0 / deltac) * ((a * deltac**2 / sigma2) - 1.0)
+            + (2.0 * p / deltac) / (1.0 + (a * deltac**2 / sigma2) ** p))
+
+
+def bias_tinker(nu, delta=200.0):
+    """Tinker et al 2010 Eq 6 bias (tinker.py:26-40)."""
+    y = jnp.log10(delta)
+    bigA = 1.0 + 0.24 * y * jnp.exp(-((4.0 / y) ** 4))
+    a = 0.44 * y - 0.88
+    bigB = 0.183
+    b = 1.5
+    bigC = 0.019 + 0.107 * y + 0.19 * jnp.exp(-((4.0 / y) ** 4))
+    c = 2.4
+    nua = nu**a
+    return 1.0 - bigA * nua / (nua + DELTAC**a) + bigB * nu**b + bigC * nu**c
+
+
+def _tinker_f_nu_unnorm(nu, zs):
+    """Unnormalized Tinker 2010 f(nu) with the z<=3 clamp (tinker.py:52-62)."""
+    zc = jnp.minimum(zs, 3.0)
+    beta = 0.589 * (1.0 + zc) ** 0.20
+    phi = -0.729 * (1.0 + zc) ** -0.08
+    eta = -0.243 * (1.0 + zc) ** 0.27
+    gamma = 0.864 * (1.0 + zc) ** -0.01
+    return ((1.0 + (beta * nu) ** (-2.0 * phi))
+            * nu ** (2.0 * eta) * jnp.exp(-gamma * nu**2 / 2.0))
+
+
+# Static nu grid for the alpha(z) consistency integral -- same sampling the
+# reference's generator used (bin/generate_bias_consistency_data.py:6-9).
+_ALPHA_NUS = np.logspace(-8, 2, 10000)
+_ALPHA_W = trapz_weights(_ALPHA_NUS)
+
+
+def tinker_alpha_consistency(zs, delta=200.0):
+    """alpha(z) = 1 / int f(nu) b(nu) dnu, computed on device.
+
+    Enforces int b f dnu = 1 (bias consistency).  Replaces the reference's
+    file lookup + interp1d (tinker.py:63-66).
+    """
+    nus = jnp.asarray(_ALPHA_NUS)
+    w = jnp.asarray(_ALPHA_W)
+    fnus = _tinker_f_nu_unnorm(nus[None, :], jnp.asarray(zs)[:, None])
+    bs = bias_tinker(nus, delta)[None, :]
+    return 1.0 / ((fnus * bs) @ w)
+
+
+def fsigmaz_tinker(sigma2, zs, delta=200.0):
+    """nu f(nu) for Tinker 2010 with consistency norm (hmvec.py:142-145)."""
+    nus = DELTAC / jnp.sqrt(sigma2)
+    alpha = tinker_alpha_consistency(zs, delta)[:, None]
+    return nus * alpha * _tinker_f_nu_unnorm(nus, jnp.asarray(zs)[:, None])
+
+
+def simple_f_nu_tinker2008(nu, delta=200.0):
+    """Tinker 2008 f (tinker.py:70-78)."""
+    sigma = DELTAC / nu
+    A, a, b, c = 0.186, 1.47, 2.57, 1.19
+    return A * (1.0 + (sigma / b) ** -a) * jnp.exp(-c / sigma**2)
+
+
+def n_ln_m_sub(Msubs, Mhosts):
+    """Tinker & Wetzel 2010 Eq 12 subhalo mass function (tinker.py:81-90)."""
+    mrat = jnp.asarray(Msubs)[:, None] / jnp.asarray(Mhosts)[None, :]
+    return 0.3 * mrat**-0.7 * jnp.exp(-9.9 * mrat**2.5)
+
+
+def nzm(sigma2, ms, fsigmaz, rho_matter0):
+    """Halo number density n(z,m) (hmvec.py:178-185).
+
+    n = rho_m0 f(sigma) dln(sigma^-1)/dlnm / m^2, with the same np.gradient
+    stencil in ln m as the reference.
+    """
+    ln_sigma_inv = -0.5 * jnp.log(sigma2)
+    dln_sigma_dlnm = gradient(ln_sigma_inv, jnp.log(jnp.asarray(ms)), axis=-1)
+    return rho_matter0 * fsigmaz * dln_sigma_dlnm / jnp.asarray(ms)[None, :] ** 2
+
+
+def mass_function_grid(sigma2, zs, ms, rho_matter0, mode, params):
+    """(nzm, bh) for the requested mass-function mode."""
+    if mode == "sheth-torman":
+        fs = fsigmaz_sheth_torman(sigma2, params)
+        bh = bias_sheth_torman(sigma2, params)
+    elif mode == "tinker":
+        fs = fsigmaz_tinker(sigma2, zs)
+        bh = bias_tinker(DELTAC / jnp.sqrt(sigma2))
+    else:
+        raise NotImplementedError(mode)
+    return nzm(sigma2, ms, fs, rho_matter0), bh

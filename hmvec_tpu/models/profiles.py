@@ -1,0 +1,117 @@
+"""Halo profiles: Duffy concentration, analytic NFW u(k), Battaglia gas.
+
+The analytic NFW Fourier transform (reference: hmvec/hmvec.py:318-355) is the
+hot path of the flagship benchmark: ~4e6 Si/Ci evaluations on the
+(z, m, k) grid, all fused VPU elementwise work here (no loops, no host).
+
+Battaglia et al 2016 gas density / pressure profiles are real-space
+generalized-NFW shapes (reference: hmvec.py:800-927); their Fourier
+transforms go through the batched sine-DFT kernel in ops/sine_transform.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.special import sici
+from .mass_function import R_from_M
+
+
+def duffy_concentration(m, z, A, alpha, beta, h):
+    """Duffy et al 2008 c(m,z) (reference: hmvec.py:68-73)."""
+    return A * (h * m / 2.0e12) ** alpha * (1.0 + z) ** beta
+
+
+def concentration_duffy(ms, zs, mdef, params, h):
+    """c(z,m) grid for 'vir' or 'mean' mass definition (hmvec.py:163-176)."""
+    key = {"mean": ("duffy_A_mean", "duffy_alpha_mean", "duffy_beta_mean"),
+           "vir": ("duffy_A_vir", "duffy_alpha_vir", "duffy_beta_vir")}[mdef]
+    A, alpha, beta = (params[key[0]], params[key[1]], params[key[2]])
+    return duffy_concentration(jnp.asarray(ms)[None, :],
+                               jnp.asarray(zs)[:, None], A, alpha, beta, h)
+
+
+def fcon(c):
+    """F(c) = ln(1+c) - c/(1+c) (hmvec.py:737)."""
+    return jnp.log(1.0 + c) - c / (1.0 + c)
+
+
+def rho_nfw_x(x, rhoscale=1.0):
+    return rhoscale / x / (1.0 + x) ** 2
+
+
+def rhoscale_nfw(mdelta, rdelta, cdelta):
+    rs = rdelta / cdelta
+    return mdelta / (4.0 * jnp.pi * rs**3) / fcon(cdelta)
+
+
+def nfw_uk_analytic(ks, zs, cs, rss):
+    """Normalized NFW u(k|m,z), closed form via Si/Ci.
+
+    u(k) = [sin x (Si((1+c)x)-Si(x)) - sin(cx)/((1+c)x)
+            + cos x (Ci((1+c)x)-Ci(x))] / F(c),
+    with x = k * r_s * (1+z) -- the (1+z) converts the physical scale radius
+    to comoving, matching the reference (hmvec.py:347-353, incl. the
+    "!!!!"-flagged comoving conversion at :349).
+
+    ks: (nk,), cs: (nz,nm), rss: (nz,nm).  Returns (nz,nm,nk).
+    """
+    cs = cs[..., None]
+    x = jnp.asarray(ks)[None, None, :] * rss[..., None] * (1.0 + jnp.asarray(zs)[:, None, None])
+    si, ci = sici(x)
+    sic, cic = sici((1.0 + cs) * x)
+    mc = fcon(cs)
+    return (jnp.sin(x) * (sic - si)
+            - jnp.sin(cs * x) / ((1.0 + cs) * x)
+            + jnp.cos(x) * (cic - ci)) / mc
+
+
+def battaglia_fit(m200critz, z, A0, alpham, alphaz):
+    """Generic Battaglia mass/z power-law fit parameter (hmvec.py:800-802)."""
+    return A0 * (m200critz / 1.0e14) ** alpham * (1.0 + z) ** alphaz
+
+
+def rho_gas_x(x, m200critz, z, omb, omm, rhocritz, gamma, fit_params):
+    """Battaglia 2016 gas density profile in x = r/(R200/2) (hmvec.py:844-860).
+
+    Note the sign flip on the second gamma (Battaglia 2016 typo), as in the
+    reference.
+    """
+    rho0 = battaglia_fit(m200critz, z, fit_params["rho0_A0"],
+                         fit_params["rho0_alpham"], fit_params["rho0_alphaz"])
+    alpha = battaglia_fit(m200critz, z, fit_params["alpha_A0"],
+                          fit_params["alpha_alpham"], fit_params["alpha_alphaz"])
+    beta = battaglia_fit(m200critz, z, fit_params["beta_A0"],
+                         fit_params["beta_alpham"], fit_params["beta_alphaz"])
+    return ((omb / omm) * rhocritz * rho0 * x**gamma
+            * (1.0 + x**alpha) ** (-(beta + gamma) / alpha))
+
+
+def pressure_x(x, m200critz, r200critz, z, omb, omm, rhocritz,
+               alpha, gamma, fit_params,
+               parsec_m=3.08567758e16, msun_kg=1.989e30, G_SI=6.674e-11):
+    """Battaglia 2016 electron pressure profile P_e(x), x = r/R200
+    (hmvec.py:906-927).  Includes the XH=0.76 electron fraction."""
+    P0 = battaglia_fit(m200critz, z, fit_params["P0_A0"],
+                       fit_params["P0_alpham"], fit_params["P0_alphaz"])
+    xc = battaglia_fit(m200critz, z, fit_params["xc_A0"],
+                       fit_params["xc_alpham"], fit_params["xc_alphaz"])
+    beta = battaglia_fit(m200critz, z, fit_params["beta_A0"],
+                         fit_params["beta_alpham"], fit_params["beta_alphaz"])
+    XH = 0.76
+    eFrac = 2.0 * (XH + 1.0) / (5.0 * XH + 3.0)
+    G_newt = G_SI / (parsec_m * 1e6) ** 3 * msun_kg
+    return (eFrac * (omb / omm) * 200.0 * m200critz * G_newt * rhocritz
+            / (2.0 * r200critz)
+            * P0 * (x / xc) ** gamma * (1.0 + (x / xc) ** alpha) ** (-beta))
+
+
+def rvir_grid(ms, zs, mdef, rhocritz, rhomz, omz):
+    """r_vir(z,m) for 'vir'/'mean' (hmvec.py:111-115). ms:(nm,), z-arrays:(nz,)."""
+    from .mass_function import deltav_bryan_norman
+    ms = jnp.asarray(ms)[None, :]
+    if mdef == "vir":
+        return R_from_M(ms, rhocritz[:, None], deltav_bryan_norman(omz)[:, None])
+    if mdef == "mean":
+        return R_from_M(ms, rhomz[:, None], 200.0)
+    raise ValueError(mdef)

@@ -1,0 +1,54 @@
+"""Vectorized fixed-trip-count root finding (jit- and grad-compatible).
+
+The reference's iterative solves -- the HOD ngal->mthresh bisection
+(hmvec/utils.py:9-42) and the scipy.optimize.newton mass-definition
+conversion (hmvec/hmvec.py:770-798) -- use data-dependent stopping, which
+cannot compile.  Fixed-count bisection halves the bracket deterministically:
+90 iterations shrink any practical bracket below f64 resolution, so the
+result is *more* converged than the reference's rtol=1e-4 stop while being
+a pure lax.fori_loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def invert_monotone(func, targets, lo, hi, num_iter: int = 90,
+                    increasing: bool = True):
+    """Solve func(y) = targets for y in [lo, hi], func monotone elementwise.
+
+    func maps an array of y to an array of func(y) of the same shape as
+    ``targets``.  Replaces utils.vectorized_bisection_search.
+    """
+    targets = jnp.asarray(targets)
+    lo = jnp.broadcast_to(jnp.asarray(lo, dtype=targets.dtype), targets.shape)
+    hi = jnp.broadcast_to(jnp.asarray(hi, dtype=targets.dtype), targets.shape)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) / 2.0
+        val = func(mid)
+        go_right = (val < targets) if increasing else (val > targets)
+        return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi))
+    return (lo + hi) / 2.0
+
+
+def solve_bisection_root(f, lo, hi, num_iter: int = 90):
+    """Find f(y)=0 for f monotone-decreasing elementwise on [lo, hi]."""
+    lo = jnp.asarray(lo)
+    hi = jnp.asarray(hi)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) / 2.0
+        val = f(mid)
+        # decreasing: val > 0 means root is to the right
+        go_right = val > 0
+        return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi))
+    return (lo + hi) / 2.0

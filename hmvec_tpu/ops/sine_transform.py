@@ -1,0 +1,141 @@
+"""Batched real->Fourier profile transform: the flagship TPU kernel.
+
+The reference transforms halo profiles rho(x) -> u(k) with one numpy rfft
+over the (z, m, x) grid followed by a *python double loop* re-interpolating
+each (z, m) row onto the target ks (hmvec/fft.py:56-115; the loop at
+:97-115 is the documented bottleneck, README.rst:7-10).
+
+TPU-native redesign:
+
+  1. The sine DFT  u_i = step * sum_j y_j sin(2 pi i j / N)  is evaluated as
+     ONE batched matmul  (B, N) @ (N, nk)  against a static sine matrix --
+     it lands on the MXU (f32/bf16) or the vector unit (f64), with no
+     complex dtypes (this TPU has no complex128).  For large N (e.g. the
+     NFW default nxs=40000) a complex64 rfft path avoids materializing the
+     DFT matrix.
+
+  2. The per-(z,m) resample is closed-form index algebra: the source grid
+     kt_i = i * dkt is uniform, so the interpolation position of target k
+     for scale s = r_s (1+z) is simply p = k s / dkt -- a gather + lerp over
+     the whole (z, m, k) grid at once.  Boundary semantics match the
+     reference exactly: flat extrapolation at low k (left=u[first positive
+     kt]) and zero above the Nyquist kt (fft.py:107).
+
+Both steps are jit-able and differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=8)
+def _sine_matrix(n: int, nk: int, dtype_str: str):
+    """S[j, i] = sin(2 pi i j / n) as a static host-side array."""
+    j = np.arange(n)[:, None]
+    i = np.arange(nk)[None, :]
+    # compute the phase in f64 modulo n to keep sin arguments small
+    phase = 2.0 * np.pi * ((j * i) % n) / n
+    return np.sin(phase).astype(dtype_str)
+
+
+def sine_dft(y, step, method: str = "auto"):
+    """-Im[rfft(y)] * step along the last axis (the reference's fft_integral
+    core, fft.py:35-51) without complex128.
+
+    y: (..., N) real.  Returns (..., N//2+1).
+    """
+    n = y.shape[-1]
+    nk = n // 2 + 1
+    if method == "auto":
+        on_cpu = jax.default_backend() == "cpu"
+        if on_cpu:
+            method = "fft"
+        else:
+            method = "matmul" if n <= 8192 else "fft"
+    if method == "fft":
+        if y.dtype == jnp.float64 and jax.default_backend() != "cpu":
+            # TPU: no complex128 -- run the FFT in c64, keep f64 elsewhere
+            out = -jnp.fft.rfft(y.astype(jnp.float32)).imag.astype(y.dtype)
+        else:
+            out = -jnp.fft.rfft(y).imag
+        return out * step
+    if method == "matmul":
+        s = jnp.asarray(_sine_matrix(n, nk, str(y.dtype)))
+        out = jax.lax.dot_general(
+            y, s, dimension_numbers=(((y.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=y.dtype)
+        return out * step
+    raise ValueError(method)
+
+
+def resample_uniform_source(u, dkt, scales, ks):
+    """Vectorized replacement for the reference's _interp_loop (fft.py:97-115).
+
+    u:      (..., nkt) profile transform on the uniform grid kt_i = i*dkt
+    scales: (...,)      per-profile scale s = r_s * (1+z); the physical
+                        output grid is kout_i = kt_i / s
+    ks:     (nk,)       target wavenumbers
+
+    For each batch element, np.interp(ks, kout[1:], u[1:], left=u[1],
+    right=0) reduces to interpolation at fractional index p = k*s/dkt.
+    """
+    nkt = u.shape[-1]
+    p = jnp.asarray(ks) * scales[..., None] / dkt      # (..., nk)
+    # clamp to the valid lerp window [1, nkt-2]; boundary handled below
+    i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 1, nkt - 2)
+    frac = p - i0
+    u0 = jnp.take_along_axis(u, i0, axis=-1)
+    u1 = jnp.take_along_axis(u, i0 + 1, axis=-1)
+    val = u0 + frac * (u1 - u0)
+    left = jnp.take_along_axis(u, jnp.ones_like(i0), axis=-1)
+    val = jnp.where(p < 1.0, left, val)                # flat below first kt>0
+    val = jnp.where(p > nkt - 1.0, 0.0, val)           # zero above Nyquist
+    return val
+
+
+def generic_profile_fft(rhofunc_x, cmaxs, rss, zs, ks, xmax, nxs,
+                        do_mass_norm: bool = True, method: str = "auto"):
+    """Profile transform u(k|z,m) (reference: fft.py:56-94, TPU-native).
+
+    rhofunc_x: callable sampling the profile on xs (returns (nz,nm,nxs) or
+               (nxs,) to broadcast)
+    cmaxs:     (nz,nm) dimensionless cutoff (e.g. concentration)
+    rss:       (nz,nm) scale radii in Mpc (physical)
+    zs:        (nz,) redshifts (for the physical->comoving k conversion)
+    ks:        (nk,) target comoving wavenumbers
+    Returns (ks, u) with u of shape (nz, nm, nk).
+
+    Matches the reference's sampling conventions exactly, including its
+    step = (xs[-1]-xs[0])/nxs (slightly different from the true spacing,
+    fft.py:46-48) so parity with the numpy twin is bit-level in f64.
+    """
+    xs_np = np.linspace(0.0, xmax, nxs + 1)[1:]
+    xs = jnp.asarray(xs_np)
+    step = (xs_np[-1] - xs_np[0]) / nxs
+    dkt = 2.0 * np.pi / (nxs * step)
+
+    rhos = rhofunc_x(xs)
+    if rhos.ndim == 1:
+        rhos = rhos[None, None, :]
+    theta = (xs[None, None, :] <= cmaxs[..., None]).astype(rhos.dtype)
+    integrand = theta * rhos
+    if do_mass_norm:
+        dx = jnp.diff(xs)
+        prof = integrand * xs[None, None, :] ** 2
+        mnorm = jnp.sum((prof[..., 1:] + prof[..., :-1]) * dx / 2.0, axis=-1)
+    else:
+        mnorm = jnp.ones(rhos.shape[:-1], dtype=rhos.dtype)
+
+    ukt = sine_dft(integrand * xs[None, None, :], step, method=method)
+    kts = jnp.arange(ukt.shape[-1], dtype=rhos.dtype) * dkt
+    # u(kt) = ukt / kt / mnorm ; kt=0 entry is junk but never sampled
+    uk = ukt / jnp.where(kts == 0, 1.0, kts)[None, None, :] / mnorm[..., None]
+
+    scales = rss * (1.0 + jnp.asarray(zs))[:, None]
+    return jnp.asarray(ks), resample_uniform_source(uk, dkt, scales, ks)

@@ -1,0 +1,215 @@
+"""Numpy twin of the halo-model core: mass function, NFW, 1h/2h spectra.
+
+Mirrors reference behaviour (hmvec/hmvec.py) in vectorized float64 numpy.
+Used as the parity oracle and the CPU baseline timed by bench.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import sici
+
+from .core import TwinCosmology
+from ..utils.weights import trapz_weights
+
+DELTAC = 1.686
+
+
+def R_from_M(M, rho, delta):
+    return (3.0 * M / 4.0 / np.pi / delta / rho) ** (1.0 / 3.0)
+
+
+class TwinHaloModel(TwinCosmology):
+    def __init__(self, zs, ks, ms, params=None, mass_function="sheth-torman",
+                 mdef="vir", accuracy="medium"):
+        super().__init__(params)
+        self.zs = np.asarray(zs, dtype=np.float64)
+        self.ks = np.asarray(ks, dtype=np.float64)
+        self.ms = np.asarray(ms, dtype=np.float64)
+        self.mdef = mdef
+        self.mode = mass_function
+        self.accuracy = accuracy
+        self.Pzk = self.plin(self.zs, self.ks,
+                             accuracy="low" if accuracy == "low" else "medium")
+        self.init_mass_function()
+        self.uk_profiles = {}
+        self.pk_profiles = {}
+        self.hods = {}
+        self.add_nfw_profile("nfw")
+
+    # ---- virial defs ----
+    def deltav(self, z):
+        x = self.omz(z) - 1.0
+        return 18.0 * np.pi**2 + 82.0 * x - 39.0 * x**2
+
+    def rvir(self, m, z):
+        if self.mdef == "vir":
+            return R_from_M(m, self.rho_critical_z(z), delta=self.deltav(z))
+        if self.mdef == "mean":
+            return R_from_M(m, self.rho_matter_z(z), delta=200.0)
+        raise ValueError(self.mdef)
+
+    def R_of_m(self, ms):
+        return R_from_M(ms, self.rho_matter_z(0.0), delta=1.0)
+
+    # ---- mass function ----
+    def init_mass_function(self):
+        self.sigma2 = self.sigma2_R(self.R_of_m(self.ms), self.zs)
+        self.nzm = self.get_nzm()
+        self.bh = self.get_bh()
+
+    def get_fsigmaz(self):
+        s2 = self.sigma2
+        deltac = self.p["st_deltac"]
+        if self.mode == "sheth-torman":
+            A, a, pp = self.p["st_A"], self.p["st_a"], self.p["st_p"]
+            sigma = np.sqrt(s2)
+            return (A * np.sqrt(2.0 * a / np.pi)
+                    * (1.0 + (s2 / a / deltac**2) ** pp)
+                    * (deltac / sigma) * np.exp(-a * deltac**2 / 2.0 / s2))
+        if self.mode == "tinker":
+            nus = deltac / np.sqrt(s2)
+            return nus * self.tinker_f_nu(nus, self.zs[:, None])
+        raise NotImplementedError(self.mode)
+
+    @staticmethod
+    def tinker_bias(nu, delta=200.0):
+        y = np.log10(delta)
+        bigA = 1.0 + 0.24 * y * np.exp(-((4.0 / y) ** 4))
+        a = 0.44 * y - 0.88
+        bigC = 0.019 + 0.107 * y + 0.19 * np.exp(-((4.0 / y) ** 4))
+        nua = nu**a
+        return 1.0 - bigA * nua / (nua + DELTAC**a) + 0.183 * nu**1.5 + bigC * nu**2.4
+
+    @staticmethod
+    def _tinker_f_unnorm(nu, zs):
+        zc = np.minimum(zs, 3.0)
+        beta = 0.589 * (1.0 + zc) ** 0.20
+        phi = -0.729 * (1.0 + zc) ** -0.08
+        eta = -0.243 * (1.0 + zc) ** 0.27
+        gamma = 0.864 * (1.0 + zc) ** -0.01
+        return ((1.0 + (beta * nu) ** (-2.0 * phi))
+                * nu ** (2.0 * eta) * np.exp(-gamma * nu**2 / 2.0))
+
+    def tinker_f_nu(self, nu, zs, delta=200.0):
+        nus_grid = np.logspace(-8, 2, 10000)
+        f_grid = self._tinker_f_unnorm(nus_grid[None, :], np.atleast_1d(zs).reshape(-1, 1))
+        b_grid = self.tinker_bias(nus_grid, delta)
+        alpha = 1.0 / np.trapezoid(f_grid * b_grid[None, :], nus_grid, axis=-1)
+        return alpha.reshape(zs.shape[:1] + (1,) * (nu.ndim - 1)) * self._tinker_f_unnorm(nu, zs)
+
+    def get_nzm(self):
+        ln_sigma_inv = -0.5 * np.log(self.sigma2)
+        dln = np.gradient(ln_sigma_inv, np.log(self.ms), axis=-1)
+        return (self.rho_matter_z(0.0) * self.get_fsigmaz() * dln
+                / self.ms[None, :] ** 2)
+
+    def get_bh(self):
+        s2 = self.sigma2
+        deltac = self.p["st_deltac"]
+        if self.mode == "sheth-torman":
+            a, pp = self.p["st_a"], self.p["st_p"]
+            return (1.0 + (1.0 / deltac) * ((a * deltac**2 / s2) - 1.0)
+                    + (2.0 * pp / deltac) / (1.0 + (a * deltac**2 / s2) ** pp))
+        if self.mode == "tinker":
+            return self.tinker_bias(deltac / np.sqrt(s2))
+        raise NotImplementedError(self.mode)
+
+    # ---- profiles ----
+    def concentration(self):
+        key = {"mean": ("duffy_A_mean", "duffy_alpha_mean", "duffy_beta_mean"),
+               "vir": ("duffy_A_vir", "duffy_alpha_vir", "duffy_beta_vir")}[self.mdef]
+        A, alpha, beta = self.p[key[0]], self.p[key[1]], self.p[key[2]]
+        return (A * (self.h * self.ms[None, :] / 2.0e12) ** alpha
+                * (1.0 + self.zs[:, None]) ** beta)
+
+    def add_nfw_profile(self, name):
+        cs = self.concentration()
+        rvirs = self.rvir(self.ms[None, :], self.zs[:, None])
+        rss = (rvirs / cs)[..., None]
+        cs3 = cs[..., None]
+        mc = np.log(1.0 + cs3) - cs3 / (1.0 + cs3)
+        x = self.ks[None, None, :] * rss * (1.0 + self.zs[:, None, None])
+        si, ci = sici(x)
+        sic, cic = sici((1.0 + cs3) * x)
+        uk = (np.sin(x) * (sic - si) - np.sin(cs3 * x) / ((1.0 + cs3) * x)
+              + np.cos(x) * (cic - ci)) / mc
+        self.uk_profiles[name] = uk
+        return uk
+
+    # ---- power ----
+    def _matter_term(self, name, lowklim=False):
+        uk = 1.0 if lowklim else self.uk_profiles[name]
+        return self.ms[None, :, None] * uk / self.rho_matter_z(0.0)
+
+    def _hod_term(self, name, lowklim=False):
+        hod = self.hods[name]
+        uc = 1.0 if hod["central_profile"] is None else self.uk_profiles[hod["central_profile"]]
+        us = self.uk_profiles[hod["satellite_profile"]]
+        if lowklim:
+            uc, us = 1.0, 1.0
+        return ((uc * hod["Nc"][..., None] + us * hod["Ns"][..., None])
+                / hod["ngal"][..., None, None])
+
+    def _pressure_term(self, name, lowklim=False):
+        pk = self.pk_profiles[name]
+        if lowklim:
+            return np.broadcast_to(pk[:, :, :1], pk.shape)
+        return pk
+
+    def _term(self, name, lowklim=False):
+        if name in self.hods:
+            return self._hod_term(name, lowklim)
+        if name in self.uk_profiles:
+            return self._matter_term(name, lowklim)
+        if name in self.pk_profiles:
+            return self._pressure_term(name, lowklim)
+        raise ValueError(name)
+
+    def get_power_1halo(self, name="nfw", name2=None):
+        name2 = name if name2 is None else name2
+        if name in self.hods and name2 in self.hods:
+            hod = self.hods[name]
+            uc = 1.0 if hod["central_profile"] is None else self.uk_profiles[hod["central_profile"]]
+            us = self.uk_profiles[hod["satellite_profile"]]
+            square = ((2.0 * uc * us * hod["NcNs"][..., None]
+                       + hod["NsNsm1"][..., None] * us**2)
+                      / hod["ngal"][..., None, None] ** 2)
+        elif name in self.pk_profiles and name2 in self.pk_profiles:
+            square = self._pressure_term(name) ** 2
+        else:
+            square = self._term(name) * self._term(name2)
+        integrand = self.nzm[..., None] * square
+        w = trapz_weights(self.ms)
+        integral = np.einsum("zmk,m->zk", integrand, w)
+        damping = 1.0 - np.exp(-((self.ks / self.p["kstar_damping"]) ** 2))
+        return integral * damping[None, :]
+
+    def _2halo_leg(self, name):
+        w = trapz_weights(self.ms)
+        term = self._term(name)
+        weighted = self.nzm[..., None] * self.bh[..., None]
+        integral = np.einsum("zmk,m->zk", weighted * term, w)
+        if name in self.pk_profiles:
+            return integral, np.zeros_like(integral), 0.0
+        term0 = self._term(name, lowklim=True)
+        consistency = np.einsum("zmk,m->zk", weighted * term0, w)
+        if name in self.hods:
+            b = self.hods[name]["bg"][:, None]
+        else:
+            b = 1.0
+        return integral, consistency, b
+
+    def get_power_2halo(self, name="nfw", name2=None, b1_in=None, b2_in=None):
+        name2 = name if name2 is None else name2
+        i1, c1, b1 = self._2halo_leg(name)
+        i2, c2, b2 = self._2halo_leg(name2)
+        if b1_in is not None:
+            b1 = np.asarray(b1_in).reshape(-1, 1)
+        if b2_in is not None:
+            b2 = np.asarray(b2_in).reshape(-1, 1)
+        return self.Pzk * (i1 + b1 - c1) * (i2 + b2 - c2)
+
+    def get_power(self, name="nfw", name2=None, b1=None, b2=None):
+        return (self.get_power_1halo(name, name2)
+                + self.get_power_2halo(name, name2, b1, b2))
