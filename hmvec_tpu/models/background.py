@@ -26,11 +26,17 @@ from ..ops.special import hyp2f1_growth
 
 CSPEED_KMS = 299792.458
 
-# Same numeric constants as the reference (cosmology.py:239-243) so the
-# rho_critical_z chain is bit-identical in f64.
+# Same numeric constants as the reference (cosmology.py:239-243).  The SI
+# round trip is pre-folded on the host into ONE f64 factor: TPU f64 is a
+# double-single (two-f32) emulation, and chaining tiny intermediates like
+# (H*3.241e-20)^2 ~ 1e-35 on device underflows the low component into the
+# flushed f32 subnormal range, costing ~4 digits.  rho_crit = H_kms^2 *
+# _RHO_CRIT_FACTOR keeps every device value mid-range.
 _HZ_TO_SI = 3.241e-20           # (km/s/Mpc) -> 1/s
 _G_SI = 6.67259e-11
 _RHO_SI_TO_MSUN_MPC3 = 1.477543e37
+_RHO_CRIT_FACTOR = (3.0 * _HZ_TO_SI**2 / (8.0 * float(np.pi) * _G_SI)
+                    * _RHO_SI_TO_MSUN_MPC3)  # ~2.775e7 Msun/Mpc^3/(km/s/Mpc)^2
 
 _GL_NODES, _GL_WEIGHTS = gauss_legendre(128)
 
@@ -159,10 +165,10 @@ def sigma_crit(bg: BackgroundParams, zlens, zsource):
 
 
 def rho_critical_z(bg: BackgroundParams, z):
-    """Critical density in Msun/Mpc^3 (reference: cosmology.py:239-243)."""
-    Hz = hubble_parameter(bg, z) * _HZ_TO_SI
-    rho = 3.0 * Hz**2 / 8.0 / jnp.pi / _G_SI
-    return rho * _RHO_SI_TO_MSUN_MPC3
+    """Critical density in Msun/Mpc^3 (reference: cosmology.py:239-243,
+    with the SI chain pre-folded on host -- see _RHO_CRIT_FACTOR)."""
+    Hz = hubble_parameter(bg, z)
+    return Hz**2 * _RHO_CRIT_FACTOR
 
 
 def rho_matter_z(bg: BackgroundParams, z):

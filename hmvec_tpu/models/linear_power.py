@@ -49,7 +49,9 @@ def plin_approx(bg, zs, ks, kind: str = "eisenhu_osc"):
     # omm*H0^2 including massive neutrinos (ref cosmology.py:399)
     omh2 = (bg.omch2 + bg.ombh2) * 100.0**2 + bg.omnu0 * bg.H0**2
     kfacts = (ks / bg.pivot_scalar) ** (bg.ns - 1.0) * ks
-    pref = 8.0 * jnp.pi**2 * bg.As / 25.0 / omh2**2 * CSPEED_KMS**4
+    # host-folded constant first, then traced factors: keeps device
+    # intermediates mid-range (TPU double-single f64, see background.py)
+    pref = bg.As * (8.0 * np.pi**2 * CSPEED_KMS**4 / 25.0) / omh2**2
     return pref * kfacts[None, :] * dz**2 * tk**2
 
 
@@ -159,8 +161,10 @@ def sigma2_R(bg, R_m, zs, spzk, ks_sigma2, taylor_switch=0.01):
     sigma^2 grid; ``ks_sigma2``: static numpy grid.  One matmul:
     (nz, nk) @ (nk, nm).  Reference: cosmology.py:245-269.
     """
-    ks = jnp.asarray(ks_sigma2)
-    w = jnp.asarray(simpson_weights(np.asarray(ks_sigma2)))
+    ks_np = np.asarray(ks_sigma2)
+    ks = jnp.asarray(ks_np)
+    # k^2 w / 2pi^2 folded host-side (static grid)
+    kw = jnp.asarray(simpson_weights(ks_np) * ks_np**2 / (2.0 * np.pi**2))
     W2 = Wkr(ks[None, :], jnp.asarray(R_m)[:, None], taylor_switch) ** 2  # (nm, nk)
-    lhs = spzk * (ks**2 * w / (2.0 * jnp.pi**2))[None, :]                 # (nz, nk)
+    lhs = spzk * kw[None, :]                                             # (nz, nk)
     return lhs @ W2.T

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.special import sici
+from ..ops.special import sici_with_trig
 from .mass_function import R_from_M
 
 
@@ -55,15 +55,21 @@ def nfw_uk_analytic(ks, zs, cs, rss):
     "!!!!"-flagged comoving conversion at :349).
 
     ks: (nk,), cs: (nz,nm), rss: (nz,nm).  Returns (nz,nm,nk).
+
+    Transcendental-minimal evaluation: one sincos at x and one at (1+c)x
+    shared with the Si/Ci auxiliaries, and sin(cx) recovered by the angle
+    difference identity -- 5 f64 transcendentals per element instead of 9.
     """
     cs = cs[..., None]
     x = jnp.asarray(ks)[None, None, :] * rss[..., None] * (1.0 + jnp.asarray(zs)[:, None, None])
-    si, ci = sici(x)
-    sic, cic = sici((1.0 + cs) * x)
+    x2 = (1.0 + cs) * x
+    sx, cx = jnp.sin(x), jnp.cos(x)
+    sx2, cx2 = jnp.sin(x2), jnp.cos(x2)
+    si, ci = sici_with_trig(x, sx, cx)
+    sic, cic = sici_with_trig(x2, sx2, cx2)
+    sin_cx = sx2 * cx - cx2 * sx  # sin(cx) = sin((1+c)x - x)
     mc = fcon(cs)
-    return (jnp.sin(x) * (sic - si)
-            - jnp.sin(cs * x) / ((1.0 + cs) * x)
-            + jnp.cos(x) * (cic - ci)) / mc
+    return (sx * (sic - si) - sin_cx / x2 + cx * (cic - ci)) / mc
 
 
 def battaglia_fit(m200critz, z, A0, alpham, alphaz):

@@ -57,10 +57,12 @@ def _horner(coef, y):
     return acc
 
 
-def sici(x):
-    """Si(x), Ci(x) for x > 0 (vectorized, differentiable).
+def sici_with_trig(x, sinx, cosx):
+    """Si(x), Ci(x) for x > 0 given precomputed sin(x), cos(x).
 
-    Max abs error ~3e-13 (validated against scipy in tests/test_special.py).
+    Splitting out the trig lets callers that already need sin/cos of the
+    same argument (e.g. the analytic NFW u(k), profiles.nfw_uk_analytic)
+    share the expensive f64 transcendentals.
     """
     x = jnp.asarray(x)
     xs = jnp.maximum(x, jnp.asarray(1e-300, dtype=x.dtype))
@@ -86,9 +88,8 @@ def sici(x):
     f = jnp.where(xs > 40.0, f_asy, f_mid)
     g = jnp.where(xs > 40.0, g_asy, g_mid)
 
-    s, c = jnp.sin(xs), jnp.cos(xs)
-    si_large = jnp.pi / 2.0 - f * c - g * s
-    ci_large = f * s - g * c
+    si_large = jnp.pi / 2.0 - f * cosx - g * sinx
+    ci_large = f * sinx - g * cosx
 
     small = xs <= 4.0
     si = jnp.where(small, si_small, si_large)
@@ -96,27 +97,37 @@ def sici(x):
     return si, ci
 
 
-def hyp2f1_growth(y, num_terms: int = 400):
+def sici(x):
+    """Si(x), Ci(x) for x > 0 (vectorized, differentiable).
+
+    Max abs error ~3e-13 (validated against scipy in tests/test_special.py).
+    """
+    x = jnp.asarray(x)
+    xs = jnp.maximum(x, jnp.asarray(1e-300, dtype=x.dtype))
+    return sici_with_trig(xs, jnp.sin(xs), jnp.cos(xs))
+
+
+# Static series coefficients c_n = prod_{j<n} (3/2+j)/(11/6+j): the Pfaff-
+# transformed hypergeometric series is then a fixed polynomial in w --
+# evaluated by an unrolled Horner instead of a serial fori_loop (which costs
+# ~70us/iteration of loop overhead on TPU).
+_HYP_N = 400
+_HYP_COEF = np.cumprod(np.concatenate(
+    [[1.0], (1.5 + np.arange(_HYP_N - 1)) / (11.0 / 6.0 + np.arange(_HYP_N - 1))]))
+
+
+def hyp2f1_growth(y, num_terms: int = _HYP_N):
     """2F1(5/6, 3/2; 11/6; -y) for y >= 0 (Heath growth integral).
 
     Pfaff: 2F1(a,b;c;z) = (1-z)^(-b) 2F1(c-a,b;c; z/(z-1)); with
     (a,b,c) = (5/6,3/2,11/6), c-a = 1, so the transformed series is
-    sum_n (3/2)_n / (11/6)_n * w^n with w = y/(1+y) in [0,1).
-    Converges geometrically at rate w; num_terms=400 covers w<=0.94
+    sum_n [prod_{j<n} (3/2+j)/(11/6+j)] w^n with w = y/(1+y) in [0,1) --
+    a fixed polynomial, evaluated by Horner.  400 terms cover w<=0.94
     (y <= ~16, i.e. any remotely LCDM-like oml/omm) below 1e-12.
     """
     y = jnp.asarray(y)
     w = y / (1.0 + y)
-
-    def body(n, carry):
-        acc, term = carry
-        ratio = (1.5 + n) / (11.0 / 6.0 + n) * w
-        term = term * ratio
-        return acc + term, term
-
-    acc0 = jnp.ones_like(w)
-    term0 = jnp.ones_like(w)
-    acc, _ = jax.lax.fori_loop(0, num_terms, body, (acc0, term0))
+    acc = _horner(_HYP_COEF[:num_terms], w)
     return acc * (1.0 + y) ** (-1.5)
 
 

@@ -18,6 +18,9 @@ CSPEED_KMS = 299792.458
 _HZ_TO_SI = 3.241e-20
 _G_SI = 6.67259e-11
 _RHO_SI_TO_MSUN_MPC3 = 1.477543e37
+# pre-folded rho_crit factor (same spec as models/background.py)
+_RHO_CRIT_FACTOR = (3.0 * _HZ_TO_SI**2 / (8.0 * np.pi * _G_SI)
+                    * _RHO_SI_TO_MSUN_MPC3)
 
 _GL_NODES, _GL_WEIGHTS = gauss_legendre(128)
 
@@ -93,8 +96,7 @@ class TwinCosmology:
         return cval**2 * Ds / 4.0 / np.pi / Gval / Dd / Dds
 
     def rho_critical_z(self, z):
-        Hz = self.hubble_parameter(z) * _HZ_TO_SI
-        return 3.0 * Hz**2 / 8.0 / np.pi / _G_SI * _RHO_SI_TO_MSUN_MPC3
+        return self.hubble_parameter(z) ** 2 * _RHO_CRIT_FACTOR
 
     def rho_matter_z(self, z):
         return self.rho_critical_z(0.0) * self.omm0 * (1.0 + np.asarray(z)) ** 3
@@ -188,7 +190,7 @@ class TwinCosmology:
         dz = self.d_growth(1.0 / (1.0 + zs), norm="anorm")[:, None]
         omh2 = (self.omch2 + self.ombh2) * 100.0**2 + self.omnu0 * self.H0**2
         kfacts = (ks / self.p["pivot_scalar"]) ** (self.ns - 1.0) * ks
-        pref = 8.0 * np.pi**2 * self.As / 25.0 / omh2**2 * CSPEED_KMS**4
+        pref = self.As * (8.0 * np.pi**2 * CSPEED_KMS**4 / 25.0) / omh2**2
         return pref * kfacts[None, :] * dz**2 * tk**2
 
     def plin(self, zs, ks, accuracy="medium"):
@@ -210,8 +212,8 @@ class TwinCosmology:
     def sigma2_R(self, R_m, zs):
         ks = np.geomspace(self.p["sigma2_kmin"], self.p["sigma2_kmax"],
                           self.p["sigma2_numks"])
-        w = simpson_weights(ks)
+        kw = simpson_weights(ks) * ks**2 / (2.0 * np.pi**2)
         spzk = self.plin(zs, ks)                      # (nz, nk)
         W2 = self.Wkr(ks[None, :], np.asarray(R_m)[:, None]) ** 2  # (nm, nk)
-        lhs = spzk * (ks**2 * w / (2.0 * np.pi**2))[None, :]
+        lhs = spzk * kw[None, :]
         return lhs @ W2.T

@@ -1,0 +1,74 @@
+"""Fused pipeline + sharding tests (8 virtual CPU devices, see conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hmvec_tpu.pipeline import make_pmm_fn, make_lensing_cls_fn, fisher_jacobian
+from hmvec_tpu.parallel.sharding import (make_mesh, make_sharded_pmm_fn,
+                                         make_fisher_step_fn)
+from hmvec_tpu.models.halo_model import HaloModel
+
+ZS = np.linspace(0.1, 2.0, 4)
+MS = np.geomspace(2e10, 1e17, 64)
+KS = np.geomspace(1e-4, 100, 128)
+
+
+def test_pipeline_matches_class_api():
+    fn = make_pmm_fn(ZS, KS, MS)
+    p_pipe = np.asarray(fn({}))
+    hm = HaloModel(ZS, KS, ms=MS)
+    p_class = np.asarray(hm.get_power("nfw"))
+    np.testing.assert_allclose(p_pipe, p_class, rtol=1e-12)
+
+
+def test_pipeline_grad():
+    fn = make_pmm_fn(ZS, KS, MS, jit=False)
+
+    def loss(omch2):
+        return jnp.sum(fn({"omch2": omch2}))
+
+    g = jax.grad(loss)(jnp.asarray(0.1198))
+    assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_fisher_jacobian():
+    fn = make_pmm_fn(ZS, KS, MS, jit=False)
+    jac = fisher_jacobian(lambda o: fn(o)[:, ::16], merge := {"omch2": 0.1198,
+                                                              "As": 2.2e-9},
+                          ("omch2", "As"))
+    jac = np.asarray(jac)
+    assert jac.shape == (ZS.size, 8, 2)
+    assert np.all(np.isfinite(jac))
+    assert np.any(jac != 0)
+
+
+def test_lensing_cls_pipeline():
+    ells = np.geomspace(30, 2000, 20)
+    fn = make_lensing_cls_fn(ZS, KS, MS, ells)
+    ckk, pmm = fn({})
+    ckk = np.asarray(ckk)
+    assert ckk.shape == ells.shape
+    assert np.all(ckk > 0)
+    assert np.all(np.isfinite(ckk))
+
+
+def test_sharded_pmm_matches_single_device():
+    mesh = make_mesh(8)
+    fn_sharded = jax.jit(make_sharded_pmm_fn(ZS, KS, MS, mesh))
+    fn_single = make_pmm_fn(ZS, KS, MS)
+    p_s = np.asarray(fn_sharded({}))
+    p_1 = np.asarray(fn_single({}))
+    np.testing.assert_allclose(p_s, p_1, rtol=1e-10)
+
+
+def test_sharded_fisher_step_runs_and_descends():
+    mesh = make_mesh(8)
+    ells = np.geomspace(30, 1000, 8)
+    step, model = make_fisher_step_fn(ZS, KS, MS, ells, mesh, lr=1e-3)
+    data = model(jnp.asarray([1.0, 1.0]))  # fiducial-relative units
+    theta0 = jnp.asarray([1.04, 1.08])
+    theta1, loss0 = step(theta0, data)
+    theta2, loss1 = step(theta1, data)
+    assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
+    assert float(loss1) <= float(loss0)
