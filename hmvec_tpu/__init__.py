@@ -20,5 +20,19 @@ Importing this package enables JAX x64 by default (see utils/config.py).
 from .utils import config as _config  # noqa: F401  (enables x64 first)
 
 from .params import default_params, battaglia_defaults, merge_params  # noqa: F401,E402
+from .models.cosmology import Cosmology  # noqa: F401,E402
+from .models.halo_model import HaloModel  # noqa: F401,E402
+from .models.ksz import (kSZ, Nvv, get_ksz_snr, Ngg,  # noqa: F401,E402
+                         get_ksz_template_signal_snapshot,
+                         get_ksz_auto_squeezed, get_ksz_auto_signal_mafry,
+                         get_ksz_snr_survey, get_survey_volume, get_kmin,
+                         ksz_radial_function, ne0_shaw, Nvv_core_integral)
+from .models.cov import GaussianCov, knox_cov, bin_annuli  # noqa: F401,E402
+from .models.power import (total_matter_power_spectrum,  # noqa: F401,E402
+                           total_matter_galaxy_power_spectrum)
+from .models.profiles import duffy_concentration  # noqa: F401,E402
+from .models.mass_conversion import mdelta_from_mdelta  # noqa: F401,E402
+from .ops.sine_transform import generic_profile_fft  # noqa: F401,E402
+from .pipeline import make_pmm_fn, make_lensing_cls_fn, fisher_jacobian  # noqa: F401,E402
 
 __version__ = "0.1.0"

@@ -284,3 +284,27 @@ class HaloModel(Cosmology):
     def get_power(self, name="nfw", name2=None, verbose=False, b1=None, b2=None):
         return (self.get_power_1halo(name, name2)
                 + self.get_power_2halo(name, name2, verbose, b1, b2))
+
+    # ---- cluster lensing (hmvec.py:574-622; clusterlensing dep dropped) ----
+    def sigma_1h_profiles(self, thetas, Ms, concs, sig_theta=None, delta=200,
+                          rho="mean", rho_at_z=True):
+        from .cluster_lensing import sigma_1h_profiles
+        return sigma_1h_profiles(self.bg, self.zs, thetas, Ms, concs,
+                                 sig_theta=sig_theta, delta=delta, rho=rho,
+                                 rho_at_z=rho_at_z)
+
+    def kappa_1h_profiles(self, thetas, Ms, concs, zsource, sig_theta=None,
+                          delta=200, rho="mean", rho_at_z=True):
+        from .cluster_lensing import kappa_1h_profiles
+        return kappa_1h_profiles(self.bg, self.zs, thetas, Ms, concs,
+                                 zsource, sig_theta=sig_theta, delta=delta,
+                                 rho=rho, rho_at_z=rho_at_z)
+
+    def kappa_2h_profiles(self, thetas, Ms, zsource, lmin=100, lmax=10000):
+        from .cluster_lensing import kappa_2h_profiles
+        import jax
+        # per-z halo bias at the cluster masses (hmvec.py:612-614)
+        bh_at_m = jax.vmap(lambda bh_row: jnp.interp(
+            jnp.asarray(Ms).reshape(()), self.ms, bh_row))(self.bh)
+        return kappa_2h_profiles(self.bg, self.zs, self.ks, self.Pzk,
+                                 bh_at_m, thetas, zsource, lmin, lmax)

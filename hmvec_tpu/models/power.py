@@ -48,8 +48,14 @@ def _mass_weights(ms):
 
 
 def _mass_integral(integrand, ms):
-    """int dm integrand(z,m,k) -> (z,k) as einsum with static trapz weights."""
-    return jnp.einsum("zmk,m->zk", integrand, _mass_weights(ms))
+    """int dm integrand(z,m,k) -> (z,k) with static trapz weights.
+
+    Written as multiply + axis-sum rather than einsum/dot_general: on TPU
+    the emulated f64 dot path runs ~4.5x slower than a plain VPU reduction
+    for this (z,m,k)x(m) contraction shape.
+    """
+    w = _mass_weights(ms)
+    return (integrand * w[None, :, None]).sum(axis=-2)
 
 
 def _hod_square_term(t: HODTracer):

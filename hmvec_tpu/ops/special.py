@@ -131,6 +131,26 @@ def hyp2f1_growth(y, num_terms: int = _HYP_N):
     return acc * (1.0 + y) ** (-1.5)
 
 
+def j0(x):
+    """Bessel J0(x) for x >= 0 (max abs err ~4e-13 vs scipy).
+
+    Needed by the 2-halo cluster-lensing kappa profile (reference imports
+    scipy.special.j0 at hmvec.py:599); Chebyshev fit for x<=8 plus
+    modulus/phase form beyond.
+    """
+    x = jnp.abs(jnp.asarray(x))
+    u = (x / 8.0) ** 2
+    small = _cheb(_sc.J0_SMALL, jnp.minimum(u, 1.0), 0.0, 1.0)
+    xl = jnp.maximum(x, 8.0)
+    v = 8.0 / xl
+    t = 2.0 * v - 1.0
+    P = _clenshaw(_sc.J0_P, t)
+    Q = _clenshaw(_sc.J0_Q, t)
+    large = jnp.sqrt(2.0 / (jnp.pi * xl)) * (P * jnp.cos(xl - jnp.pi / 4.0)
+                                             + Q * jnp.sin(xl - jnp.pi / 4.0))
+    return jnp.where(x <= 8.0, small, large)
+
+
 def Wkr_taylor(kR):
     xx = kR * kR
     return 1.0 - 0.1 * xx + 0.00357142857143 * xx * xx
