@@ -150,6 +150,42 @@ class Cosmology:
     def C_yy(self, ells, zs, ks, Ppp, **kw):
         return limb.C_yy(self.bg, ells, zs, ks, Ppp, **kw)
 
+    # ---- conformal time / recombination / BAO (engine-free) ----
+    def conformal_time(self, z):
+        from .distances_ext import conformal_time, conformal_age
+        import numpy as _np
+        z = jnp.atleast_1d(jnp.asarray(z))
+        out = jnp.where(z < 1e-5, conformal_age(self.bg),
+                        conformal_time(self.bg, z))
+        return out if out.size > 1 else out[0]
+
+    def get_tau_star(self):
+        from .distances_ext import tau_star
+        return tau_star(self.bg)
+
+    def z_of_tau(self, tau):
+        from .distances_ext import z_of_tau
+        return z_of_tau(self.bg, tau)
+
+    def get_bao_rs_dV(self, zs):
+        from .distances_ext import get_bao_rs_dV
+        return get_bao_rs_dV(self.bg, zs)
+
+    def cmb_lensing_limber(self, lmax, nonlinear=False):
+        from .distances_ext import cmb_lensing_limber
+        return cmb_lensing_limber(self, lmax, nonlinear=nonlinear)
+
+    def get_cmb_cls(self, *a, **kw):
+        raise NotImplementedError(
+            "Primary CMB Cls need a Boltzmann hierarchy; none exists in this "
+            "environment. Supply CAMB/CLASS output via pk_table-style host "
+            "data, or use cmb_lensing_limber for lensing convergence.")
+
+    def cmb_lensing_kk_exact(self, *a, **kw):
+        raise NotImplementedError(
+            "Exact (non-Limber) C_kk requires a Boltzmann code; use "
+            "cmb_lensing_limber instead.")
+
     # ---- baryon combinators ----
     def total_matter_power_spectrum(self, Pnn, Pne, Pee):
         from .power import total_matter_power_spectrum

@@ -1,0 +1,55 @@
+"""Halofit (Takahashi 2012) property tests: engine-free nonlinear power."""
+
+import numpy as np
+
+from hmvec_tpu.models.cosmology import Cosmology
+from hmvec_tpu.models.halofit import halofit_power
+
+
+def test_halofit_properties():
+    c = Cosmology()
+    zs = np.array([0.0, 0.5, 1.0, 2.0])
+    ks = np.geomspace(1e-3, 50, 300)
+    pnl = np.asarray(halofit_power(c, zs, ks))
+    plin = np.asarray(c.P_lin(ks, zs))
+    assert pnl.shape == plin.shape
+    assert np.all(np.isfinite(pnl)) and np.all(pnl > 0)
+    # matches linear at large scales (k ~ 1e-3)
+    np.testing.assert_allclose(pnl[:, 0], plin[:, 0], rtol=2e-2)
+    # nonlinear boost at small scales, z=0: factor of several at k ~ 1-10
+    i1 = np.argmin(np.abs(ks - 1.0))
+    assert pnl[0, i1] / plin[0, i1] > 1.5
+    i10 = np.argmin(np.abs(ks - 10.0))
+    assert pnl[0, i10] / plin[0, i10] > 5.0
+    # boost decreases with z (structure less evolved)
+    assert (pnl[3, i1] / plin[3, i1]) < (pnl[0, i1] / plin[0, i1])
+
+
+def test_halofit_nonlinear_scale_sane():
+    """k_sigma at z=0 should be ~0.2-0.5 Mpc^-1 for Planck-like params;
+    probe indirectly: the 1% deviation scale of Pnl/Plin."""
+    c = Cosmology()
+    ks = np.geomspace(1e-3, 10, 400)
+    pnl = np.asarray(halofit_power(c, np.array([0.0]), ks))[0]
+    plin = np.asarray(c.P_lin(ks, np.array([0.0])))[0]
+    ratio = pnl / plin
+    k_dev = ks[np.argmax(np.abs(ratio - 1) > 0.05)]
+    assert 0.03 < k_dev < 0.5, k_dev
+
+
+def test_halomodel_with_halofit():
+    from hmvec_tpu.models.halo_model import HaloModel
+    zs = np.array([0.3, 1.0])
+    ks = np.geomspace(1e-3, 10, 100)
+    ms = np.geomspace(1e11, 1e16, 40)
+    hm = HaloModel(zs, ks, ms=ms, halofit="takahashi")
+    assert hasattr(hm, "nPzk")
+    npzk = np.asarray(hm.nPzk)
+    assert np.all(np.isfinite(npzk)) and np.all(npzk > 0)
+    # halo-model total power roughly tracks halofit within a factor ~2
+    # over quasi-linear scales (the reference's own visual check,
+    # bin/tests.py:233-242 with +-10% guides at better-tuned grids)
+    ptot = np.asarray(hm.get_power("nfw"))
+    sel = (ks > 0.05) & (ks < 2.0)
+    ratio = ptot[:, sel] / npzk[:, sel]
+    assert np.all(ratio > 0.4) and np.all(ratio < 2.5)
