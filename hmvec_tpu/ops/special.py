@@ -63,23 +63,54 @@ def sici_with_trig(x, sinx, cosx):
     Splitting out the trig lets callers that already need sin/cos of the
     same argument (e.g. the analytic NFW u(k), profiles.nfw_uk_analytic)
     share the expensive f64 transcendentals.
+
+    Evaluation is ONE dual Clenshaw recurrence of degree 24 with
+    per-element coefficient select over three domains (x<=4, 4<x<=10,
+    10<x<=40) -- the serial dependency chain is the TPU bottleneck, so
+    shorter chains with branchless selects beat separate per-branch series
+    -- plus the closed asymptotic tail for x>40.
     """
     x = jnp.asarray(x)
     xs = jnp.maximum(x, jnp.asarray(1e-300, dtype=x.dtype))
 
-    # small branch: u = (x/4)^2
-    u = (xs / 4.0) ** 2
-    u_c = jnp.minimum(u, 1.0)
-    si_small = xs * _cheb(_sc.SI_SMALL, u_c, 0.0, 1.0)
-    ci_small = _EULER_GAMMA + jnp.log(xs) + _cheb(_sc.CI_SMALL, u_c, 0.0, 1.0)
+    in0 = xs <= 4.0
+    in1 = (xs > 4.0) & (xs <= 10.0)
 
-    # mid branch: v = 1/x in [1/40, 1/4]
+    # domain-mapped Chebyshev variable t in [-1, 1]
+    u = jnp.minimum((xs / 4.0) ** 2, 1.0)
+    t0 = 2.0 * u - 1.0
     v = 1.0 / jnp.maximum(xs, 4.0)
-    v_c = jnp.clip(v, 1.0 / 40.0, 1.0 / 4.0)
-    f_mid = _cheb(_sc.XF_MID, v_c, 1.0 / 40.0, 1.0 / 4.0) * v_c
-    g_mid = _cheb(_sc.X2G_MID, v_c, 1.0 / 40.0, 1.0 / 4.0) * v_c * v_c
+    lo1, hi1 = 1.0 / 10.0, 1.0 / 4.0
+    lo2, hi2 = 1.0 / 40.0, 1.0 / 10.0
+    t1 = (2.0 * jnp.clip(v, lo1, hi1) - (lo1 + hi1)) / (hi1 - lo1)
+    t2 = (2.0 * jnp.clip(v, lo2, hi2) - (lo2 + hi2)) / (hi2 - lo2)
+    t = jnp.where(in0, t0, jnp.where(in1, t1, t2))
 
-    # asymptotic branch: y = 1/x^2
+    # dual Clenshaw with coefficient select (A: Si/x or x f; B: Ci-reg or x^2 g)
+    a0 = jnp.zeros_like(t)
+    a1 = jnp.zeros_like(t)
+    b0 = jnp.zeros_like(t)
+    b1 = jnp.zeros_like(t)
+    t2x = 2.0 * t
+    for k in range(_sc.SICI_A0.size - 1, -1, -1):
+        cA = jnp.where(in0, _sc.SICI_A0[k],
+                       jnp.where(in1, _sc.SICI_A1[k], _sc.SICI_A2[k]))
+        cB = jnp.where(in0, _sc.SICI_B0[k],
+                       jnp.where(in1, _sc.SICI_B1[k], _sc.SICI_B2[k]))
+        a0, a1 = t2x * a0 - a1 + cA, a0
+        b0, b1 = t2x * b0 - b1 + cB, b0
+    A = a0 - t * a1
+    B = b0 - t * b1
+
+    # small-x assembly
+    si_small = xs * A
+    ci_small = _EULER_GAMMA + jnp.log(xs) + B
+
+    # mid-x assembly: f = A/x, g = B/x^2
+    f_mid = A * v
+    g_mid = B * v * v
+
+    # asymptotic tail
     xl = jnp.maximum(xs, 40.0)
     y = 1.0 / (xl * xl)
     f_asy = _horner(_F_COEF, y) / xl
@@ -91,9 +122,8 @@ def sici_with_trig(x, sinx, cosx):
     si_large = jnp.pi / 2.0 - f * cosx - g * sinx
     ci_large = f * sinx - g * cosx
 
-    small = xs <= 4.0
-    si = jnp.where(small, si_small, si_large)
-    ci = jnp.where(small, ci_small, ci_large)
+    si = jnp.where(in0, si_small, si_large)
+    ci = jnp.where(in0, ci_small, ci_large)
     return si, ci
 
 

@@ -69,6 +69,43 @@ def main():
     print(f"fit max errs: si_small={e1:.2e} ci_small={e2:.2e} "
           f"xf_mid={e3:.2e} x2g_mid={e4:.2e}")
 
+    # --- unified split-domain tables for the fast TPU sici path:
+    # one degree-24 Clenshaw with per-element coefficient select across
+    # 3 domains (keeps the serial dependency chain short on the VPU) ---
+    DEG_U = 24
+
+    def si_over_x_small(u):          # domain 0: t-var u=(x/4)^2 in [0,1]
+        return si_over_x_of_u(u)
+
+    def ci_reg_small(u):
+        return ci_reg_of_u(u)
+
+    def xf_of_v2(v):                 # domains 1,2: t-var v=1/x
+        x = 1.0 / v
+        si, ci = sici(x)
+        return x * ((np.pi / 2 - si) * np.cos(x) + ci * np.sin(x))
+
+    def x2g_of_v2(v):
+        x = 1.0 / v
+        si, ci = sici(x)
+        return x * x * ((np.pi / 2 - si) * np.sin(x) - ci * np.cos(x))
+
+    doms = [
+        ("small", si_over_x_small, ci_reg_small, 0.0, 1.0),
+        ("mid1", xf_of_v2, x2g_of_v2, 1.0 / 10.0, 1.0 / 4.0),
+        ("mid2", xf_of_v2, x2g_of_v2, 1.0 / 40.0, 1.0 / 10.0),
+    ]
+    A_rows, B_rows, dom_bounds = [], [], []
+    for name, fa, fb, lo, hi in doms:
+        ca, ea = fit_cheb(fa, lo, hi, DEG_U)
+        cb, eb = fit_cheb(fb, lo, hi, DEG_U)
+        print(f"unified {name}: A={ea:.2e} B={eb:.2e}")
+        A_rows.append(ca)
+        B_rows.append(cb)
+        dom_bounds.append((lo, hi))
+    A_U = np.stack(A_rows)
+    B_U = np.stack(B_rows)
+
     # --- Bessel J0: small branch u = (x/8)^2 in [0,1]; large branch via
     # modulus/phase: j0 = sqrt(2/(pi x)) [P(v) cos(x - pi/4) + Q(v) sin(x - pi/4)],
     # v = 8/x in [0,1] ---
@@ -124,6 +161,15 @@ def main():
         fh.write(fmt("J0_SMALL", j0_small))
         fh.write(fmt("J0_P", j0_P))
         fh.write(fmt("J0_Q", j0_Q))
+        fh.write("# unified split-domain sici tables (rows: x<=4, 4<x<=10, "
+                 "10<x<=40)\n")
+        fh.write("SICI_DOM_LO = np.array([%r, %r, %r])\n"
+                 % (dom_bounds[0][0], dom_bounds[1][0], dom_bounds[2][0]))
+        fh.write("SICI_DOM_HI = np.array([%r, %r, %r])\n"
+                 % (dom_bounds[0][1], dom_bounds[1][1], dom_bounds[2][1]))
+        for i in range(3):
+            fh.write(fmt(f"SICI_A{i}", A_U[i]))
+            fh.write(fmt(f"SICI_B{i}", B_U[i]))
     print("wrote", OUT)
 
 
