@@ -1,0 +1,43 @@
+"""Aux subsystems: profiling timer, staged checkpoint/resume."""
+
+import numpy as np
+
+from hmvec_tpu.utils.profiling import time_fn, timer, fetch_sync
+from hmvec_tpu.utils.checkpoint import (save_stages, load_stages,
+                                        save_halo_model, restore_halo_model)
+from hmvec_tpu.models.halo_model import HaloModel
+
+
+def test_timer_and_time_fn():
+    import jax.numpy as jnp
+    res = {}
+    with timer("block", res):
+        fetch_sync(jnp.ones(10) * 2)
+    assert res["block"] > 0
+    t = time_fn(lambda: jnp.arange(100).sum(), iters=3, warmup=1)
+    assert t > 0
+
+
+def test_stage_roundtrip(tmp_path):
+    p = str(tmp_path / "st.npz")
+    save_stages(p, a=np.arange(5.0), b=np.ones((2, 3)))
+    out = load_stages(p, as_jax=False)
+    np.testing.assert_array_equal(out["a"], np.arange(5.0))
+    np.testing.assert_array_equal(out["b"], np.ones((2, 3)))
+
+
+def test_halo_model_checkpoint_roundtrip(tmp_path):
+    zs = np.array([0.3, 1.0])
+    ks = np.geomspace(1e-3, 10, 50)
+    ms = np.geomspace(1e11, 1e16, 30)
+    hm = HaloModel(zs, ks, ms=ms)
+    hm.add_hod("g", ngal=np.array([1e-4, 1e-4]))
+    path = str(tmp_path / "hm.npz")
+    save_halo_model(hm, path)
+
+    hm2 = HaloModel(zs, ks, ms=ms, skip_nfw=True)
+    restore_halo_model(hm2, path)
+    np.testing.assert_allclose(np.asarray(hm2.nzm), np.asarray(hm.nzm))
+    p1 = np.asarray(hm.get_power("g"))
+    p2 = np.asarray(hm2.get_power("g"))
+    np.testing.assert_allclose(p1, p2, rtol=1e-13)
