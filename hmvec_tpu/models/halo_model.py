@@ -97,9 +97,14 @@ class HaloModel(Cosmology):
 
     # ---- profiles ----
     def add_nfw_profile(self, name, numeric=False, nxs=None, xmax=None,
-                        ignore_existing=False):
+                        ignore_existing=False, fast=False):
         """Analytic (Si/Ci) or numeric (sine-DFT) NFW u(k|m,z)
-        (reference: hmvec.py:318-355)."""
+        (reference: hmvec.py:318-355).
+
+        ``fast=True`` uses the fused f32 Pallas kernel
+        (ops/pallas_kernels.nfw_uk_fast): ~5x faster on TPU at ~7e-6
+        absolute accuracy -- for sampling loops where the f64 gate is not
+        needed."""
         if not ignore_existing:
             assert name not in self.uk_profiles, "Profile name already exists."
         if nxs is None:
@@ -113,6 +118,9 @@ class HaloModel(Cosmology):
             _, uk = generic_profile_fft(
                 lambda x: prof.rho_nfw_x(x, rhoscale=1.0)[None, None, :],
                 cs, rss, self.zs, self.ks, xmax, nxs)
+        elif fast:
+            from ..ops.pallas_kernels import nfw_uk_fast
+            uk = nfw_uk_fast(self.ks, self.zs, cs, rss).astype(self.Pzk.dtype)
         else:
             uk = prof.nfw_uk_analytic(self.ks, self.zs, cs, rss)
         self.uk_profiles[name] = uk

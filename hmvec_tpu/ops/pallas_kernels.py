@@ -1,0 +1,202 @@
+"""Pallas TPU kernels: fused analytic-NFW u(k) fast path.
+
+The f64 XLA path (models/profiles.nfw_uk_analytic) is exact but runs on the
+emulated double-single pipeline; its long Clenshaw dependency chains also
+materialize (z,m,k)-sized temporaries in HBM.  This kernel computes the
+whole profile -- trig range reduction, Si/Ci auxiliaries, NFW assembly --
+in f32 inside VMEM tiles: one HBM read of the inputs, one write of u(k).
+
+Accuracy: ~2e-6 relative (f32 arithmetic with 3-term Cody-Waite reduction,
+so sin/cos stay accurate out to x ~ 1e5).  Intended for production
+sampling/forecasting loops where the f64 gate is not required; the exact
+f64 path remains the default.
+
+Pallas TPU has no f64 (Mosaic), hence the f32 design.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import _sici_coeffs as _sc
+
+_EULER_GAMMA = np.float32(_sc.EULER_GAMMA)
+
+# Cody-Waite split of 2*pi into exactly-representable f32 pieces
+_TWO_PI_HI = np.float32(6.28125)
+_TWO_PI_MID = np.float32(6.28318530717958647692 - 6.28125)
+_TWO_PI_LO = np.float32(6.28318530717958647692 - 6.28125
+                        - float(np.float32(6.28318530717958647692 - 6.28125)))
+_INV_TWO_PI = np.float32(1.0 / (2.0 * np.pi))
+
+# f32 truncations of the unified sici tables (degree 24 is overkill for
+# f32; keep 16 terms, truncation < 1e-9)
+_NCOEF = 16
+_A0 = _sc.SICI_A0[:_NCOEF].astype(np.float32)
+_A1 = _sc.SICI_A1[:_NCOEF].astype(np.float32)
+_A2 = _sc.SICI_A2[:_NCOEF].astype(np.float32)
+_B0 = _sc.SICI_B0[:_NCOEF].astype(np.float32)
+_B1 = _sc.SICI_B1[:_NCOEF].astype(np.float32)
+_B2 = _sc.SICI_B2[:_NCOEF].astype(np.float32)
+import math as _math  # noqa: E402
+
+# short asymptotic tails (7 terms is past f32 resolution at x>40)
+_F_ASY = np.array([(-1.0) ** i * _math.factorial(2 * i) for i in range(7)],
+                  dtype=np.float32)
+_G_ASY = np.array([(-1.0) ** i * _math.factorial(2 * i + 1) for i in range(7)],
+                  dtype=np.float32)
+
+
+_LN2_HI = np.float32(0.6931471824645996)   # exactly representable upper bits
+_LN2_LO = np.float32(np.log(2.0) - 0.6931471824645996)
+_SQRT2 = np.float32(np.sqrt(2.0))
+
+
+def _log_f32(x):
+    """Accurate f32 ln(x) for x > 0 (Mosaic's log intrinsic errs ~1e-4).
+
+    Exponent/mantissa split by bit manipulation + atanh-series for the
+    mantissa: max abs err ~1e-7.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    f = jax.lax.bitcast_convert_type(
+        (bits & 0x007FFFFF) | 0x3F800000, jnp.float32)  # f in [1, 2)
+    big = f > _SQRT2
+    f = jnp.where(big, f * np.float32(0.5), f)
+    e = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    s = (f - 1.0) / (f + 1.0)
+    s2 = s * s
+    lnf = 2.0 * s * (1.0 + s2 * (np.float32(1.0 / 3.0)
+                                 + s2 * (np.float32(0.2)
+                                         + s2 * (np.float32(1.0 / 7.0)
+                                                 + s2 * np.float32(1.0 / 9.0)))))
+    return e * _LN2_HI + (lnf + e * _LN2_LO)
+
+
+def _sincos_reduced(x):
+    """sin/cos via 3-term Cody-Waite reduction mod 2*pi (f32-safe to ~1e5)."""
+    n = jnp.round(x * _INV_TWO_PI)
+    r = ((x - n * _TWO_PI_HI) - n * _TWO_PI_MID) - n * _TWO_PI_LO
+    return jnp.sin(r), jnp.cos(r)
+
+
+def _sici_f32(x, sinx, cosx):
+    """f32 Si/Ci with precomputed trig (mirrors special.sici_with_trig)."""
+    xs = jnp.maximum(x, np.float32(1e-30))
+    in0 = xs <= 4.0
+    in1 = (xs > 4.0) & (xs <= 10.0)
+
+    u = jnp.minimum((xs * np.float32(0.25)) ** 2, np.float32(1.0))
+    t0 = 2.0 * u - 1.0
+    v = 1.0 / jnp.maximum(xs, np.float32(4.0))
+    lo1, hi1 = np.float32(0.1), np.float32(0.25)
+    lo2, hi2 = np.float32(0.025), np.float32(0.1)
+    t1 = (2.0 * jnp.clip(v, lo1, hi1) - (lo1 + hi1)) / (hi1 - lo1)
+    t2 = (2.0 * jnp.clip(v, lo2, hi2) - (lo2 + hi2)) / (hi2 - lo2)
+    t = jnp.where(in0, t0, jnp.where(in1, t1, t2))
+
+    a0 = jnp.zeros_like(t)
+    a1 = jnp.zeros_like(t)
+    b0 = jnp.zeros_like(t)
+    b1 = jnp.zeros_like(t)
+    t2x = 2.0 * t
+    for k in range(_NCOEF - 1, -1, -1):
+        cA = jnp.where(in0, _A0[k], jnp.where(in1, _A1[k], _A2[k]))
+        cB = jnp.where(in0, _B0[k], jnp.where(in1, _B1[k], _B2[k]))
+        a0, a1 = t2x * a0 - a1 + cA, a0
+        b0, b1 = t2x * b0 - b1 + cB, b0
+    A = a0 - t * a1
+    B = b0 - t * b1
+
+    si_small = xs * A
+    ci_small = _EULER_GAMMA + _log_f32(xs) + B
+    f_mid = A * v
+    g_mid = B * v * v
+
+    xl = jnp.maximum(xs, np.float32(40.0))
+    y = 1.0 / (xl * xl)
+    fa = jnp.zeros_like(y)
+    ga = jnp.zeros_like(y)
+    for c in _F_ASY[::-1]:
+        fa = fa * y + c
+    for c in _G_ASY[::-1]:
+        ga = ga * y + c
+    f_asy = fa / xl
+    g_asy = ga * y
+
+    f = jnp.where(xs > 40.0, f_asy, f_mid)
+    g = jnp.where(xs > 40.0, g_asy, g_mid)
+    si_large = np.float32(np.pi / 2.0) - f * cosx - g * sinx
+    ci_large = f * sinx - g * cosx
+    return (jnp.where(in0, si_small, si_large),
+            jnp.where(in0, ci_small, ci_large))
+
+
+def _nfw_uk_kernel(scale_ref, cs_ref, ks_ref, out_ref):
+    """One (TB, TK) tile of u(k): scale s=r_s(1+z) (TB,1), c (TB,1), k (1,TK)."""
+    s = scale_ref[:]          # (TB, 1)
+    c = cs_ref[:]             # (TB, 1)
+    k = ks_ref[:]             # (1, TK)
+    x = k * s                 # (TB, TK)
+    x2 = (1.0 + c) * x
+    sx, cx = _sincos_reduced(x)
+    sx2, cx2 = _sincos_reduced(x2)
+    si, ci = _sici_f32(x, sx, cx)
+    sic, cic = _sici_f32(x2, sx2, cx2)
+    sin_cx = sx2 * cx - cx2 * sx
+    mc = _log_f32(1.0 + c) - c / (1.0 + c)
+    out_ref[:] = (sx * (sic - si) - sin_cx / x2 + cx * (cic - ci)) / mc
+
+
+def nfw_uk_pallas(ks, scales, cs, tb: int = 256, tk: int = 512,
+                  interpret: bool = False):
+    """Fast-path NFW u(k|z,m) on the (batch, k) grid.
+
+    ks: (nk,) wavenumbers; scales: (B,) r_s(1+z); cs: (B,) concentration.
+    Returns (B, nk) f32.  Pads to tile multiples internally.
+    """
+    ks = jnp.asarray(ks, jnp.float32)
+    scales = jnp.asarray(scales, jnp.float32).reshape(-1)
+    cs = jnp.asarray(cs, jnp.float32).reshape(-1)
+    B, nk = scales.shape[0], ks.shape[0]
+    Bp = -(-B // tb) * tb
+    nkp = -(-nk // tk) * tk
+    scales_p = jnp.pad(scales, (0, Bp - B), constant_values=1.0)[:, None]
+    cs_p = jnp.pad(cs, (0, Bp - B), constant_values=5.0)[:, None]
+    ks_p = jnp.pad(ks, (0, nkp - nk), constant_values=1.0)[None, :]
+
+    # x64 mode promotes index-map literals to i64, which Mosaic rejects;
+    # the kernel is pure f32/i32, so scope x64 off around the call.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _nfw_uk_kernel,
+            out_shape=jax.ShapeDtypeStruct((Bp, nkp), jnp.float32),
+            grid=(Bp // tb, nkp // tk),
+            in_specs=[
+                pl.BlockSpec((tb, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tk), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tb, tk), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(scales_p, cs_p, ks_p)
+    return out[:B, :nk]
+
+
+def nfw_uk_fast(ks, zs, cs, rss, **kw):
+    """Drop-in fast-mode variant of profiles.nfw_uk_analytic: (nz,nm,nk) f32."""
+    nz, nm = cs.shape
+    scales = (rss * (1.0 + jnp.asarray(zs)[:, None])).reshape(-1)
+    out = nfw_uk_pallas(ks, scales, cs.reshape(-1), **kw)
+    return out.reshape(nz, nm, -1)

@@ -1,0 +1,31 @@
+"""Pallas fast-path NFW kernel (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hmvec_tpu.ops.pallas_kernels import nfw_uk_fast
+from hmvec_tpu.models.profiles import nfw_uk_analytic
+
+
+def test_pallas_nfw_fast_matches_exact():
+    zs = np.linspace(0.1, 3.0, 3)
+    nm = 8
+    rng = np.random.default_rng(0)
+    cs = jnp.asarray(rng.uniform(2.0, 15.0, (3, nm)))
+    rss = jnp.asarray(rng.uniform(0.01, 1.0, (3, nm)))
+    ks = np.geomspace(1e-4, 100, 130)
+    exact = np.asarray(nfw_uk_analytic(ks, zs, cs, rss))
+    fast = np.asarray(nfw_uk_fast(ks, zs, cs, rss, interpret=True))
+    assert np.max(np.abs(fast - exact)) < 1e-5  # f32 fast-path budget
+
+
+def test_pallas_padding_edges():
+    # batch and k sizes that do not divide the tile sizes
+    zs = np.array([0.5])
+    cs = jnp.asarray([[3.0, 7.0, 11.0]])
+    rss = jnp.asarray([[0.1, 0.3, 0.6]])
+    ks = np.geomspace(1e-3, 50, 77)
+    fast = np.asarray(nfw_uk_fast(ks, zs, cs, rss, interpret=True))
+    exact = np.asarray(nfw_uk_analytic(ks, zs, cs, rss))
+    assert fast.shape == exact.shape == (1, 3, 77)
+    assert np.max(np.abs(fast - exact)) < 1e-5
