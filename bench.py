@@ -79,7 +79,92 @@ def main():
     print(f"# backend={jax.default_backend()} compile={compile_s:.1f}s "
           f"numpy_twin={twin_s*1e3:.1f}ms max_rel_err={rel_err:.2e} "
           f"accuracy_gate_1e-5={'PASS' if ok else 'FAIL'}", file=sys.stderr)
+
+    if "--all" in sys.argv:
+        run_secondary_configs(overrides)
     return 0 if ok else 1
+
+
+def _timeit(fn, *args, iters=5):
+    import numpy as np
+    import jax
+    jax.tree_util.tree_map(np.asarray, fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.tree_util.tree_map(np.asarray, fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def run_secondary_configs(overrides):
+    """BASELINE configs 2-5 (printed as comment lines on stderr)."""
+    import jax.numpy as jnp
+    from hmvec_tpu.pipeline import make_electron_fn, make_hod_fn, \
+        make_lensing_cls_fn
+    from hmvec_tpu.twin.halo_ext import TwinHaloModelExt
+    from hmvec_tpu.twin import limber as twin_limber
+
+    zs = np.linspace(0.1, 3.0, 20)
+    ms = np.geomspace(2e10, 1e17, 200)
+    ks = np.geomspace(1e-4, 100, 1001)
+    nxs, xmax = 4096, 20   # pow2 sampling: fast FFT path on TPU
+
+    # --- config 2: Battaglia electron Pee + Pme ---
+    fn2 = make_electron_fn(zs, ks, ms, nxs=nxs, xmax=xmax)
+    t2 = _timeit(fn2, overrides)
+    t0 = time.perf_counter()
+    tw = TwinHaloModelExt(zs, ks, ms)
+    tw.add_battaglia_profile("e", nxs=nxs, xmax=xmax)
+    pee_t = tw.get_power("e")
+    pme_t = tw.get_power("nfw", "e")
+    tw2 = time.perf_counter() - t0
+    pee, pme = fn2(overrides)
+    err2 = max(float(np.max(np.abs(np.asarray(pee) - pee_t) / np.abs(pee_t))),
+               float(np.max(np.abs(np.asarray(pme) - pme_t) / np.abs(pme_t))))
+    print(f"# config2 battaglia_pee_pme: {t2*1e3:.1f} ms "
+          f"(twin {tw2*1e3:.0f} ms, {tw2/t2:.1f}x) max_rel_err={err2:.1e}",
+          file=sys.stderr)
+
+    # --- config 3: HOD Pgg + Pgm with ngal solve ---
+    ngal = np.full(zs.size, 1e-4)
+    fn3 = make_hod_fn(zs, ks, ms, ngal)
+    t3 = _timeit(fn3, overrides)
+    t0 = time.perf_counter()
+    tw.add_hod("g", ngal=ngal)
+    pgg_t = tw.get_power("g")
+    pgm_t = tw.get_power("g", "nfw")
+    tw3 = time.perf_counter() - t0
+    pgg, pgm = fn3(overrides)
+    err3 = max(float(np.max(np.abs(np.asarray(pgg) - pgg_t) / np.abs(pgg_t))),
+               float(np.max(np.abs(np.asarray(pgm) - pgm_t) / np.abs(pgm_t))))
+    print(f"# config3 hod_pgg_pgm: {t3*1e3:.1f} ms "
+          f"(twin {tw3*1e3:.0f} ms, {tw3/t3:.1f}x) max_rel_err={err3:.1e}",
+          file=sys.stderr)
+
+    # --- config 4: Limber C_kk ---
+    ells = np.geomspace(30, 3000, 60)
+    fn4 = make_lensing_cls_fn(zs, ks, ms, ells)
+    t4 = _timeit(fn4, overrides)
+    ckk, pmm = fn4(overrides)
+    t0 = time.perf_counter()
+    pmm_t = tw.get_power("nfw")
+    ckk_t = twin_limber.C_kk(tw, ells, zs, ks, pmm_t, 1100.0, 1100.0)
+    tw4 = time.perf_counter() - t0
+    err4 = float(np.max(np.abs(np.asarray(ckk) - ckk_t) / np.abs(ckk_t)))
+    print(f"# config4 limber_ckk: {t4*1e3:.1f} ms "
+          f"(twin {tw4*1e3:.0f} ms) max_rel_err={err4:.1e}", file=sys.stderr)
+
+    # --- config 5: kSZ pipeline end-to-end (wall clock; class-level) ---
+    from hmvec_tpu.models.ksz import kSZ
+    t0 = time.perf_counter()
+    fksz = kSZ([0.55], [10.0], [1e-4], ms=np.geomspace(1e8, 1e16, 500),
+               electron_profile_nxs=4096, electron_profile_xmax=20)
+    Cls = 1e-5 * np.ones(10000)
+    nvv = np.asarray(fksz.Nvv(0, Cls))
+    t5 = time.perf_counter() - t0
+    print(f"# config5 ksz_nvv_end_to_end: {t5*1e3:.0f} ms "
+          f"(Nvv finite: {bool(np.all(np.isfinite(nvv)))})", file=sys.stderr)
 
 
 if __name__ == "__main__":

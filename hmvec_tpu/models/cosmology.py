@@ -19,6 +19,20 @@ from . import linear_power as lpm
 from .transfer import transfer_eh98
 
 
+def a2z(a):
+    """Scale factor -> redshift (reference cosmology.py:865)."""
+    return 1.0 / jnp.atleast_1d(jnp.asarray(a)) - 1.0
+
+
+def get_eds_model(fb=0.15, H0=68.0, YHe=0.25):
+    """Einstein-de Sitter params from baryon fraction + H0
+    (reference cosmology.py:40-49)."""
+    om = 1.0
+    h0 = H0 / 100.0
+    return {"omch2": (1 - fb) * om * h0**2, "ombh2": fb * om * h0**2,
+            "H0": H0, "mnu": 0.0, "YHe": YHe}
+
+
 class Cosmology:
     def __init__(self, params=None, halofit=None, engine="eh",
                  accuracy="medium", pk_table=None):
@@ -149,6 +163,10 @@ class Cosmology:
 
     def C_yy(self, ells, zs, ks, Ppp, **kw):
         return limb.C_yy(self.bg, ells, zs, ks, Ppp, **kw)
+
+    def get_Omega_nu(self):
+        """Massive-neutrino density fraction (reference cosmology.py:384-389)."""
+        return self.bg.omnu0
 
     # ---- conformal time / recombination / BAO (engine-free) ----
     def conformal_time(self, z):

@@ -120,6 +120,14 @@ def avg_ncns(Nc, Ns, corr="max"):
     raise ValueError(corr)
 
 
+# hmvec-compatible aliases where signatures match (hmvec.py:634,:658,:698)
+Mstellar_halo = mstellar_from_mhalo
+Mhalo_stellar = mhalo_from_mstellar
+avg_Nc = avg_nc
+avg_NsNsm1 = avg_nsnsm1
+avg_NcNs = avg_ncns
+
+
 class HODGrid(NamedTuple):
     Nc: jnp.ndarray
     Ns: jnp.ndarray

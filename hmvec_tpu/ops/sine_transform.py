@@ -132,6 +132,45 @@ def _sine_dft_mixed(y, step, chunks: int):
     return out.reshape(*batch, nk) * step
 
 
+def uk_fft(rhofunc, rvir, dr: float = 0.001, rmax: float = 100):
+    """Standalone validator: u(k) of a radial profile by sine transform
+    (reference fft.py:8-19 semantics)."""
+    rvir = jnp.asarray(rvir)
+    rs = jnp.arange(dr, rmax, dr)
+    rhos = rhofunc(rs)
+    theta = (rs <= rvir[..., None]).astype(rhos.dtype)
+    integrand = rhos * theta
+    dx = jnp.diff(rs)
+    prof = integrand * rs**2
+    m = jnp.sum((prof[..., 1:] + prof[..., :-1]) * dx / 2.0,
+                axis=-1) * 4.0 * jnp.pi
+    n = rs.shape[-1]
+    step = (rs[-1] - rs[0]) / n
+    ukt = sine_dft(integrand * rs, step)
+    kts = jnp.arange(n // 2 + 1) * 2.0 * jnp.pi / (n * step)
+    uk = 4.0 * jnp.pi * ukt / jnp.where(kts == 0, 1.0, kts) / m[..., None]
+    return kts, uk
+
+
+def uk_brute_force(r, rho, rvir, ks):
+    """Standalone validator: direct quadrature of the profile transform
+    (reference fft.py:22-33 semantics)."""
+    r = jnp.asarray(r)
+    rho = jnp.asarray(rho)
+    sel = r < rvir
+    w = sel.astype(rho.dtype)
+    dx = jnp.diff(r)
+
+    def trap(y):
+        return jnp.sum((y[..., 1:] + y[..., :-1]) * dx / 2.0, axis=-1)
+
+    m = trap(rho * w * r**2) * 4.0 * jnp.pi
+    sinkr = jnp.sin(r[:, None] * jnp.asarray(ks)[None, :])
+    integrand = 4.0 * jnp.pi * r[:, None] * sinkr * (rho * w)[:, None] \
+        / jnp.asarray(ks)[None, :]
+    return trap(integrand.T) / m
+
+
 def resample_uniform_source(u, dkt, scales, ks):
     """Vectorized replacement for the reference's _interp_loop (fft.py:97-115).
 

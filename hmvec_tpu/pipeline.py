@@ -113,6 +113,104 @@ def make_lensing_cls_fn(zs, ks, ms, ells, zsource: float = 1100.0,
     return jax.jit(cls_fn) if jit else cls_fn
 
 
+def make_electron_fn(zs, ks, ms, family: str = "AGN", nxs: int = None,
+                     xmax: int = None, mass_function: str = "sheth-torman",
+                     mdef: str = "vir", accuracy: str = "medium",
+                     engine=None, jit: bool = True):
+    """params -> (Pee, Pme): Battaglia electron spectra, one XLA program
+    (BASELINE config 2: numeric profile transform + cross spectra)."""
+    from .params import battaglia_defaults
+    from .models import profiles as prof
+    from .models.mass_conversion import mdelta_from_mdelta
+    from .ops.sine_transform import generic_profile_fft
+
+    zs = np.asarray(zs)
+    ks = np.asarray(ks)
+    ms = np.asarray(ms)
+    defaults = merge_params()
+    engine = engine or lpm.EHEngine()
+    fit = dict(battaglia_defaults[family])
+
+    def fn(overrides=None):
+        p = {**defaults, **(overrides or {})}
+        bg, pzk, nzm, bh, rho_m0, uk_nfw = _stages(
+            p, zs, ks, ms, mass_function, mdef, accuracy, engine)
+        if nxs is None:
+            nxs_l = p["electron_density_profile_integral_numxs"]
+        else:
+            nxs_l = nxs
+        xmax_l = p["electron_density_profile_integral_xmax"] if xmax is None else xmax
+
+        zsj = jnp.asarray(zs)
+        msj = jnp.asarray(ms)
+        rhocritz = bgmod.rho_critical_z(bg, zsj)
+        omz = bgmod.omz(bg, zsj)
+        rhomz = bgmod.rho_matter_z(bg, zsj)
+        cs = prof.concentration_duffy(msj, zsj, mdef, p, p["H0"] / 100.0)
+        rvirs = prof.rvir_grid(msj, zsj, mdef, rhocritz, rhomz, omz)
+        if mdef == "vir":
+            dr1 = rhocritz * mfm.deltav_bryan_norman(omz)
+        else:
+            dr1 = rhomz * 200.0
+        m200 = mdelta_from_mdelta(msj, cs, dr1, 200.0 * rhocritz)
+        r200 = mfm.R_from_M(m200, rhocritz[:, None], delta=200.0)
+        omb = p["ombh2"] / (p["H0"] / 100.0) ** 2
+        omm = bg.omm0
+
+        def rhofunc(xsamp):
+            return prof.rho_gas_x(xsamp[None, None, :], m200[..., None],
+                                  zsj[:, None, None], omb, omm,
+                                  rhocritz[:, None, None],
+                                  p["battaglia_gas_gamma"], fit)
+
+        rgs = r200 / 2.0
+        _, uk_e = generic_profile_fft(rhofunc, rvirs / rgs, rgs, zs, ks,
+                                      xmax_l, nxs_l)
+        te = pwr.MatterTracer(uk=uk_e)
+        tn = pwr.MatterTracer(uk=uk_nfw)
+        pee = pwr.power_total(te, te, nzm, bh, ms, ks, pzk, rho_m0,
+                              p["kstar_damping"])
+        pme = pwr.power_total(tn, te, nzm, bh, ms, ks, pzk, rho_m0,
+                              p["kstar_damping"])
+        return pee, pme
+
+    return jax.jit(fn) if jit else fn
+
+
+def make_hod_fn(zs, ks, ms, ngal, mass_function: str = "sheth-torman",
+                mdef: str = "vir", accuracy: str = "medium", engine=None,
+                jit: bool = True):
+    """params -> (Pgg, Pgm): HOD galaxy spectra incl. the iterative
+    ngal->mthresh solve, one XLA program (BASELINE config 3)."""
+    from .models.hod import build_hod
+    from .models import profiles as prof
+
+    zs = np.asarray(zs)
+    ks = np.asarray(ks)
+    ms = np.asarray(ms)
+    ngal = np.asarray(ngal)
+    defaults = merge_params()
+    engine = engine or lpm.EHEngine()
+
+    def fn(overrides=None):
+        p = {**defaults, **(overrides or {})}
+        bg, pzk, nzm, bh, rho_m0, uk = _stages(
+            p, zs, ks, ms, mass_function, mdef, accuracy, engine)
+        hp = {k: p[k] for k in p if k.startswith("hod_")}
+        grid = build_hod(zs, ms, nzm, bh, hp, ngal=jnp.asarray(ngal))
+        tg = pwr.HODTracer(Nc=grid.Nc, Ns=grid.Ns, NsNsm1=grid.NsNsm1,
+                           NcNs=grid.NcNs, ngal=grid.ngal, bg=grid.bg,
+                           us=uk, uc=None)
+        tn = pwr.MatterTracer(uk=uk)
+        pgg = pwr.power_total(tg, tg, nzm, bh, ms, ks, pzk, rho_m0,
+                              p["kstar_damping"])
+        pgm = pwr.power_total(tg, tn, nzm, bh, ms, ks, pzk, rho_m0,
+                              p["kstar_damping"])
+        return pgg, pgm
+
+    return jax.jit(fn) if jit else fn
+
+
 def fisher_jacobian(fn, params0: dict, param_names):
     """d output / d theta for the named parameters -- the Fisher use case
     (reference design note hmvec.py:50-64) via forward-mode autodiff."""

@@ -1,0 +1,83 @@
+"""API-surface parity: the reference's public symbols exist and work."""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def test_uk_validators_agree():
+    """uk_fft vs uk_brute_force on an NFW-like profile (reference cross-
+    check bin/test_generic_fft.py style)."""
+    from hmvec_tpu.ops.sine_transform import uk_fft, uk_brute_force
+
+    rhofunc = lambda r: 1.0 / (r / 0.3) / (1.0 + r / 0.3) ** 2
+    kts, uk = uk_fft(rhofunc, jnp.asarray(2.0), dr=0.005, rmax=60.0)
+    kts, uk = np.asarray(kts), np.asarray(uk)
+    r = np.arange(0.005, 60.0, 0.005)
+    ks_test = np.array([0.5, 1.0, 5.0])
+    ub = np.asarray(uk_brute_force(jnp.asarray(r),
+                                   jnp.asarray(rhofunc(r)), 2.0, ks_test))
+    for i, k in enumerate(ks_test):
+        u_interp = np.interp(k, kts[1:], uk[1:])
+        # the fft_integral step convention carries an O(k dr) phase offset
+        # vs exact quadrature (deliberate reference parity; fft.py:46-48),
+        # so this is a visual-check-level agreement, not spectral
+        assert abs(u_interp - ub[i]) < 2e-2, (k, u_interp, ub[i])
+
+
+def test_cosmology_helpers():
+    from hmvec_tpu.models.cosmology import a2z, get_eds_model, Cosmology
+    np.testing.assert_allclose(np.asarray(a2z(np.array([0.5, 1.0]))),
+                               [1.0, 0.0])
+    eds = get_eds_model()
+    c = Cosmology(params=eds)
+    assert abs(c.omm0 - 1.0) < 1e-12
+    assert float(c.get_Omega_nu()) == 0.0
+
+
+def test_hod_aliases():
+    from hmvec_tpu.models.hod import (Mstellar_halo, Mhalo_stellar, avg_Nc,
+                                      avg_NsNsm1, avg_NcNs)
+    zs = np.array([0.5])
+    mh = np.asarray(Mhalo_stellar(zs, np.array([[10.0, 11.0]])))
+    assert mh.shape == (1, 2) and np.all(np.diff(mh) > 0)
+    ms = np.asarray(Mstellar_halo(zs, np.array([12.0, 13.0])))
+    assert np.all(np.diff(ms) > 0)
+    nc = np.asarray(avg_Nc(np.array([[12.0, 13.0, 14.0]]), zs,
+                           np.array([[10.5]]), 0.2))
+    assert np.all(np.diff(nc) > 0) and np.all((nc >= 0) & (nc <= 1))
+    Ns = jnp.asarray([[0.5, 2.0]])
+    Nc = jnp.asarray([[0.9, 1.0]])
+    np.testing.assert_allclose(np.asarray(avg_NsNsm1(Nc, Ns, "min")),
+                               np.asarray(Ns) ** 2)
+    np.testing.assert_allclose(np.asarray(avg_NcNs(Nc, Ns, "max")),
+                               np.asarray(Ns))
+
+
+def test_subhalo_mass_function():
+    from hmvec_tpu.models.mass_function import n_ln_m_sub, simple_f_nu_tinker2008
+    out = np.asarray(n_ln_m_sub(np.geomspace(1e10, 1e12, 5),
+                                np.geomspace(1e13, 1e15, 3)))
+    assert out.shape == (5, 3)
+    assert np.all(out >= 0)
+    f = np.asarray(simple_f_nu_tinker2008(np.array([0.5, 1.0, 3.0])))
+    assert np.all(f > 0)
+
+
+def test_baryon_suppression_ballpark():
+    """Total-matter suppression from AGN feedback should be a few percent
+    at k ~ 1-10 (the reference validates visually against Schneider
+    Horizon-AGN/OWLS curves, bin/tests.py:517-547)."""
+    from hmvec_tpu.models.halo_model import HaloModel
+    zs = np.array([0.0])
+    ks = np.geomspace(0.05, 10, 60)
+    ms = np.geomspace(1e10, 1e16, 80)
+    hm = HaloModel(zs, ks, ms=ms)
+    hm.add_battaglia_profile("e", family="AGN", nxs=800, xmax=15)
+    Pnn = np.asarray(hm.get_power("nfw"))
+    Pne = np.asarray(hm.get_power("nfw", "e"))
+    Pee = np.asarray(hm.get_power("e"))
+    Pmm = np.asarray(hm.total_matter_power_spectrum(Pnn, Pne, Pee))
+    ratio = Pmm / Pnn
+    sel = (ks > 1) & (ks < 10)
+    assert np.all(ratio[0, sel] < 1.0)
+    assert np.all(ratio[0, sel] > 0.6)
