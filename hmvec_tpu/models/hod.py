@@ -139,27 +139,33 @@ class HODGrid(NamedTuple):
 
 
 def ngal_from_mthresh(log10mthresh, zs, nzm, ms, hod_params,
-                      Msat_override=None, Mcut_override=None):
-    """n_gal(z) = int dm n(z,m) (Nc+Ns) (hmvec.py:936-957)."""
+                      Msat_override=None, Mcut_override=None, weights=None):
+    """n_gal(z) = int dm n(z,m) (Nc+Ns) (hmvec.py:936-957).
+
+    ``weights``: optional precomputed trapz weights for the (static) mass
+    grid; required when ms is a traced array (inside jit)."""
     log10mhalo = jnp.log10(jnp.asarray(ms))[None, :]
     thresh = jnp.asarray(log10mthresh)[:, None]
     Nc = avg_nc(log10mhalo, zs, thresh, hod_params["hod_sig_log_mstellar"])
     Ns = avg_ns(log10mhalo, zs, thresh, Nc, hod_params,
                 Msat_override, Mcut_override)
-    w = jnp.asarray(trapz_weights(np.asarray(ms)))
-    return (nzm * (Nc + Ns)) @ w
+    if weights is None:
+        weights = trapz_weights(np.asarray(ms))
+    return (nzm * (Nc + Ns)) @ jnp.asarray(weights)
 
 
 def build_hod(zs, ms, nzm, bh, hod_params, mthresh=None, ngal=None,
               corr="max", Msat_override=None, Mcut_override=None):
     """Construct the HOD grid; solve ngal -> mthresh if needed
-    (reference add_hod, hmvec.py:357-460)."""
+    (reference add_hod, hmvec.py:357-460).  ``ms`` must be a static
+    (numpy-convertible) grid -- the quadrature weights are host-side."""
+    w = trapz_weights(np.asarray(ms))  # static, before any tracing
     zs = jnp.asarray(zs)
     ms = jnp.asarray(ms)
     if ngal is not None:
         def nfunc(log10mthresh):
             return ngal_from_mthresh(log10mthresh, zs, nzm, ms, hod_params,
-                                     Msat_override, Mcut_override)
+                                     Msat_override, Mcut_override, weights=w)
 
         log10mthresh = invert_monotone(
             nfunc, jnp.asarray(ngal),
@@ -178,8 +184,8 @@ def build_hod(zs, ms, nzm, bh, hod_params, mthresh=None, ngal=None,
     NsNsm1 = avg_nsnsm1(Nc, Ns, corr)
     NcNs = avg_ncns(Nc, Ns, corr)
 
-    w = jnp.asarray(trapz_weights(np.asarray(ms)))
-    ngal_out = (nzm * (Nc + Ns)) @ w
-    bg = ((nzm * (Nc + Ns) * bh) @ w) / ngal_out
+    wj = jnp.asarray(w)
+    ngal_out = (nzm * (Nc + Ns)) @ wj
+    bg = ((nzm * (Nc + Ns) * bh) @ wj) / ngal_out
     return HODGrid(Nc=Nc, Ns=Ns, NsNsm1=NsNsm1, NcNs=NcNs,
                    ngal=ngal_out, bg=bg, log10mthresh=thresh)
