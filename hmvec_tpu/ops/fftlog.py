@@ -144,8 +144,10 @@ def fftlog_profile_transform(rhofunc_x, cmaxs, rss, zs, ks_out,
     k2 = kts_j[None, None, :] ** 2
     u_taylor = (m0[..., None] - k2 * m2[..., None] / 6.0
                 + k2**2 * m4[..., None] / 120.0) / mnorm[..., None]
-    # switch where the quadratic term is below 0.5%
-    small = k2 * (m2 / m0)[..., None] / 6.0 < 5e-3
+    # switch where the quadratic term is below 5% (Taylor residual there is
+    # ~(k x_rms)^6/7! ~ 4e-6; the FFTLog aliasing tail extends to
+    # kt x_rms ~ 1, so hand over as late as the series allows)
+    small = k2 * (m2 / m0)[..., None] / 6.0 < 5e-2
     uk = jnp.where(small, u_taylor, uk)
 
     # resample onto target ks: log-uniform source grid -> index algebra
