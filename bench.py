@@ -155,15 +155,23 @@ def run_secondary_configs(overrides):
     print(f"# config4 limber_ckk: {t4*1e3:.1f} ms "
           f"(twin {tw4*1e3:.0f} ms) max_rel_err={err4:.1e}", file=sys.stderr)
 
-    # --- config 5: kSZ pipeline end-to-end (wall clock; class-level) ---
+    # --- config 5: kSZ pipeline end-to-end (class-level, eager) ---
+    # First construction pays per-op jit compiles; report the warm repeat.
+    # NB: the class flow dispatches eagerly, so on the remote-tunnel TPU the
+    # warm time is dominated by per-op RPC latency (~23 ms/op), not compute.
     from hmvec_tpu.models.ksz import kSZ
+
+    def build_ksz():
+        fksz = kSZ([0.55], [10.0], [1e-4], ms=np.geomspace(1e8, 1e16, 500),
+                   electron_profile_nxs=4096, electron_profile_xmax=20)
+        Cls = 1e-5 * np.ones(10000)
+        return np.asarray(fksz.Nvv(0, Cls))
+
+    nvv = build_ksz()  # warmup (compiles)
     t0 = time.perf_counter()
-    fksz = kSZ([0.55], [10.0], [1e-4], ms=np.geomspace(1e8, 1e16, 500),
-               electron_profile_nxs=4096, electron_profile_xmax=20)
-    Cls = 1e-5 * np.ones(10000)
-    nvv = np.asarray(fksz.Nvv(0, Cls))
+    nvv = build_ksz()
     t5 = time.perf_counter() - t0
-    print(f"# config5 ksz_nvv_end_to_end: {t5*1e3:.0f} ms "
+    print(f"# config5 ksz_nvv_end_to_end(warm): {t5*1e3:.0f} ms "
           f"(Nvv finite: {bool(np.all(np.isfinite(nvv)))})", file=sys.stderr)
 
 

@@ -82,6 +82,10 @@ def rho_gas_x(x, m200critz, z, omb, omm, rhocritz, gamma, fit_params):
 
     Note the sign flip on the second gamma (Battaglia 2016 typo), as in the
     reference.
+
+    Powers with (z,m)-dependent exponents are evaluated as exp(e * ln x)
+    with ln x computed once on the (1,1,nx) sample axis -- halves the f64
+    transcendental count on the broadcast (z,m,x) grid vs naive pow.
     """
     rho0 = battaglia_fit(m200critz, z, fit_params["rho0_A0"],
                          fit_params["rho0_alpham"], fit_params["rho0_alphaz"])
@@ -89,8 +93,11 @@ def rho_gas_x(x, m200critz, z, omb, omm, rhocritz, gamma, fit_params):
                           fit_params["alpha_alpham"], fit_params["alpha_alphaz"])
     beta = battaglia_fit(m200critz, z, fit_params["beta_A0"],
                          fit_params["beta_alpham"], fit_params["beta_alphaz"])
-    return ((omb / omm) * rhocritz * rho0 * x**gamma
-            * (1.0 + x**alpha) ** (-(beta + gamma) / alpha))
+    lnx = jnp.log(x)
+    xgamma = jnp.exp(gamma * lnx)
+    xalpha = jnp.exp(alpha * lnx)
+    outer = jnp.exp((-(beta + gamma) / alpha) * jnp.log1p(xalpha))
+    return (omb / omm) * rhocritz * rho0 * xgamma * outer
 
 
 def pressure_x(x, m200critz, r200critz, z, omb, omm, rhocritz,
@@ -107,9 +114,10 @@ def pressure_x(x, m200critz, r200critz, z, omb, omm, rhocritz,
     XH = 0.76
     eFrac = 2.0 * (XH + 1.0) / (5.0 * XH + 3.0)
     G_newt = G_SI / (parsec_m * 1e6) ** 3 * msun_kg
+    lnxxc = jnp.log(x) - jnp.log(xc)  # ln x on the sample axis only
+    shape = jnp.exp(gamma * lnxxc - beta * jnp.log1p(jnp.exp(alpha * lnxxc)))
     return (eFrac * (omb / omm) * 200.0 * m200critz * G_newt * rhocritz
-            / (2.0 * r200critz)
-            * P0 * (x / xc) ** gamma * (1.0 + (x / xc) ** alpha) ** (-beta))
+            / (2.0 * r200critz) * P0 * shape)
 
 
 def rvir_grid(ms, zs, mdef, rhocritz, rhomz, omz):
