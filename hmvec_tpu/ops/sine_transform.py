@@ -181,17 +181,35 @@ def resample_uniform_source(u, dkt, scales, ks):
 
     For each batch element, np.interp(ks, kout[1:], u[1:], left=u[1],
     right=0) reduces to interpolation at fractional index p = k*s/dkt.
+
+    TPU note: dynamic gathers are the cost center here (~25 ns/element), so
+    on TPU both lerp endpoints are fetched with ONE gather by packing
+    (u[i], u[i+1]) f32 pairs into a single f64 word (the lerp's f32
+    rounding, ~6e-8 relative, is far below the transform's own c64/mixed
+    DFT error).  CPU keeps the exact two-gather f64 path.
     """
     nkt = u.shape[-1]
     p = jnp.asarray(ks) * scales[..., None] / dkt      # (..., nk)
     # clamp to the valid lerp window [1, nkt-2]; boundary handled below
     i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 1, nkt - 2)
     frac = p - i0
-    u0 = jnp.take_along_axis(u, i0, axis=-1)
-    u1 = jnp.take_along_axis(u, i0 + 1, axis=-1)
+
+    use_packed = (jax.default_backend() != "cpu"
+                  and u.dtype == jnp.float64)
+    if use_packed:
+        u32 = u.astype(jnp.float32)
+        pair = jnp.stack([u32[..., :-1], u32[..., 1:]], axis=-1)
+        packed = jax.lax.bitcast_convert_type(pair, jnp.float64)  # (..., nkt-1)
+        got = jnp.take_along_axis(packed, i0, axis=-1)
+        both = jax.lax.bitcast_convert_type(got, jnp.float32)     # (..., nk, 2)
+        u0 = both[..., 0].astype(u.dtype)
+        u1 = both[..., 1].astype(u.dtype)
+    else:
+        u0 = jnp.take_along_axis(u, i0, axis=-1)
+        u1 = jnp.take_along_axis(u, i0 + 1, axis=-1)
     val = u0 + frac * (u1 - u0)
-    left = jnp.take_along_axis(u, jnp.ones_like(i0), axis=-1)
-    val = jnp.where(p < 1.0, left, val)                # flat below first kt>0
+    left = u[..., 1:2]                                 # flat below first kt>0
+    val = jnp.where(p < 1.0, left, val)
     val = jnp.where(p > nkt - 1.0, 0.0, val)           # zero above Nyquist
     return val
 
