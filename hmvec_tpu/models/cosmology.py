@@ -43,6 +43,26 @@ class Cosmology:
         self.engine = lpm.make_engine(engine, pk_table)
         self.halofit = halofit
         self.bg = bgmod.background(self.p)
+
+        # sigma8 / S8 parameterization: the reference supports these only
+        # through CLASS (cosmology.py:184-191); engine-free, P_lin is
+        # exactly linear in As, so rescale As to hit the requested
+        # amplitude.
+        if params and ("sigma8" in params or "S8" in params):
+            import numpy as _np
+            h = self.p["H0"] / 100.0
+            omm0 = float(self.bg.omm0)
+            target = (params["sigma8"] if "sigma8" in params
+                      else params["S8"] / _np.sqrt(omm0 / 0.3))
+            ks_s2 = lpm.sigma2_k_grid(self.p)
+            spzk = self.engine.plin(self.bg, jnp.asarray([0.0]), ks_s2,
+                                    accuracy="medium")
+            s2 = lpm.sigma2_R(self.bg, jnp.asarray([8.0 / h]),
+                              jnp.asarray([0.0]), spzk, ks_s2,
+                              self.p["Wkr_taylor_switch"])
+            sigma8_now = float(jnp.sqrt(s2[0, 0]))
+            self.p["As"] = self.p["As"] * (target / sigma8_now) ** 2
+            self.bg = bgmod.background(self.p)
         self.h = float(self.p["H0"]) / 100.0
         self.omm0 = float(self.bg.omm0)
         self.omk0 = float(self.bg.omk0)

@@ -182,11 +182,9 @@ def resample_uniform_source(u, dkt, scales, ks):
     For each batch element, np.interp(ks, kout[1:], u[1:], left=u[1],
     right=0) reduces to interpolation at fractional index p = k*s/dkt.
 
-    TPU note: dynamic gathers are the cost center here (~25 ns/element), so
-    on TPU both lerp endpoints are fetched with ONE gather by packing
-    (u[i], u[i+1]) f32 pairs into a single f64 word (the lerp's f32
-    rounding, ~6e-8 relative, is far below the transform's own c64/mixed
-    DFT error).  CPU keeps the exact two-gather f64 path.
+    TPU note: dynamic gathers are the cost center here (~25 ns/element); on
+    TPU both lerp endpoints are fetched with ONE gather of stacked
+    (u[i], u[i+1]) pairs (gather count, not bytes, dominates the cost).
     """
     nkt = u.shape[-1]
     p = jnp.asarray(ks) * scales[..., None] / dkt      # (..., nk)
@@ -194,16 +192,11 @@ def resample_uniform_source(u, dkt, scales, ks):
     i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 1, nkt - 2)
     frac = p - i0
 
-    use_packed = (jax.default_backend() != "cpu"
-                  and u.dtype == jnp.float64)
-    if use_packed:
-        u32 = u.astype(jnp.float32)
-        pair = jnp.stack([u32[..., :-1], u32[..., 1:]], axis=-1)
-        packed = jax.lax.bitcast_convert_type(pair, jnp.float64)  # (..., nkt-1)
-        got = jnp.take_along_axis(packed, i0, axis=-1)
-        both = jax.lax.bitcast_convert_type(got, jnp.float32)     # (..., nk, 2)
-        u0 = both[..., 0].astype(u.dtype)
-        u1 = both[..., 1].astype(u.dtype)
+    if jax.default_backend() != "cpu":
+        pair = jnp.stack([u[..., :-1], u[..., 1:]], axis=-1)  # (..., nkt-1, 2)
+        got = jnp.take_along_axis(pair, i0[..., None], axis=-2)  # (..., nk, 2)
+        u0 = got[..., 0]
+        u1 = got[..., 1]
     else:
         u0 = jnp.take_along_axis(u, i0, axis=-1)
         u1 = jnp.take_along_axis(u, i0 + 1, axis=-1)
