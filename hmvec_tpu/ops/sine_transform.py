@@ -182,24 +182,18 @@ def resample_uniform_source(u, dkt, scales, ks):
     For each batch element, np.interp(ks, kout[1:], u[1:], left=u[1],
     right=0) reduces to interpolation at fractional index p = k*s/dkt.
 
-    TPU note: dynamic gathers are the cost center here (~25 ns/element); on
-    TPU both lerp endpoints are fetched with ONE gather of stacked
-    (u[i], u[i+1]) pairs (gather count, not bytes, dominates the cost).
+    TPU note: dynamic gathers are the cost center here (~25 ns/element).
+    Single-gather variants (f32-pair bitcast packing; stacked-pair gather)
+    were tried and either fail to compile or crash the TPU worker inside
+    larger pipelines, so the portable two-gather form is used.
     """
     nkt = u.shape[-1]
     p = jnp.asarray(ks) * scales[..., None] / dkt      # (..., nk)
     # clamp to the valid lerp window [1, nkt-2]; boundary handled below
     i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 1, nkt - 2)
     frac = p - i0
-
-    if jax.default_backend() != "cpu":
-        pair = jnp.stack([u[..., :-1], u[..., 1:]], axis=-1)  # (..., nkt-1, 2)
-        got = jnp.take_along_axis(pair, i0[..., None], axis=-2)  # (..., nk, 2)
-        u0 = got[..., 0]
-        u1 = got[..., 1]
-    else:
-        u0 = jnp.take_along_axis(u, i0, axis=-1)
-        u1 = jnp.take_along_axis(u, i0 + 1, axis=-1)
+    u0 = jnp.take_along_axis(u, i0, axis=-1)
+    u1 = jnp.take_along_axis(u, i0 + 1, axis=-1)
     val = u0 + frac * (u1 - u0)
     left = u[..., 1:2]                                 # flat below first kt>0
     val = jnp.where(p < 1.0, left, val)
