@@ -115,6 +115,159 @@ def make_sharded_pmm_fn(zs, ks, ms, mesh: Mesh, axis_name: str = "m",
     return pmm
 
 
+def make_sharded_galaxy_electron_fn(zs, ks, ms, ngal, mesh: Mesh,
+                                    axis_name: str = "m",
+                                    family: str = "AGN", nxs: int = 1024,
+                                    xmax: float = 20.0,
+                                    mass_function: str = "sheth-torman",
+                                    mdef: str = "vir",
+                                    accuracy: str = "medium", engine=None):
+    """params -> (Pgg, Pge, Pee) with the mass axis sharded over ``mesh``.
+
+    The full kSZ small-scale workload: per shard, each device evaluates its
+    slice of the NFW Si/Ci grid AND the Battaglia electron profile
+    (sampling + sine-DFT + resample), forms partial 1h/2h mass integrals,
+    and one psum closes all spectra.  Small (z,m) stages (mass function,
+    HOD occupancies, mass conversion) are computed replicated.
+    """
+    from ..params import battaglia_defaults
+    from ..models import profiles as prof
+    from ..models.mass_conversion import mdelta_from_mdelta
+    from ..models.hod import build_hod
+    from ..ops.sine_transform import sine_dft, resample_uniform_source
+
+    zs = np.asarray(zs)
+    ks = np.asarray(ks)
+    ms = np.asarray(ms)
+    ngal = np.asarray(ngal)
+    nd = mesh.devices.size
+    assert ms.size % nd == 0, "len(ms) must divide the mesh size"
+    defaults = merge_params()
+    engine = engine or lpm.EHEngine()
+    fit = dict(battaglia_defaults[family])
+    w_m = trapz_weights(ms)
+    xs_np = np.linspace(0.0, xmax, nxs + 1)[1:]
+    step = (xs_np[-1] - xs_np[0]) / nxs
+    dkt = 2.0 * np.pi / (nxs * step)
+
+    spec_zm = P(None, axis_name)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), spec_zm, spec_zm, spec_zm,
+                  spec_zm, spec_zm, spec_zm, spec_zm, spec_zm, spec_zm,
+                  spec_zm, P(None), P(None), P(None), P()),
+        out_specs=P(None, None, None))
+    def _sharded(ms_l, w_l, nzm_l, bh_l, cs_l, rss_l, m200_l, r200_l,
+                 Nc_l, Ns_l, NsNsm1_l, NcNs_l, rhocritz, zsj, ksj, omm):
+        # NFW satellite profile for the local masses
+        uk_l = prof.nfw_uk_analytic(ksj, zs, cs_l, rss_l)
+        # electron profile for the local masses: sample + DFT + resample
+        p = defaults
+        omb = p["ombh2"] / (p["H0"] / 100.0) ** 2
+        rho = prof.rho_gas_x(jnp.asarray(xs_np)[None, None, :],
+                             m200_l[..., None], zsj[:, None, None],
+                             omb, omm, rhocritz[:, None, None],
+                             p["battaglia_gas_gamma"], fit)
+        rgs_l = r200_l / 2.0
+        cgs_l = rss_l * cs_l / rgs_l  # rvir / rgs
+        theta = (jnp.asarray(xs_np)[None, None, :]
+                 <= cgs_l[..., None]).astype(rho.dtype)
+        integ = rho * theta
+        xsj = jnp.asarray(xs_np)
+        dxs = jnp.diff(xsj)
+        profm = integ * xsj[None, None, :] ** 2
+        mnorm = ((profm[..., 1:] + profm[..., :-1]) * dxs / 2.0).sum(-1)
+        ukt = sine_dft(integ * xsj[None, None, :], step)
+        kts = jnp.arange(ukt.shape[-1], dtype=rho.dtype) * dkt
+        uke_l = ukt / jnp.where(kts == 0, 1.0, kts)[None, None, :] \
+            / mnorm[..., None]
+        scales = rgs_l * (1.0 + zsj)[:, None]
+        uke_l = resample_uniform_source(uke_l, dkt, scales, ksj)
+
+        # tracer terms; the 1/ngal and 1/rho_m0 norms are applied after the
+        # psum (they are z-only factors)
+        term_g = Nc_l[..., None] + uk_l * Ns_l[..., None]   # uc = 1
+        term_e = ms_l[None, :, None] * uke_l
+        # HOD 1h square (hmvec.py:477-479 with uc=1):
+        sq_gg = 2.0 * uk_l * NcNs_l[..., None] + NsNsm1_l[..., None] * uk_l**2
+
+        nzw = nzm_l[..., None]
+        wnb = nzw * bh_l[..., None]
+
+        def red(x):
+            return (x * w_l[None, :, None]).sum(axis=-2)
+
+        parts = jnp.stack([
+            red(nzw * sq_gg),                              # gg 1h
+            red(nzw * term_g * term_e),                    # ge 1h
+            red(nzw * term_e**2),                          # ee 1h
+            red(wnb * term_g),                             # g 2h leg
+            red(wnb * term_e),                             # e 2h leg
+            red(wnb * (ms_l[None, :, None] + 0.0 * uke_l)),  # e leg, u->1
+            red(wnb * ((Nc_l + Ns_l)[..., None] + 0.0 * uk_l)),  # g leg, u->1
+        ])
+        return jax.lax.psum(parts, axis_name)
+
+    def spectra(overrides=None):
+        p = {**defaults, **(overrides or {})}
+        bg = bgmod.background(p)
+        zsj = jnp.asarray(zs)
+        ksj = jnp.asarray(ks)
+        msj = jnp.asarray(ms)
+        if accuracy == "low":
+            pzk = lpm.plin_approx(bg, zsj, ksj)
+        else:
+            pzk = engine.pzk_grid(bg, zsj, ksj)
+        ks_s2 = lpm.sigma2_k_grid(p)
+        spzk = engine.plin(bg, zsj, ks_s2, accuracy=accuracy)
+        rho_m0 = bgmod.rho_matter_z(bg, 0.0)
+        R = mfm.R_from_M(msj, rho_m0, delta=1.0)
+        sigma2 = lpm.sigma2_R(bg, R, zsj, spzk, ks_s2, p["Wkr_taylor_switch"])
+        nzm, bh = mfm.mass_function_grid(sigma2, zsj, msj, rho_m0,
+                                         mass_function, p)
+        omz = bgmod.omz(bg, zsj)
+        rhocritz = bgmod.rho_critical_z(bg, zsj)
+        rhomz = bgmod.rho_matter_z(bg, zsj)
+        cs = prof.concentration_duffy(msj, zsj, mdef, p, p["H0"] / 100.0)
+        rvirs = prof.rvir_grid(msj, zsj, mdef, rhocritz, rhomz, omz)
+        rss = rvirs / cs
+        if mdef == "vir":
+            dr1 = rhocritz * mfm.deltav_bryan_norman(omz)
+        else:
+            dr1 = rhomz * 200.0
+        m200 = mdelta_from_mdelta(msj, cs, dr1, 200.0 * rhocritz)
+        r200 = mfm.R_from_M(m200, rhocritz[:, None], delta=200.0)
+
+        hp = {k: p[k] for k in p if k.startswith("hod_")}
+        grid = build_hod(zs, ms, nzm, bh, hp, ngal=jnp.asarray(ngal))
+
+        parts = _sharded(msj, jnp.asarray(w_m), nzm, bh, cs, rss, m200,
+                         r200, grid.Nc, grid.Ns, grid.NsNsm1, grid.NcNs,
+                         rhocritz, zsj, ksj, bg.omm0)
+        (gg1, ge1, ee1, gleg, eleg, eleg0, gleg0) = parts
+        ng = grid.ngal[:, None]
+        damping = 1.0 - jnp.exp(-((ksj / p["kstar_damping"]) ** 2))
+
+        p1_gg = gg1 / ng**2 * damping[None, :]
+        p1_ge = ge1 / ng / rho_m0 * damping[None, :]
+        p1_ee = ee1 / rho_m0**2 * damping[None, :]
+
+        ig = gleg / ng
+        ie = eleg / rho_m0
+        cg = gleg0 / ng
+        ce = eleg0 / rho_m0
+        bgal = grid.bg[:, None]
+        fac_g = ig + bgal - cg
+        fac_e = ie + 1.0 - ce
+        p2_gg = pzk * fac_g * fac_g
+        p2_ge = pzk * fac_g * fac_e
+        p2_ee = pzk * fac_e * fac_e
+        return p1_gg + p2_gg, p1_ge + p2_ge, p1_ee + p2_ee
+
+    return spectra
+
+
 def make_fisher_step_fn(zs, ks, ms, ells, mesh: Mesh,
                         param_names=("omch2", "As"), lr: float = 1e-3,
                         **kw):
