@@ -14,7 +14,6 @@ and massless neutrinos contribute an omr term that CAMB includes implicitly.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax

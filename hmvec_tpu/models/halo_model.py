@@ -13,12 +13,11 @@ import numpy as np
 
 from ..params import battaglia_defaults, scoped_override
 from ..ops.sine_transform import generic_profile_fft
-from . import background as bgmod
 from .cosmology import Cosmology
 from . import mass_function as mfm
 from . import profiles as prof
 from . import power as pwr
-from .hod import build_hod, HODGrid
+from .hod import build_hod
 from .mass_conversion import mdelta_from_mdelta
 
 _HOD_PARAM_KEYS = [

@@ -14,7 +14,7 @@ from Matt Johnson & Moritz Munchmeyer's halomodel).  Components:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

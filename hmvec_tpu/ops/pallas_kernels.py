@@ -16,8 +16,6 @@ Pallas TPU has no f64 (Mosaic), hence the f32 design.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -11,9 +11,6 @@ flowdown of reference hmvec.py:50-64.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,10 +9,10 @@ hmvec/cosmology.py).  Used as the parity oracle in tests and as the CPU
 from __future__ import annotations
 
 import numpy as np
-from scipy.special import hyp2f1, sici as _sici, erf
+from scipy.special import hyp2f1
 
-from ..utils.weights import simpson_weights, trapz_weights, gauss_legendre
-from ..params import merge_params, battaglia_defaults
+from ..utils.weights import simpson_weights, gauss_legendre
+from ..params import merge_params
 
 CSPEED_KMS = 299792.458
 _HZ_TO_SI = 3.241e-20
