@@ -42,6 +42,14 @@ class Cosmology:
         self.engine_name = engine
         self.engine = lpm.make_engine(engine, pk_table)
         self.halofit = halofit
+
+        # theta100 parameterization: solve H0 for the requested acoustic
+        # scale (reference: cosmomc_theta via CAMB, cosmology.py:140-147;
+        # here the engine-free EH98/Hu-Sugiyama approximation)
+        if params and "theta100" in params:
+            from .distances_ext import solve_h0_from_theta100
+            self.p["H0"] = solve_h0_from_theta100(self.p, params["theta100"])
+
         self.bg = bgmod.background(self.p)
 
         # sigma8 / S8 parameterization: the reference supports these only

@@ -92,6 +92,41 @@ def get_bao_rs_dV(bg, zs):
     return rs_drag_eh(bg) / D_Vs
 
 
+def theta_star_approx(bg):
+    """100 * theta_s: acoustic angular scale from the EH98 sound horizon and
+    the engine-free background (approximate analogue of CAMB's
+    cosmomc_theta; accurate to ~0.5% -- fitting-formula limited)."""
+    from . import background as bgmod
+    zstar = z_star_hu_sugiyama(bg)
+    rs = rs_drag_eh(bg)  # drag-epoch approximation to r_s(z*)
+    da = bgmod.angular_diameter_distance(bg, zstar)
+    return 100.0 * rs / ((1.0 + zstar) * da)
+
+
+def solve_h0_from_theta100(params: dict, theta100: float,
+                           lo: float = 40.0, hi: float = 100.0,
+                           num_iter: int = 60) -> float:
+    """Find H0 reproducing the requested 100*theta_s (reference accepts
+    'theta100' via CAMB's cosmomc_theta, cosmology.py:140-147)."""
+    from . import background as bgmod
+
+    def theta_of_h0(h0):
+        p = dict(params)
+        p["H0"] = float(h0)
+        return float(theta_star_approx(bgmod.background(p)))
+
+    import numpy as np
+    lo_v, hi_v = lo, hi
+    for _ in range(num_iter):
+        mid = (lo_v + hi_v) / 2.0
+        # theta increases with H0 (rs fixed by omegas; D_A shrinks)
+        if theta_of_h0(mid) < theta100:
+            lo_v = mid
+        else:
+            hi_v = mid
+    return (lo_v + hi_v) / 2.0
+
+
 def cmb_lensing_limber(cosmo, lmax, nonlinear=False, nz: int = 100,
                        kmax: float = 10.0):
     """C_L^kappakappa by Limber over chi to the last-scattering surface
