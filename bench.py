@@ -155,24 +155,19 @@ def run_secondary_configs(overrides):
     print(f"# config4 limber_ckk: {t4*1e3:.1f} ms "
           f"(twin {tw4*1e3:.0f} ms) max_rel_err={err4:.1e}", file=sys.stderr)
 
-    # --- config 5: kSZ pipeline end-to-end (class-level, eager) ---
-    # First construction pays per-op jit compiles; report the warm repeat.
-    # NB: the class flow dispatches eagerly, so on the remote-tunnel TPU the
-    # warm time is dominated by per-op RPC latency (~23 ms/op), not compute.
-    from hmvec_tpu.models.ksz import kSZ
-
-    def build_ksz():
-        fksz = kSZ([0.55], [10.0], [1e-4], ms=np.geomspace(1e8, 1e16, 500),
-                   electron_profile_nxs=4096, electron_profile_xmax=20)
-        Cls = 1e-5 * np.ones(10000)
-        return np.asarray(fksz.Nvv(0, Cls))
-
-    nvv = build_ksz()  # warmup (compiles)
-    t0 = time.perf_counter()
-    nvv = build_ksz()
-    t5 = time.perf_counter() - t0
-    print(f"# config5 ksz_nvv_end_to_end(warm): {t5*1e3:.0f} ms "
-          f"(Nvv finite: {bool(np.all(np.isfinite(nvv)))})", file=sys.stderr)
+    # --- config 5: kSZ pipeline end-to-end, fused single-jit ---
+    # (The eager class API takes ~8 s warm on the remote-tunnel TPU purely
+    # from per-op RPC latency; the fused pipeline is the production path.)
+    from hmvec_tpu.pipeline import make_ksz_snr_fn
+    fn5 = make_ksz_snr_fn(0.55, 10.0, 1e-4,
+                          ms=np.geomspace(1e8, 1e16, 500),
+                          nxs=4096, xmax=20)
+    Cls = 1e-5 * np.ones(10000)
+    t5 = _timeit(lambda ov: fn5(ov, Cls), overrides)
+    snr, nvv, _ = fn5(overrides, Cls)
+    print(f"# config5 ksz_snr_fused: {t5*1e3:.1f} ms "
+          f"(SNR={float(snr):.1f}, Nvv finite: "
+          f"{bool(np.all(np.isfinite(np.asarray(nvv))))})", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -208,6 +208,123 @@ def make_hod_fn(zs, ks, ms, ngal, mass_function: str = "sheth-torman",
     return jax.jit(fn) if jit else fn
 
 
+def make_ksz_snr_fn(z: float, volume_gpc3: float, ngal_mpc3: float,
+                    lmax_cls: int = 10000,
+                    kL_max: float = 0.1, num_kL_bins: int = 100,
+                    kS_min: float = 0.1, kS_max: float = 10.0,
+                    num_kS_bins: int = 101, num_mu_bins: int = 102,
+                    ms=None, family: str = "AGN", nxs: int = 4096,
+                    xmax: float = 20.0, mass_function: str = "sheth-torman",
+                    mdef: str = "vir", accuracy: str = "medium",
+                    engine=None, jit: bool = True):
+    """The full kSZ forecasting pipeline as ONE XLA program:
+    params, Cls -> (snr, Nvv(mu,kL), vrec).
+
+    Fuses what the class API (models.ksz.kSZ, ~hundreds of eagerly
+    dispatched ops) does for a single redshift bin: halo model + electron
+    profile + HOD (ngal solve) + small-scale Pgg/Pge + velocity weights +
+    N_vv + SNR (reference ksz.py:103-235, :299-336, :435-468).
+    Differentiable in the cosmological parameters -- jax.grad of the SNR.
+    """
+    from .params import battaglia_defaults
+    from .models import profiles as prof
+    from .models.mass_conversion import mdelta_from_mdelta
+    from .models.hod import build_hod
+    from .ops.sine_transform import generic_profile_fft
+    from .models.ksz import (Ngg, get_kmin, ksz_radial_function,
+                             Nvv_core_integral, _sanitize)
+    from .ops.quadrature import trapz_traced
+
+    if ms is None:
+        ms = np.geomspace(1e6, 1e16, 1000)
+    ms = np.asarray(ms)
+    zs = np.atleast_1d(np.asarray(z, dtype=np.float64))
+    ks = np.geomspace(kS_min, kS_max, num_kS_bins)
+    mu = np.linspace(-1.0, 1.0, num_mu_bins)
+    kLs = np.geomspace(get_kmin(volume_gpc3), kL_max, num_kL_bins)
+    defaults = merge_params()
+    engine = engine or lpm.EHEngine()
+    fit = dict(battaglia_defaults[family])
+    ngal = np.atleast_1d(np.asarray(ngal_mpc3))
+
+    def fn(overrides, Cls):
+        p = {**defaults, **(overrides or {})}
+        bg, pzk, nzm, bh, rho_m0, uk = _stages(
+            p, zs, ks, ms, mass_function, mdef, accuracy, engine)
+        zsj = jnp.asarray(zs)
+        msj = jnp.asarray(ms)
+        ksj = jnp.asarray(ks)
+
+        # electron profile (as in make_electron_fn)
+        rhocritz = bgmod.rho_critical_z(bg, zsj)
+        omz = bgmod.omz(bg, zsj)
+        rhomz = bgmod.rho_matter_z(bg, zsj)
+        cs = prof.concentration_duffy(msj, zsj, mdef, p, p["H0"] / 100.0)
+        rvirs = prof.rvir_grid(msj, zsj, mdef, rhocritz, rhomz, omz)
+        if mdef == "vir":
+            dr1 = rhocritz * mfm.deltav_bryan_norman(omz)
+        else:
+            dr1 = rhomz * 200.0
+        m200 = mdelta_from_mdelta(msj, cs, dr1, 200.0 * rhocritz)
+        r200 = mfm.R_from_M(m200, rhocritz[:, None], delta=200.0)
+        omb = p["ombh2"] / (p["H0"] / 100.0) ** 2
+
+        def rhofunc(xsamp):
+            return prof.rho_gas_x(xsamp[None, None, :], m200[..., None],
+                                  zsj[:, None, None], omb, bg.omm0,
+                                  rhocritz[:, None, None],
+                                  p["battaglia_gas_gamma"], fit)
+
+        rgs = r200 / 2.0
+        _, uk_e = generic_profile_fft(rhofunc, rvirs / rgs, rgs, zs, ks,
+                                      xmax, nxs)
+
+        # HOD with the ngal solve
+        hp = {k: p[k] for k in p if k.startswith("hod_")}
+        grid = build_hod(zs, ms, nzm, bh, hp, ngal=jnp.asarray(ngal))
+        tg = pwr.HODTracer(Nc=grid.Nc, Ns=grid.Ns, NsNsm1=grid.NsNsm1,
+                           NcNs=grid.NcNs, ngal=grid.ngal, bg=grid.bg,
+                           us=uk, uc=None)
+        te = pwr.MatterTracer(uk=uk_e)
+        sPgg = pwr.power_total(tg, tg, nzm, bh, ms, ks, pzk, rho_m0,
+                               p["kstar_damping"])
+        sPge = pwr.power_total(tg, te, nzm, bh, ms, ks, pzk, rho_m0,
+                               p["kstar_damping"])
+
+        # large-scale velocity spectra
+        kLs_j = jnp.asarray(kLs)
+        plin_L = engine.plin(bg, zsj, kLs_j, accuracy=accuracy)
+        f = bgmod.growth_rate_f(bg, zsj)
+        a = 1.0 / (1.0 + zsj)
+        H = bgmod.h_of_z(bg, zsj)
+        d2vs = (f * a * H)[:, None] / kLs_j[None, :]
+        bgal = grid.bg
+        ngg = Ngg(jnp.asarray(ngal))
+        flPgg = plin_L * bgal[:, None] ** 2 + ngg[:, None]
+        flPgv = plin_L * bgal[:, None] * d2vs
+        vrec = trapz_traced(_sanitize(kLs_j[None, :] ** 2 * flPgv**2
+                                      / flPgg), kLs_j, axis=-1)
+
+        chistar = bgmod.comoving_radial_distance(bg, zsj)[0]
+        Fstar = ksz_radial_function(zsj, p["ombh2"],
+                                    p.get("Yp", 0.24), params=p)[0]
+        nvv = Nvv_core_integral(chistar, Fstar, jnp.asarray(mu), kLs_j,
+                                ksj, jnp.asarray(Cls), sPge[0],
+                                sPgg[0] + ngg[0])
+
+        # SNR (ksz.py:435-468)
+        lPgg = plin_L[0][None, :] * bgal[0] ** 2 + 0.0 * jnp.asarray(mu)[:, None]
+        lPgv = (plin_L[0] * bgal[0] * d2vs[0])[None, :] + 0.0 * jnp.asarray(mu)[:, None]
+        ltPgg = lPgg + ngg[0]
+        integrand = _sanitize(kLs_j[None, :] ** 2 * lPgv**2 / ltPgg / nvv)
+        result = trapz_traced(integrand, kLs_j, axis=-1)
+        snr2 = trapz_traced(result, jnp.asarray(mu)) / (2.0 * jnp.pi) ** 2
+        snr = jnp.sqrt(volume_gpc3 * 1e9 * snr2)
+        return snr, nvv, vrec
+
+    return jax.jit(fn) if jit else fn
+
+
 def fisher_jacobian(fn, params0: dict, param_names):
     """d output / d theta for the named parameters -- the Fisher use case
     (reference design note hmvec.py:50-64) via forward-mode autodiff."""
