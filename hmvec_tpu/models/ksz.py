@@ -70,13 +70,21 @@ def ne0_shaw(ombh2, Yp, NHe=0, me=1.14, gasfrac=0.9):
 
 def ksz_radial_function(z, ombh2, Yp, gasfrac=0.9, xe=1, tau=0, params=None):
     """K(z) = T_CMB sigma_T n_e0 x_e exp(-tau) (1+z)^2 (1810.13423 Eq 4;
-    reference ksz.py:86-96)."""
+    reference ksz.py:86-96).
+
+    Trace-friendly in (ombh2, Yp): only the fixed physical constants are
+    folded host-side (keeping device intermediates mid-range for the TPU's
+    double-single f64)."""
     if params is None:
         params = default_params
     T_CMB_muk = params["T_CMB"]
-    # host-folded prefactor (sigma_T n_e0 / m->Mpc spans ~1e-29 * 1e-23)
-    pref = float(T_CMB_muk) * constants["thompson_SI"] * float(
-        ne0_shaw(float(ombh2), float(Yp))) / constants["meter_to_megaparsec"]
+    # host-folded constant part of ne0_shaw (everything but chi(Yp)*ombh2)
+    ne0_const = (0.9 / 1.14) * 3.0 * constants["H100_SI"] ** 2 / (
+        constants["mProton_SI"] * 8.0 * np.pi * constants["G_SI"])
+    pref_const = (constants["thompson_SI"] / constants["meter_to_megaparsec"]
+                  * ne0_const * (gasfrac / 0.9))
+    ne0_param = chi_ion(Yp) * ombh2
+    pref = T_CMB_muk * pref_const * ne0_param
     return pref * (1.0 + jnp.asarray(z)) ** 2 * xe * np.exp(-tau)
 
 
@@ -116,8 +124,15 @@ def Nvv_core_integral(chi_star, Fstar, mu, kL, kSs, Cls, Pge, Pgg_tot,
     amu = mu[:, None] + 0.0 * kL[None, :]
     prefact = amu ** (-2.0) * 2.0 * jnp.pi * chi_star**2 / Fstar**2
 
+    # double-where: mask the inf (beyond-lmax) Cls entries out of the
+    # division itself, not just the result, so gradients stay finite
     Clkstot = get_interpolated_cls(Cls, chi_star, kSs)
-    integrand = _sanitize(jnp.asarray(kSs) * (Pge**2 / (Pgg_tot * Clkstot)))
+    finite = jnp.isfinite(Clkstot) & (Clkstot > 0)
+    Cl_safe = jnp.where(finite, Clkstot, 1.0)
+    integrand = jnp.where(finite,
+                          jnp.asarray(kSs) * Pge**2 / (Pgg_tot * Cl_safe),
+                          0.0)
+    integrand = _sanitize(integrand)
     if robust_term:
         assert Pgg_photo_tot is not None
         integrand = _sanitize(integrand * (Pgg_photo_tot / Pgg_tot))
