@@ -79,7 +79,7 @@ def test_hod_parity(pair):
 def test_spectra_parity_configs_2_3(pair):
     hm, tw = pair
     for a, b in [("e", "e"), ("nfw", "e"), ("g", "g"), ("g", "nfw"),
-                 ("g", "e"), ("y", "y")]:
+                 ("g", "e"), ("y", "y"), ("nfw", "y"), ("g", "y")]:
         pj = np.asarray(hm.get_power(a, b))
         pt = tw.get_power(a, b)
         rel = np.max(np.abs(pj - pt) / (np.abs(pt) + 1e-300))
