@@ -325,6 +325,133 @@ def make_ksz_snr_fn(z: float, volume_gpc3: float, ngal_mpc3: float,
     return jax.jit(fn) if jit else fn
 
 
+def make_ksz_survey_fn(num_bins: int, lmax_cls: int = 10000,
+                       kL_max: float = 0.1, num_kL_bins: int = 100,
+                       kS_min: float = 0.1, kS_max: float = 10.0,
+                       num_kS_bins: int = 101, num_mu_bins: int = 102,
+                       ms=None, family: str = "AGN", nxs: int = 2048,
+                       xmax: float = 20.0,
+                       mass_function: str = "sheth-torman",
+                       mdef: str = "vir", accuracy: str = "medium",
+                       engine=None, jit: bool = True):
+    """Survey-level kSZ forecast as ONE vmapped XLA program.
+
+    Returns fn(overrides, zcents (B,), vols_gpc3 (B,), ngals (B,), Cls) ->
+    (total_snr, per_bin_snr).  The bin parameters are traced, so one
+    compile covers any survey binning with ``num_bins`` bins -- the
+    reference's get_ksz_snr_survey (ksz.py:936-988) rebuilds the entire
+    pipeline per bin instead.
+    """
+    from .params import battaglia_defaults
+    from .models import profiles as prof
+    from .models.mass_conversion import mdelta_from_mdelta
+    from .models.hod import build_hod
+    from .ops.sine_transform import generic_profile_fft
+    from .models.ksz import Ngg, ksz_radial_function, Nvv_core_integral, \
+        _sanitize
+    from .ops.quadrature import trapz_traced
+
+    if ms is None:
+        ms = np.geomspace(1e6, 1e16, 1000)
+    ms = np.asarray(ms)
+    ks = np.geomspace(kS_min, kS_max, num_kS_bins)
+    mu = np.linspace(-1.0, 1.0, num_mu_bins)
+    defaults = merge_params()
+    engine = engine or lpm.EHEngine()
+    fit = dict(battaglia_defaults[family])
+
+    def one_bin(p, bg, z, vol_gpc3, ngal, Cls):
+        zs1 = jnp.reshape(z, (1,))
+        msj = jnp.asarray(ms)
+        ksj = jnp.asarray(ks)
+
+        pzk = engine.plin(bg, zs1, ksj,
+                          accuracy="low" if accuracy == "low" else "medium")
+        ks_s2 = lpm.sigma2_k_grid(p)
+        spzk = engine.plin(bg, zs1, ks_s2, accuracy=accuracy)
+        rho_m0 = bgmod.rho_matter_z(bg, 0.0)
+        R = mfm.R_from_M(msj, rho_m0, delta=1.0)
+        sigma2 = lpm.sigma2_R(bg, R, zs1, spzk, ks_s2,
+                              p["Wkr_taylor_switch"])
+        nzm, bh = mfm.mass_function_grid(sigma2, zs1, msj, rho_m0,
+                                         mass_function, p)
+        omz = bgmod.omz(bg, zs1)
+        rhocritz = bgmod.rho_critical_z(bg, zs1)
+        rhomz = bgmod.rho_matter_z(bg, zs1)
+        cs = prof.concentration_duffy(msj, zs1, mdef, p, p["H0"] / 100.0)
+        rvirs = prof.rvir_grid(msj, zs1, mdef, rhocritz, rhomz, omz)
+        rss = rvirs / cs
+        uk = prof.nfw_uk_analytic(ksj, zs1, cs, rss)
+        if mdef == "vir":
+            dr1 = rhocritz * mfm.deltav_bryan_norman(omz)
+        else:
+            dr1 = rhomz * 200.0
+        m200 = mdelta_from_mdelta(msj, cs, dr1, 200.0 * rhocritz)
+        r200 = mfm.R_from_M(m200, rhocritz[:, None], delta=200.0)
+        omb = p["ombh2"] / (p["H0"] / 100.0) ** 2
+
+        def rhofunc(xsamp):
+            return prof.rho_gas_x(xsamp[None, None, :], m200[..., None],
+                                  zs1[:, None, None], omb, bg.omm0,
+                                  rhocritz[:, None, None],
+                                  p["battaglia_gas_gamma"], fit)
+
+        rgs = r200 / 2.0
+        _, uk_e = generic_profile_fft(rhofunc, rvirs / rgs, rgs, zs1, ksj,
+                                      xmax, nxs)
+
+        hp = {k: p[k] for k in p if k.startswith("hod_")}
+        grid = build_hod(zs1, ms, nzm, bh, hp,
+                         ngal=jnp.reshape(ngal, (1,)))
+        tg = pwr.HODTracer(Nc=grid.Nc, Ns=grid.Ns, NsNsm1=grid.NsNsm1,
+                           NcNs=grid.NcNs, ngal=grid.ngal, bg=grid.bg,
+                           us=uk, uc=None)
+        te = pwr.MatterTracer(uk=uk_e)
+        sPgg = pwr.power_total(tg, tg, nzm, bh, ms, ks, pzk, rho_m0,
+                               p["kstar_damping"])
+        sPge = pwr.power_total(tg, te, nzm, bh, ms, ks, pzk, rho_m0,
+                               p["kstar_damping"])
+
+        # long-wavelength grid from the bin volume (traced geomspace)
+        kmin = jnp.pi / (vol_gpc3 * 1e9) ** (1.0 / 3.0)
+        kLs = jnp.exp(jnp.linspace(jnp.log(kmin), np.log(kL_max),
+                                   num_kL_bins))
+        plin_L = engine.plin(bg, zs1, kLs,
+                             accuracy="low" if accuracy == "low" else "medium")
+        f = bgmod.growth_rate_f(bg, zs1)
+        a = 1.0 / (1.0 + zs1)
+        H = bgmod.h_of_z(bg, zs1)
+        d2vs = (f * a * H)[:, None] / kLs[None, :]
+        bgal = grid.bg
+        ngg = Ngg(ngal)
+
+        chistar = bgmod.comoving_radial_distance(bg, zs1)[0]
+        Fstar = ksz_radial_function(zs1, p["ombh2"], p.get("Yp", 0.24),
+                                    params=p)[0]
+        nvv = Nvv_core_integral(chistar, Fstar, jnp.asarray(mu), kLs, ksj,
+                                Cls, sPge[0], sPgg[0] + ngg)
+
+        lPgg = plin_L[0][None, :] * bgal[0] ** 2 + 0.0 * jnp.asarray(mu)[:, None]
+        lPgv = (plin_L[0] * bgal[0] * d2vs[0])[None, :] \
+            + 0.0 * jnp.asarray(mu)[:, None]
+        integrand = _sanitize(kLs[None, :] ** 2 * lPgv**2 / (lPgg + ngg)
+                              / nvv)
+        result = trapz_traced(integrand, kLs, axis=-1)
+        snr2 = trapz_traced(result, jnp.asarray(mu)) / (2.0 * jnp.pi) ** 2
+        return jnp.sqrt(vol_gpc3 * 1e9 * snr2)
+
+    def fn(overrides, zcents, vols_gpc3, ngals, Cls):
+        p = {**defaults, **(overrides or {})}
+        bg = bgmod.background(p)
+        snrs = jax.vmap(lambda z, v, n: one_bin(p, bg, z, v, n,
+                                                jnp.asarray(Cls)))(
+            jnp.asarray(zcents), jnp.asarray(vols_gpc3), jnp.asarray(ngals))
+        return jnp.sqrt(jnp.sum(snrs**2)), snrs
+
+    del num_bins  # shape comes from the inputs; kept for API clarity
+    return jax.jit(fn) if jit else fn
+
+
 def fisher_jacobian(fn, params0: dict, param_names):
     """d output / d theta for the named parameters -- the Fisher use case
     (reference design note hmvec.py:50-64) via forward-mode autodiff."""
