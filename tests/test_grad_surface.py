@@ -1,0 +1,74 @@
+"""Gradient regression net: every fused pipeline must have finite, nonzero
+gradients with respect to every supported cosmological parameter.
+
+Catches NaN-grad regressions like the inf-Cls where-branch bug fixed in
+round 1 (models/ksz.py Nvv_core_integral)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hmvec_tpu.pipeline import (make_pmm_fn, make_lensing_cls_fn,
+                                make_electron_fn, make_hod_fn,
+                                make_ksz_snr_fn)
+
+ZS = np.array([0.4, 1.1])
+KS = np.geomspace(1e-3, 10, 36)
+MS = np.geomspace(1e11, 1e16, 24)
+FID = {"omch2": 0.1198, "ombh2": 0.02225, "H0": 67.3, "ns": 0.9645,
+       "As": 2.2e-9, "w0": -1.0, "wa": 0.0}
+
+PARAMS = list(FID)
+
+
+def _grad_ok(scalar_fn):
+    for name in PARAMS:
+        def loss(v, name=name):
+            ov = dict(FID)
+            ov[name] = v
+            return scalar_fn(ov)
+        g = float(jax.grad(loss)(jnp.asarray(FID[name])))
+        assert np.isfinite(g), (name, g)
+        if name not in ("wa",):  # wa=0 can sit at a stationary point
+            assert g != 0.0, name
+
+
+def test_pmm_grads_all_params():
+    fn = make_pmm_fn(ZS, KS, MS, jit=False)
+    _grad_ok(lambda ov: jnp.sum(fn(ov)))
+
+
+def test_ckk_grads_all_params():
+    ells = np.geomspace(30, 800, 6)
+    fn = make_lensing_cls_fn(ZS, KS, MS, ells, jit=False)
+    _grad_ok(lambda ov: jnp.sum(fn(ov)[0]))
+
+
+def test_electron_grads_all_params():
+    fn = make_electron_fn(ZS, KS, MS, nxs=256, xmax=10, jit=False)
+    _grad_ok(lambda ov: jnp.sum(fn(ov)[0]))
+
+
+def test_hod_grads_all_params():
+    fn = make_hod_fn(ZS, KS, MS, np.full(2, 1e-4), jit=False)
+    _grad_ok(lambda ov: jnp.sum(fn(ov)[0]))
+
+
+@pytest.mark.parametrize("name", PARAMS)
+def test_ksz_snr_grad_per_param(name):
+    fn = make_ksz_snr_fn(0.55, 10.0, 1e-4, ms=MS, num_kL_bins=12,
+                         num_kS_bins=13, num_mu_bins=8, nxs=256, xmax=10,
+                         jit=False)
+    Cls = 1e-5 * np.ones(10000)
+
+    def loss(v):
+        ov = dict(FID)
+        ov[name] = v
+        snr, _, _ = fn(ov, Cls)
+        return snr
+
+    g = float(jax.grad(loss)(jnp.asarray(FID[name])))
+    assert np.isfinite(g), (name, g)
+    if name != "wa":
+        assert g != 0.0, name
