@@ -137,28 +137,47 @@ def sici(x):
     return sici_with_trig(xs, jnp.sin(xs), jnp.cos(xs))
 
 
-# Static series coefficients c_n = prod_{j<n} (3/2+j)/(11/6+j): the Pfaff-
-# transformed hypergeometric series is then a fixed polynomial in w --
-# evaluated by an unrolled Horner instead of a serial fori_loop (which costs
-# ~70us/iteration of loop overhead on TPU).
-_HYP_N = 400
-_HYP_COEF = np.cumprod(np.concatenate(
-    [[1.0], (1.5 + np.arange(_HYP_N - 1)) / (11.0 / 6.0 + np.arange(_HYP_N - 1))]))
+from . import _hyp_coeffs as _hc  # noqa: E402
 
 
-def hyp2f1_growth(y, num_terms: int = _HYP_N):
+def hyp2f1_growth(y):
     """2F1(5/6, 3/2; 11/6; -y) for y >= 0 (Heath growth integral).
 
-    Pfaff: 2F1(a,b;c;z) = (1-z)^(-b) 2F1(c-a,b;c; z/(z-1)); with
-    (a,b,c) = (5/6,3/2,11/6), c-a = 1, so the transformed series is
-    sum_n [prod_{j<n} (3/2+j)/(11/6+j)] w^n with w = y/(1+y) in [0,1) --
-    a fixed polynomial, evaluated by Horner.  400 terms cover w<=0.94
-    (y <= ~16, i.e. any remotely LCDM-like oml/omm) below 1e-12.
+    In w = y/(1+y) the function is smooth with its singularity at w=1, so
+    four split-domain degree-26 Chebyshev fits (generated offline against
+    scipy by tools/gen_hyp_coeffs.py) cover y <= ~32 below 1e-14 -- ONE
+    Clenshaw recurrence with a branchless 4-way coefficient select, the
+    same pattern as ``sici_with_trig``.  (Round 1 used a 400-term unrolled
+    Pfaff series: correct, but the 400-deep serial chain dominated both
+    XLA compile time of the fused grad graphs and VPU latency.)  Beyond
+    y ~ 32.3 (omm < ~0.03 at a=1) w clamps at 0.97.
     """
     y = jnp.asarray(y)
-    w = y / (1.0 + y)
-    acc = _horner(_HYP_COEF[:num_terms], w)
-    return acc * (1.0 + y) ** (-1.5)
+    w = jnp.clip(y / (1.0 + y), 0.0, _hc.HYP_W_MAX)
+
+    in0 = w <= _hc.HYP_DOM_HI[0]
+    in1 = w <= _hc.HYP_DOM_HI[1]
+    in2 = w <= _hc.HYP_DOM_HI[2]
+    lo = jnp.where(in0, _hc.HYP_DOM_LO[0],
+                   jnp.where(in1, _hc.HYP_DOM_LO[1],
+                             jnp.where(in2, _hc.HYP_DOM_LO[2],
+                                       _hc.HYP_DOM_LO[3])))
+    hi = jnp.where(in0, _hc.HYP_DOM_HI[0],
+                   jnp.where(in1, _hc.HYP_DOM_HI[1],
+                             jnp.where(in2, _hc.HYP_DOM_HI[2],
+                                       _hc.HYP_DOM_HI[3])))
+    t = (2.0 * w - (lo + hi)) / (hi - lo)
+
+    b0 = jnp.zeros_like(t)
+    b1 = jnp.zeros_like(t)
+    t2x = 2.0 * t
+    for k in range(_hc.HYP_C0.size - 1, -1, -1):
+        c = jnp.where(in0, _hc.HYP_C0[k],
+                      jnp.where(in1, _hc.HYP_C1[k],
+                                jnp.where(in2, _hc.HYP_C2[k],
+                                          _hc.HYP_C3[k])))
+        b0, b1 = t2x * b0 - b1 + c, b0
+    return b0 - t * b1
 
 
 def j0(x):
