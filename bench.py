@@ -1,17 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark harness: flagship Pmm(1h+2h) build on the README grid.
+"""Benchmark harness: ALL FIVE BASELINE configs, one JSON line each.
 
-Measures the fused TPU pipeline (hmvec_tpu.pipeline.make_pmm_fn) on the
-canonical 20z x 200m x 1001k workload (reference README.rst:55-57 /
-bin/simple_test.py semantics) against the float64 numpy twin (the "numpy
-reference" -- the original hmvec cannot run here since CAMB is absent, and
-it published no numbers of its own; see BASELINE.md).
+Measures the fused TPU pipelines (hmvec_tpu.pipeline.make_*_fn) against the
+float64 numpy twin (the "numpy reference" -- the original hmvec cannot run
+here since CAMB is absent, and it published no numbers of its own; see
+BASELINE.md).  Configs (BASELINE.json "Configs to benchmark end-to-end"):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <tpu ms>, "unit": "ms", "vs_baseline": <speedup>}
+  1. NFW matter Pmm 1h+2h on the README grid (20z x 200m x 1001k)
+  2. Battaglia AGN electron profile: numeric transform + Pee and Pme
+  3. HOD galaxy spectra with iterative ngal->mthresh solve (Pgg, Pgm)
+  4. Limber projection C_kk
+  5. kSZ pipeline end-to-end (Nvv + SNR), fused single-jit
 
-Accuracy gate: the TPU result must match the twin to <=1e-5 max relative
-error, else the benchmark reports failure.
+Each config prints ONE JSON line:
+  {"metric": ..., "value": <tpu ms>, "unit": "ms", "vs_baseline": <speedup>,
+   "max_rel_err": <vs twin>, "accuracy_gate_1e-5": "PASS"|"FAIL"}
+
+Config 1 is the primary/first line.  Exit code is 0 iff every accuracy
+gate passes.  Timing is an end-to-end host fetch (np.asarray): on the
+axon-tunneled TPU, block_until_ready does not synchronize; the fetch is
+the honest latency (DEVNOTES.md).
 """
 
 import json
@@ -19,6 +27,45 @@ import sys
 import time
 
 import numpy as np
+
+GATE = 1e-5
+
+
+def _fetch(out):
+    import jax
+    return jax.tree_util.tree_map(np.asarray, out)
+
+
+def _timeit(fn, *args, iters=10):
+    _fetch(fn(*args))  # warmup past queue effects (first call compiled below)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _fetch(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _relerr(a, b):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    return float(np.max(np.abs(a - b) / np.abs(b)))
+
+
+def _emit(metric, tpu_s, twin_s, err, extra=None):
+    ok = err <= GATE
+    line = {
+        "metric": metric,
+        "value": round(tpu_s * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(twin_s / tpu_s, 2) if twin_s else None,
+        "max_rel_err": float(f"{err:.3e}"),
+        "accuracy_gate_1e-5": "PASS" if ok else "FAIL",
+    }
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+    return ok
 
 
 def main():
@@ -28,105 +75,58 @@ def main():
     # TPU compile; subsequent runs reuse it
     jax.config.update("jax_compilation_cache_dir", "/tmp/hmvec_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if "--cpu" in sys.argv:  # debug: structure-test the harness off-TPU
+        jax.config.update("jax_platforms", "cpu")
 
-    from hmvec_tpu.pipeline import make_pmm_fn
-    from hmvec_tpu.twin.halo import TwinHaloModel
+    import jax.numpy as jnp
+    from hmvec_tpu.pipeline import (make_pmm_fn, make_electron_fn,
+                                    make_hod_fn, make_lensing_cls_fn,
+                                    make_ksz_snr_fn)
+    from hmvec_tpu.twin.halo_ext import TwinHaloModelExt
+    from hmvec_tpu.twin import limber as twin_limber
+    from hmvec_tpu.twin.ksz import TwinKSZ
 
     zs = np.linspace(0.1, 3.0, 20)
     ms = np.geomspace(2e10, 1e17, 200)
     ks = np.geomspace(1e-4, 100, 1001)
-
-    # ---- TPU/JAX pipeline ----
     # Pass the cosmology as *traced* inputs so XLA cannot constant-fold the
     # pipeline away (an empty overrides dict would compile to a constant).
-    import jax.numpy as jnp
     overrides = {k: jnp.asarray(v) for k, v in {
         "omch2": 0.1198, "ombh2": 0.02225, "H0": 67.3, "ns": 0.9645,
         "As": 2.2e-9, "w0": -1.0, "wa": 0.0, "mnu": 0.0, "omk": 0.0,
         "pivot_scalar": 0.05,
     }.items()}
-    fn = make_pmm_fn(zs, ks, ms)
-    # NB: on the axon-tunneled TPU, block_until_ready does not actually
-    # synchronize; np.asarray (device->host fetch of the 160KB result) is
-    # the honest end-to-end latency.
+    all_ok = True
+
+    # ---- config 1: NFW Pmm on the README grid (primary) ----
+    fn1 = make_pmm_fn(zs, ks, ms)
     t0 = time.perf_counter()
-    out = np.asarray(fn(overrides))
+    out1 = np.asarray(fn1(overrides))
     compile_s = time.perf_counter() - t0
-    np.asarray(fn(overrides))  # extra warmup past queue effects
-
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        out = np.asarray(fn(overrides))
-        times.append(time.perf_counter() - t0)
-    tpu_ms = float(np.median(times) * 1e3)
-
-    # ---- numpy twin baseline (full params -> P pipeline, same outputs) ----
+    t1 = _timeit(fn1, overrides)
+    tw = TwinHaloModelExt(zs, ks, ms)
     t0 = time.perf_counter()
-    tw = TwinHaloModel(zs, ks, ms)
     p_twin = tw.get_power("nfw")
-    twin_s = time.perf_counter() - t0
+    tw1 = time.perf_counter() - t0
+    all_ok &= _emit("pmm_1h2h_20z_200m_1001k_latency", t1, tw1,
+                    _relerr(out1, p_twin))
+    print(f"# backend={jax.default_backend()} config1 compile={compile_s:.1f}s",
+          file=sys.stderr)
 
-    rel_err = float(np.max(np.abs(out - p_twin) / np.abs(p_twin)))
-    ok = rel_err <= 1e-5
-
-    print(json.dumps({
-        "metric": "pmm_1h2h_20z_200m_1001k_latency",
-        "value": round(tpu_ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(twin_s * 1e3 / tpu_ms, 2),
-    }))
-    print(f"# backend={jax.default_backend()} compile={compile_s:.1f}s "
-          f"numpy_twin={twin_s*1e3:.1f}ms max_rel_err={rel_err:.2e} "
-          f"accuracy_gate_1e-5={'PASS' if ok else 'FAIL'}", file=sys.stderr)
-
-    if "--all" in sys.argv:
-        run_secondary_configs(overrides)
-    return 0 if ok else 1
-
-
-def _timeit(fn, *args, iters=5):
-    import numpy as np
-    import jax
-    jax.tree_util.tree_map(np.asarray, fn(*args))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.tree_util.tree_map(np.asarray, fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
-def run_secondary_configs(overrides):
-    """BASELINE configs 2-5 (printed as comment lines on stderr)."""
-    import jax.numpy as jnp
-    from hmvec_tpu.pipeline import make_electron_fn, make_hod_fn, \
-        make_lensing_cls_fn
-    from hmvec_tpu.twin.halo_ext import TwinHaloModelExt
-    from hmvec_tpu.twin import limber as twin_limber
-
-    zs = np.linspace(0.1, 3.0, 20)
-    ms = np.geomspace(2e10, 1e17, 200)
-    ks = np.geomspace(1e-4, 100, 1001)
-    nxs, xmax = 4096, 20   # pow2 sampling: fast FFT path on TPU
-
-    # --- config 2: Battaglia electron Pee + Pme ---
+    # ---- config 2: Battaglia electron Pee + Pme ----
+    nxs, xmax = 4096, 20   # pow2 sampling: fast transform path on TPU
     fn2 = make_electron_fn(zs, ks, ms, nxs=nxs, xmax=xmax)
     t2 = _timeit(fn2, overrides)
     t0 = time.perf_counter()
-    tw = TwinHaloModelExt(zs, ks, ms)
     tw.add_battaglia_profile("e", nxs=nxs, xmax=xmax)
     pee_t = tw.get_power("e")
     pme_t = tw.get_power("nfw", "e")
     tw2 = time.perf_counter() - t0
     pee, pme = fn2(overrides)
-    err2 = max(float(np.max(np.abs(np.asarray(pee) - pee_t) / np.abs(pee_t))),
-               float(np.max(np.abs(np.asarray(pme) - pme_t) / np.abs(pme_t))))
-    print(f"# config2 battaglia_pee_pme: {t2*1e3:.1f} ms "
-          f"(twin {tw2*1e3:.0f} ms, {tw2/t2:.1f}x) max_rel_err={err2:.1e}",
-          file=sys.stderr)
+    err2 = max(_relerr(pee, pee_t), _relerr(pme, pme_t))
+    all_ok &= _emit("config2_battaglia_pee_pme", t2, tw2, err2)
 
-    # --- config 3: HOD Pgg + Pgm with ngal solve ---
+    # ---- config 3: HOD Pgg + Pgm with iterative ngal solve ----
     ngal = np.full(zs.size, 1e-4)
     fn3 = make_hod_fn(zs, ks, ms, ngal)
     t3 = _timeit(fn3, overrides)
@@ -136,38 +136,40 @@ def run_secondary_configs(overrides):
     pgm_t = tw.get_power("g", "nfw")
     tw3 = time.perf_counter() - t0
     pgg, pgm = fn3(overrides)
-    err3 = max(float(np.max(np.abs(np.asarray(pgg) - pgg_t) / np.abs(pgg_t))),
-               float(np.max(np.abs(np.asarray(pgm) - pgm_t) / np.abs(pgm_t))))
-    print(f"# config3 hod_pgg_pgm: {t3*1e3:.1f} ms "
-          f"(twin {tw3*1e3:.0f} ms, {tw3/t3:.1f}x) max_rel_err={err3:.1e}",
-          file=sys.stderr)
+    err3 = max(_relerr(pgg, pgg_t), _relerr(pgm, pgm_t))
+    all_ok &= _emit("config3_hod_pgg_pgm", t3, tw3, err3)
 
-    # --- config 4: Limber C_kk ---
+    # ---- config 4: Limber C_kk ----
     ells = np.geomspace(30, 3000, 60)
     fn4 = make_lensing_cls_fn(zs, ks, ms, ells)
     t4 = _timeit(fn4, overrides)
-    ckk, pmm = fn4(overrides)
+    ckk, _pmm4 = fn4(overrides)
     t0 = time.perf_counter()
     pmm_t = tw.get_power("nfw")
     ckk_t = twin_limber.C_kk(tw, ells, zs, ks, pmm_t, 1100.0, 1100.0)
     tw4 = time.perf_counter() - t0
-    err4 = float(np.max(np.abs(np.asarray(ckk) - ckk_t) / np.abs(ckk_t)))
-    print(f"# config4 limber_ckk: {t4*1e3:.1f} ms "
-          f"(twin {tw4*1e3:.0f} ms) max_rel_err={err4:.1e}", file=sys.stderr)
+    all_ok &= _emit("config4_limber_ckk", t4, tw4, _relerr(ckk, ckk_t))
 
-    # --- config 5: kSZ pipeline end-to-end, fused single-jit ---
+    # ---- config 5: kSZ pipeline end-to-end, fused single-jit ----
     # (The eager class API takes ~8 s warm on the remote-tunnel TPU purely
     # from per-op RPC latency; the fused pipeline is the production path.)
-    from hmvec_tpu.pipeline import make_ksz_snr_fn
-    fn5 = make_ksz_snr_fn(0.55, 10.0, 1e-4,
-                          ms=np.geomspace(1e8, 1e16, 500),
-                          nxs=4096, xmax=20)
+    ksz_ms = np.geomspace(1e8, 1e16, 500)
+    ksz_cfg = dict(num_kL_bins=100, num_kS_bins=101, num_mu_bins=102)
+    fn5 = make_ksz_snr_fn(0.55, 10.0, 1e-4, ms=ksz_ms, nxs=nxs, xmax=xmax,
+                          **ksz_cfg)
     Cls = 1e-5 * np.ones(10000)
     t5 = _timeit(lambda ov: fn5(ov, Cls), overrides)
     snr, nvv, _ = fn5(overrides, Cls)
-    print(f"# config5 ksz_snr_fused: {t5*1e3:.1f} ms "
-          f"(SNR={float(snr):.1f}, Nvv finite: "
-          f"{bool(np.all(np.isfinite(np.asarray(nvv))))})", file=sys.stderr)
+    t0 = time.perf_counter()
+    twk = TwinKSZ([0.55], [10.0], [1e-4], ms=ksz_ms,
+                  electron_profile_nxs=nxs, electron_profile_xmax=xmax,
+                  **ksz_cfg)
+    nvv_t = twk.Nvv(0, Cls)
+    tw5 = time.perf_counter() - t0
+    all_ok &= _emit("config5_ksz_nvv_snr", t5, tw5, _relerr(nvv, nvv_t),
+                    extra={"snr": round(float(np.asarray(snr)), 2)})
+
+    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":

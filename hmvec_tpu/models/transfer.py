@@ -13,13 +13,18 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# The reference hardcodes T_CMB = 2.726 K inside Tk (cosmology.py:410) even
+# though its CAMB background runs at 2.7255 K; we reproduce that split
+# deliberately for parity (tests/test_reference_parity.py pins it).
+T_CMB_TRANSFER_K = 2.726
+
 
 def _eh_scales(bg):
     """Shared EH98 background scales. Returns dict of scalars."""
     h = bg.H0 / 100.0
     w_m = bg.omch2 + bg.ombh2
     w_b = bg.ombh2
-    t27 = bg.T_cmb_k / 2.7
+    t27 = T_CMB_TRANSFER_K / 2.7
     t27_sq = t27 * t27
 
     k_eq = 7.46e-2 * w_m / t27_sq / h          # EH98 eq (3), [h/Mpc]

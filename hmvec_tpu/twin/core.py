@@ -131,7 +131,9 @@ class TwinCosmology:
         k = np.asarray(ks, dtype=np.float64) / h
         w_m = self.omch2 + self.ombh2
         w_b = self.ombh2
-        t27_sq = (self.t_cmb_k / 2.7) ** 2
+        # the reference hardcodes 2.726 K inside Tk (cosmology.py:410),
+        # distinct from CAMB's 2.7255 K background
+        t27_sq = (2.726 / 2.7) ** 2
         k_eq = 7.46e-2 * w_m / t27_sq / h
         z_eq = 2.50e4 * w_m / t27_sq**2
         b1 = 0.313 * w_m**-0.419 * (1.0 + 0.607 * w_m**0.674)
