@@ -70,6 +70,20 @@ class TwinCosmology:
         integrand = 1.0 / self.e_of_z(zz)
         return (CSPEED_KMS / self.H0) * z * (integrand @ _GL_WEIGHTS)
 
+    def redshift_at_comoving_radial_distance(self, chi, zmax=1e4,
+                                             num_iter=80):
+        """Invert chi(z) by the same fixed-count bisection as the jax side
+        (models/background.py:219-234; reference cosmology.py:713-730)."""
+        chi = np.asarray(chi, dtype=np.float64)
+        lo = np.zeros_like(chi)
+        hi = np.full_like(chi, zmax)
+        for _ in range(num_iter):
+            mid = (lo + hi) / 2.0
+            too_far = self.comoving_radial_distance(mid) > chi
+            lo = np.where(too_far, lo, mid)
+            hi = np.where(too_far, mid, hi)
+        return (lo + hi) / 2.0
+
     def _sk(self, chi):
         k = -self.omk0 * (self.H0 / CSPEED_KMS) ** 2
         if k > 1e-12:
