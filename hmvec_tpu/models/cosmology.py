@@ -35,13 +35,19 @@ def get_eds_model(fb=0.15, H0=68.0, YHe=0.25):
 
 class Cosmology:
     def __init__(self, params=None, halofit=None, engine="eh",
-                 accuracy="medium", pk_table=None):
+                 accuracy="medium", pk_table=None, cls_table=None):
         self.accuracy = accuracy
         self.p = merge_params(params)
         self.params = self.p
         self.engine_name = engine
         self.engine = lpm.make_engine(engine, pk_table)
         self.halofit = halofit
+        # Precomputed CMB spectra (same host-table mechanism as pk_table):
+        # a mapping with any of 'cls_lensed'/'cls_unlensed' ((nl, 4) TT EE
+        # BB TE, muK^2, raw_cl, row index = ell) and 'cls_lens_potential'
+        # ((nl,) CAMB deflection convention [L(L+1)]^2 C_phiphi / 2pi).
+        # tools/gen_camb_table.py writes all three offline.
+        self.cls_table = dict(cls_table) if cls_table is not None else None
 
         # theta100 parameterization: solve H0 for the requested acoustic
         # scale (reference: cosmomc_theta via CAMB, cosmology.py:140-147;
@@ -221,16 +227,65 @@ class Cosmology:
         from .distances_ext import cmb_lensing_limber
         return cmb_lensing_limber(self, lmax, nonlinear=nonlinear)
 
-    def get_cmb_cls(self, *a, **kw):
-        raise NotImplementedError(
-            "Primary CMB Cls need a Boltzmann hierarchy; none exists in this "
-            "environment. Supply CAMB/CLASS output via pk_table-style host "
-            "data, or use cmb_lensing_limber for lensing convergence.")
+    def get_cmb_cls(self, lmax=3000, lens_potential_accuracy=4,
+                    nonlinear=True):
+        """Primary CMB power spectra (reference cosmology.py:67-81).
 
-    def cmb_lensing_kk_exact(self, *a, **kw):
-        raise NotImplementedError(
-            "Exact (non-Limber) C_kk requires a Boltzmann code; use "
-            "cmb_lensing_limber instead.")
+        A Boltzmann hierarchy cannot run in this environment, so the Cls
+        come from a host-supplied table (ctor ``cls_table``; generate it
+        offline with tools/gen_camb_table.py), the same mechanism by which
+        ``pk_table`` stands in for CAMB's matter power.  Returns the
+        CAMB-shaped dict {'total', 'unlensed_scalar', 'lens_potential'}
+        (muK^2, raw_cl, rows 0..lmax), truncated or NaN-padded to lmax+1.
+        """
+        del lens_potential_accuracy, nonlinear  # table is precomputed
+        if self.cls_table is None:
+            raise NotImplementedError(
+                "Primary CMB Cls need a Boltzmann hierarchy; none exists "
+                "in this environment. Pass cls_table=... to the ctor "
+                "(generate offline with tools/gen_camb_table.py), or use "
+                "cmb_lensing_limber for lensing convergence.")
+
+        def cut(arr):
+            arr = np.asarray(arr, dtype=np.float64)
+            n = lmax + 1
+            if arr.shape[0] >= n:
+                return arr[:n]
+            pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+            return np.pad(arr, pad, constant_values=np.nan)
+
+        out = {}
+        if "cls_lensed" in self.cls_table:
+            out["total"] = cut(self.cls_table["cls_lensed"])
+        if "cls_unlensed" in self.cls_table:
+            out["unlensed_scalar"] = cut(self.cls_table["cls_unlensed"])
+        if "cls_lens_potential" in self.cls_table:
+            out["lens_potential"] = cut(self.cls_table["cls_lens_potential"])
+        if not out:
+            raise ValueError(
+                "cls_table has none of the recognized keys "
+                "('cls_lensed', 'cls_unlensed', 'cls_lens_potential')")
+        return out
+
+    def cmb_lensing_kk_exact(self, lmax, lens_potential_accuracy=4):
+        """Exact (non-Limber) C_kappakappa from a tabulated lensing
+        potential (reference cosmology.py:660-691: CAMB deflection Cls
+        [L(L+1)]^2 C_phiphi / 2pi, converted by * 2pi / 4)."""
+        del lens_potential_accuracy
+        if self.cls_table is None or "cls_lens_potential" not in (
+                self.cls_table or {}):
+            raise NotImplementedError(
+                "Exact C_kk requires a tabulated lensing potential "
+                "(cls_table['cls_lens_potential'], from "
+                "tools/gen_camb_table.py); use cmb_lensing_limber "
+                "otherwise.")
+        cl = np.asarray(self.cls_table["cls_lens_potential"],
+                        dtype=np.float64)
+        if cl.ndim > 1:          # CAMB get_lens_potential_cls returns (nl,3)
+            cl = cl[:, 0]
+        cl = cl[:lmax + 1]
+        ells = np.arange(cl.size)
+        return ells, cl * 2.0 * np.pi / 4.0
 
     # ---- baryon combinators ----
     def total_matter_power_spectrum(self, Pnn, Pne, Pee):

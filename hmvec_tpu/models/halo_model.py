@@ -32,9 +32,10 @@ class HaloModel(Cosmology):
     def __init__(self, zs, ks, ms=None, params=None,
                  mass_function="sheth-torman", halofit=None, mdef="vir",
                  nfw_numeric=False, skip_nfw=False, accuracy="medium",
-                 engine="eh", pk_table=None):
+                 engine="eh", pk_table=None, cls_table=None):
         super().__init__(params=params, halofit=halofit, engine=engine,
-                         accuracy=accuracy, pk_table=pk_table)
+                         accuracy=accuracy, pk_table=pk_table,
+                         cls_table=cls_table)
         self.zs = jnp.asarray(zs)
         self.ks = jnp.asarray(ks)
         self.mdef = mdef

@@ -1,4 +1,4 @@
-"""Generate a CAMB P(z,k) table for hmvec_tpu's TabulatedEngine.
+"""Generate a CAMB P(z,k) + CMB Cls table for hmvec_tpu.
 
 Run this OFFLINE on a machine with CAMB installed (this TPU environment has
 none); ship the resulting .npz next to your analysis and load it with:
@@ -7,18 +7,22 @@ none); ship the resulting .npz next to your analysis and load it with:
     import hmvec_tpu as hm
     t = np.load("camb_table.npz")
     hcos = hm.HaloModel(zs, ks, ms=ms, engine="camb",
-                        pk_table=(t["zs"], t["ks"], t["plin"]))
+                        pk_table=(t["zs"], t["ks"], t["plin"]),
+                        cls_table={k: t[k] for k in
+                                   ("cls_lensed", "cls_unlensed",
+                                    "cls_lens_potential") if k in t})
 
 This reproduces the reference's 'high'/'medium' accuracy tiers
-(hmvec/cosmology.py:353-382) with real Boltzmann normalization while the
-TPU pipeline stays engine-free at runtime.
+(hmvec/cosmology.py:353-382) with real Boltzmann normalization, plus
+get_cmb_cls / cmb_lensing_kk_exact (cosmology.py:67-81,:660-691), while
+the TPU pipeline stays engine-free at runtime.
 """
 
 import numpy as np
 
 
 def main(out="camb_table.npz", zmax=6.0, nz=64, kmax=2100.0, nk=1200,
-         **cosmo):
+         lmax=10000, lens_potential_accuracy=4, **cosmo):
     import camb  # offline dependency
 
     pars = camb.set_params(
@@ -37,8 +41,22 @@ def main(out="camb_table.npz", zmax=6.0, nz=64, kmax=2100.0, nk=1200,
         kmax=kmax, var1="delta_tot", var2="delta_tot", zmax=zmax)
     plin = PK.P(zs, ks, grid=True)
     pnl = PKnl.P(zs, ks, grid=True)
-    np.savez_compressed(out, zs=zs, ks=ks, plin=plin, pnl=pnl)
-    print("wrote", out, plin.shape)
+
+    # CMB spectra (reference get_cmb_cls semantics: raw_cl, muK units,
+    # cosmology.py:67-81; lens potential in CAMB deflection convention)
+    pars.set_for_lmax(lmax + 500,
+                      lens_potential_accuracy=lens_potential_accuracy)
+    results = camb.get_results(pars)
+    powers = results.get_cmb_power_spectra(pars, CMB_unit="muK",
+                                           raw_cl=True)
+    cls_lensed = powers["total"][:lmax + 1]
+    cls_unlensed = powers["unlensed_scalar"][:lmax + 1]
+    cls_lens_potential = results.get_lens_potential_cls(lmax=lmax)
+
+    np.savez_compressed(out, zs=zs, ks=ks, plin=plin, pnl=pnl,
+                        cls_lensed=cls_lensed, cls_unlensed=cls_unlensed,
+                        cls_lens_potential=cls_lens_potential)
+    print("wrote", out, plin.shape, cls_lensed.shape)
 
 
 if __name__ == "__main__":
