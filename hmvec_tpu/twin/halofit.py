@@ -1,0 +1,99 @@
+"""Independent numpy/scipy oracle for Takahashi-2012 halofit.
+
+Same published fitting formulas (arXiv:1208.2701 Eqs A4-A13; constants
+necessarily identical) but deliberately DIFFERENT numerics from
+models/halofit.py: adaptive scipy.integrate.quad for the Gaussian spectral
+moments (vs the jax side's static 1536-point trapz grid) and scipy brentq
+for the sigma(R)=1 scale (vs fixed-count bisection).  Agreement between
+the two is then evidence the jax implementation's grid/bisection numerics
+are converged, not just self-consistent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.integrate import quad
+from scipy.optimize import brentq
+
+
+def _moments_quad(d2lin_of_k, R):
+    """sigma^2_G(R) and lnR-derivatives by adaptive quadrature."""
+    def integ(f):
+        val, _ = quad(lambda lnk: f(np.exp(lnk)),
+                      np.log(1e-5), np.log(1e4), limit=400)
+        return val
+
+    s2 = integ(lambda k: d2lin_of_k(k) * np.exp(-(k * R) ** 2))
+    d1 = integ(lambda k: d2lin_of_k(k) * np.exp(-(k * R) ** 2)
+               * (-2.0 * (k * R) ** 2))
+    d2 = integ(lambda k: d2lin_of_k(k) * np.exp(-(k * R) ** 2)
+               * (4.0 * (k * R) ** 4 - 4.0 * (k * R) ** 2))
+    dln1 = d1 / s2
+    dln2 = d2 / s2 - dln1**2
+    return s2, dln1, dln2
+
+
+def twin_halofit_power(twin, zs, ks):
+    """Nonlinear P(k,z) for a TwinCosmology (mirror of
+    models/halofit.halofit_power)."""
+    zs = np.atleast_1d(np.asarray(zs, dtype=np.float64))
+    ks = np.asarray(ks, dtype=np.float64)
+    out = np.zeros((zs.size, ks.size))
+
+    e2 = twin.e_of_z(zs) ** 2
+    omz = twin.omz(zs)
+    zp1 = 1.0 + zs
+    de = zp1 ** (3.0 * (1.0 + twin.w0 + twin.wa)) * np.exp(
+        -3.0 * twin.wa * (1.0 - 1.0 / zp1))
+    omde = twin.oml0 * de / e2
+    wz = twin.w0 + twin.wa * (1.0 - 1.0 / zp1)
+    omde_w = omde * (1.0 + wz)
+
+    for i, z in enumerate(zs):
+        def d2lin(k):
+            k = np.atleast_1d(k)
+            return (twin.plin(np.array([z]), k)[0] * k**3
+                    / (2.0 * np.pi**2))
+
+        def d2s(k):
+            return float(d2lin(k)[0])
+
+        def s2_of_lnR(lnR):
+            s2, _, _ = _moments_quad(d2s, np.exp(lnR))
+            return s2
+
+        lnR = brentq(lambda lr: s2_of_lnR(lr) - 1.0,
+                     np.log(1e-4), np.log(1e3), xtol=1e-12)
+        Rsig = np.exp(lnR)
+        ksig = 1.0 / Rsig
+        _, dln1, dln2 = _moments_quad(d2s, Rsig)
+        n = -3.0 - dln1
+        C = -dln2
+
+        # Takahashi 2012 Eqs (A6-A13)
+        an = 10.0 ** (1.5222 + 2.8553 * n + 2.3706 * n**2 + 0.9903 * n**3
+                      + 0.2250 * n**4 - 0.6038 * C + 0.1749 * omde_w[i])
+        bn = 10.0 ** (-0.5642 + 0.5864 * n + 0.5716 * n**2 - 1.5474 * C
+                      + 0.2279 * omde_w[i])
+        cn = 10.0 ** (0.3698 + 2.0404 * n + 0.8161 * n**2 + 0.5869 * C)
+        gamma_n = 0.1971 - 0.0843 * n + 0.8460 * C
+        alpha_n = abs(6.0835 + 1.3373 * n - 0.1959 * n**2 - 5.5274 * C)
+        beta_n = (2.0379 - 0.7354 * n + 0.3157 * n**2 + 1.2490 * n**3
+                  + 0.3980 * n**4 - 0.1682 * C)
+        mu_n = 0.0
+        nu_n = 10.0 ** (5.2105 + 3.6902 * n)
+
+        f1 = omz[i] ** -0.0307
+        f2 = omz[i] ** -0.0585
+        f3 = omz[i] ** 0.0743
+
+        d2l = d2lin(ks)
+        y = ks / ksig
+        fy = y / 4.0 + y**2 / 8.0
+        d2q = d2l * ((1.0 + d2l) ** beta_n / (1.0 + alpha_n * d2l)) \
+            * np.exp(-fy)
+        d2hp = (an * y ** (3.0 * f1)
+                / (1.0 + bn * y**f2 + (cn * f3 * y) ** (3.0 - gamma_n)))
+        d2h = d2hp / (1.0 + mu_n / y + nu_n / y**2)
+        out[i] = (d2q + d2h) * (2.0 * np.pi**2) / ks**3
+    return out
