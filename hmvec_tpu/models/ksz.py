@@ -151,15 +151,14 @@ def pge_err_core(pgv_int, kstar, chistar, volume_gpc3, kss, ks_bin_edges,
     cltot = get_interpolated_cls(Cls, chistar, kss)
     integrand = _sanitize(jnp.asarray(kss) / (pggtot * cltot))
     kss = jnp.asarray(kss)
-    ints = []
-    for kleft, kright in zip(ks_bin_edges[:-1], ks_bin_edges[1:]):
-        sel = jnp.logical_and(kss > kleft, kss <= kright)
-        y = jnp.where(sel, integrand, 0.0)
-        # trapezoid restricted to the bin (weights zeroed outside)
-        dx = jnp.diff(kss)
-        seg = (y[1:] + y[:-1]) / 2.0 * dx * (sel[1:] & sel[:-1])
-        ints.append(jnp.sum(seg))
-    ints = jnp.stack(ints)
+    # vectorized over bins: trapezoid segments masked per (bin, segment) --
+    # edges may be traced, so one compile covers any binning
+    edges = jnp.asarray(ks_bin_edges)
+    sel = (kss[None, :] > edges[:-1, None]) & (kss[None, :] <= edges[1:, None])
+    dx = jnp.diff(kss)
+    pair = sel[:, 1:] & sel[:, :-1]
+    seg = (integrand[1:] + integrand[:-1])[None, :] / 2.0 * dx[None, :] * pair
+    ints = seg.sum(axis=-1)
     return (volume * kstar**2 / 12.0 / jnp.pi**3 / chistar**2
             * pgv_int * ints) ** (-0.5)
 
@@ -598,9 +597,8 @@ def get_ksz_auto_signal_mafry(ells, volume_gpc3, zs, ngal_mpc3, bg,
     return pksz, cl
 
 
-def get_ksz_snr_survey(zs, dndz, zedges, Cls, fsky, Ngals, bs=None,
-                       sigz=None, params=None):
-    """Total kSZ SNR from survey specs (reference ksz.py:936-988).
+def _survey_bins(zs, dndz, zedges, fsky, Ngals, params):
+    """Host-side bin geometry: volumes, number densities, centers.
 
     Bin volumes use this framework's own background (the reference
     hardcodes astropy WMAP9 here, ksz.py:952 -- an inconsistency with the
@@ -608,29 +606,70 @@ def get_ksz_snr_survey(zs, dndz, zedges, Cls, fsky, Ngals, bs=None,
     """
     from .cosmology import Cosmology
     c = Cosmology(params=params, accuracy="low")
-    nbins = len(zedges) - 1
-    if bs is not None and len(bs) != nbins:
-        raise ValueError("bs must have one bias per bin")
     zs = np.asarray(zs)
     dndz = np.asarray(dndz)
     tdndz = np.trapezoid(dndz, zs)
-    vols_gpc3, ngals_mpc3, snrs, zcents, bgs = [], [], [], [], []
-    for i in range(nbins):
-        zmin, zmax = zedges[i], zedges[i + 1]
+    vols_gpc3, ngals_mpc3, zcents = [], [], []
+    for zmin, zmax in zip(zedges[:-1], zedges[1:]):
         zcent = (zmax + zmin) / 2.0
         chimin = float(c.comoving_radial_distance(zmin))
         chimax = float(c.comoving_radial_distance(zmax))
         vol = fsky * (4.0 / 3.0) * np.pi * (chimax**3 - chimin**3) / 1e9
-        vols_gpc3.append(vol)
         sel = np.logical_and(zs > zmin, zs <= zmax)
         fracz = np.trapezoid(dndz[sel], zs[sel]) / tdndz
+        vols_gpc3.append(vol)
         ngals_mpc3.append(Ngals * fracz / (vol * 1e9))
-        snr, fksz = get_ksz_snr(vol, zcent, ngals_mpc3[i], Cls,
+        zcents.append(zcent)
+    return vols_gpc3, ngals_mpc3, zcents
+
+
+def get_ksz_snr_survey(zs, dndz, zedges, Cls, fsky, Ngals, bs=None,
+                       sigz=None, params=None, **ksz_kwargs):
+    """Total kSZ SNR from survey specs (reference ksz.py:936-988).
+
+    Without photo-z damping this dispatches to the fused survey pipeline
+    (pipeline.make_ksz_survey_fn): all bins run as ONE vmapped XLA program
+    with traced bin parameters, instead of rebuilding the full halo-model
+    pipeline per bin as the reference does.  With ``sigz`` it falls back
+    to the per-bin class path (the photo-z-damped grids are bin-shaped).
+    Extra kwargs take the class-API names (ms, num_kS_bins,
+    electron_profile_nxs, ...) and are forwarded to either path.
+    """
+    nbins = len(zedges) - 1
+    if bs is not None and len(bs) != nbins:
+        raise ValueError("bs must have one bias per bin")
+    vols_gpc3, ngals_mpc3, zcents = _survey_bins(zs, dndz, zedges, fsky,
+                                                 Ngals, params)
+
+    if sigz is None:
+        from ..pipeline import make_ksz_survey_fn
+        from ..params import merge_params
+        p = merge_params(params)
+        fused_kw = dict(ksz_kwargs)
+        fused_kw["nxs"] = fused_kw.pop(
+            "electron_profile_nxs",
+            p["electron_density_profile_integral_numxs"])
+        fused_kw["xmax"] = fused_kw.pop(
+            "electron_profile_xmax",
+            p["electron_density_profile_integral_xmax"])
+        if "electron_profile_family" in fused_kw:
+            fused_kw["family"] = fused_kw.pop("electron_profile_family")
+        fn = make_ksz_survey_fn(nbins, **fused_kw)
+        tot, snrs, bgals = fn(params, np.asarray(zcents),
+                              np.asarray(vols_gpc3), np.asarray(ngals_mpc3),
+                              np.asarray(Cls, dtype=np.float64),
+                              bs=None if bs is None else np.asarray(bs))
+        snrs = np.asarray(snrs)
+        return (vols_gpc3, ngals_mpc3, zcents,
+                [float(b) for b in np.asarray(bgals)], snrs, float(tot))
+
+    snrs, bgs = [], []
+    for i in range(nbins):
+        snr, fksz = get_ksz_snr(vols_gpc3[i], zcents[i], ngals_mpc3[i], Cls,
                                 bs[i] if bs is not None else None,
-                                params=params, sigz=sigz)
+                                params=params, sigz=sigz, **ksz_kwargs)
         bgs.append(float(fksz.bgs[0]))
         snrs.append(float(snr))
-        zcents.append(zcent)
     snrs = np.asarray(snrs)
     return vols_gpc3, ngals_mpc3, zcents, bgs, snrs, float(
         np.sqrt(np.sum(snrs**2)))

@@ -360,7 +360,7 @@ def make_ksz_survey_fn(num_bins: int, lmax_cls: int = 10000,
     engine = engine or lpm.EHEngine()
     fit = dict(battaglia_defaults[family])
 
-    def one_bin(p, bg, z, vol_gpc3, ngal, Cls):
+    def one_bin(p, bg, z, vol_gpc3, ngal, Cls, b_ov):
         zs1 = jnp.reshape(z, (1,))
         msj = jnp.asarray(ms)
         ksj = jnp.asarray(ks)
@@ -431,22 +431,32 @@ def make_ksz_survey_fn(num_bins: int, lmax_cls: int = 10000,
         nvv = Nvv_core_integral(chistar, Fstar, jnp.asarray(mu), kLs, ksj,
                                 Cls, sPge[0], sPgg[0] + ngg)
 
-        lPgg = plin_L[0][None, :] * bgal[0] ** 2 + 0.0 * jnp.asarray(mu)[:, None]
-        lPgv = (plin_L[0] * bgal[0] * d2vs[0])[None, :] \
+        # optional per-bin bias override for the long-wavelength side
+        # (the reference's get_ksz_snr `bg` argument, ksz.py:443-449);
+        # sentinel <= 0 means "use the HOD-derived bias"
+        b_eff = jnp.where(b_ov > 0.0, b_ov, bgal[0])
+        lPgg = plin_L[0][None, :] * b_eff**2 + 0.0 * jnp.asarray(mu)[:, None]
+        lPgv = (plin_L[0] * b_eff * d2vs[0])[None, :] \
             + 0.0 * jnp.asarray(mu)[:, None]
         integrand = _sanitize(kLs[None, :] ** 2 * lPgv**2 / (lPgg + ngg)
                               / nvv)
         result = trapz_traced(integrand, kLs, axis=-1)
         snr2 = trapz_traced(result, jnp.asarray(mu)) / (2.0 * jnp.pi) ** 2
-        return jnp.sqrt(vol_gpc3 * 1e9 * snr2)
+        return jnp.sqrt(vol_gpc3 * 1e9 * snr2), bgal[0]
 
-    def fn(overrides, zcents, vols_gpc3, ngals, Cls):
+    def fn(overrides, zcents, vols_gpc3, ngals, Cls, bs=None):
         p = {**defaults, **(overrides or {})}
         bg = bgmod.background(p)
-        snrs = jax.vmap(lambda z, v, n: one_bin(p, bg, z, v, n,
-                                                jnp.asarray(Cls)))(
-            jnp.asarray(zcents), jnp.asarray(vols_gpc3), jnp.asarray(ngals))
-        return jnp.sqrt(jnp.sum(snrs**2)), snrs
+        zcents = jnp.asarray(zcents)
+        if bs is None:
+            bs_arr = jnp.full(zcents.shape, -1.0)
+        else:
+            bs_arr = jnp.asarray(bs)
+        snrs, bgals = jax.vmap(
+            lambda z, v, n, b: one_bin(p, bg, z, v, n, jnp.asarray(Cls),
+                                       b))(
+            zcents, jnp.asarray(vols_gpc3), jnp.asarray(ngals), bs_arr)
+        return jnp.sqrt(jnp.sum(snrs**2)), snrs, bgals
 
     del num_bins  # shape comes from the inputs; kept for API clarity
     return jax.jit(fn) if jit else fn

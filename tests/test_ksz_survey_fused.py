@@ -17,7 +17,7 @@ def test_survey_matches_single_bin():
     zc = np.array([0.45, 0.7])
     vols = np.array([8.0, 12.0])
     ngals = np.array([1.2e-4, 8e-5])
-    tot, snrs = fn({}, zc, vols, ngals, Cls)
+    tot, snrs, bgals = fn({}, zc, vols, ngals, Cls)
     fn1 = make_ksz_snr_fn(0.45, 8.0, 1.2e-4, **CFG)
     s1, _, _ = fn1({}, Cls)
     assert abs(float(snrs[0]) - float(s1)) / float(s1) < 1e-10
@@ -30,9 +30,9 @@ def test_survey_rebinning_without_recompile():
     """Traced bin parameters: the same compiled program serves any binning."""
     fn = make_ksz_survey_fn(2, **CFG)
     Cls = 1e-5 * np.ones(10000)
-    t1, _ = fn({}, np.array([0.4, 0.6]), np.array([5.0, 9.0]),
+    t1, _, _ = fn({}, np.array([0.4, 0.6]), np.array([5.0, 9.0]),
                np.array([1e-4, 1e-4]), Cls)
-    t2, _ = fn({}, np.array([0.5, 0.8]), np.array([7.0, 11.0]),
+    t2, _, _ = fn({}, np.array([0.5, 0.8]), np.array([7.0, 11.0]),
                np.array([2e-4, 5e-5]), Cls)
     assert np.isfinite(float(t1)) and np.isfinite(float(t2))
     assert float(t1) != float(t2)
@@ -43,9 +43,36 @@ def test_survey_grad():
     Cls = 1e-5 * np.ones(10000)
 
     def tot_of(omch2):
-        tot, _ = fn({"omch2": omch2}, np.array([0.45, 0.7]),
+        tot, _, _ = fn({"omch2": omch2}, np.array([0.45, 0.7]),
                     np.array([8.0, 12.0]), np.array([1.2e-4, 8e-5]), Cls)
         return tot
 
     g = jax.grad(tot_of)(jnp.asarray(0.1198))
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_reference_shaped_api_matches_per_bin_class_path():
+    """get_ksz_snr_survey (now fused-dispatched) agrees with the per-bin
+    class pipeline it replaced (VERDICT r1 item #10)."""
+    from hmvec_tpu.models.ksz import get_ksz_snr_survey, get_ksz_snr, \
+        _survey_bins
+
+    zs = np.linspace(0.3, 0.9, 30)
+    dndz = np.exp(-((zs - 0.6) ** 2) / 0.02)
+    Cls = 1e-5 * np.ones(10000)
+    zedges = [0.4, 0.6, 0.8]
+    kw = dict(ms=MS, num_kL_bins=20, num_kS_bins=21, num_mu_bins=12,
+              electron_profile_nxs=512, electron_profile_xmax=10)
+    vols, ngals, zcents, bgs, snrs, tot = get_ksz_snr_survey(
+        zs, dndz, zedges=zedges, Cls=Cls, fsky=0.3, Ngals=1e6, **kw)
+    # eager per-bin loop (the old implementation)
+    for i in range(2):
+        s_i, fksz = get_ksz_snr(vols[i], zcents[i], ngals[i], Cls, **kw)
+        np.testing.assert_allclose(float(snrs[i]), float(s_i), rtol=1e-7)
+        np.testing.assert_allclose(bgs[i], float(fksz.bgs[0]), rtol=1e-7)
+    # bias override path
+    *_, snrs_b, tot_b = get_ksz_snr_survey(
+        zs, dndz, zedges=zedges, Cls=Cls, fsky=0.3, Ngals=1e6,
+        bs=[2.0, 2.5], **kw)
+    s_b0, _ = get_ksz_snr(vols[0], zcents[0], ngals[0], Cls, bg=2.0, **kw)
+    np.testing.assert_allclose(float(snrs_b[0]), float(s_b0), rtol=1e-7)
