@@ -34,16 +34,61 @@ def sigma_nfw(R, rs, rhoscale):
     return 2.0 * rs * rhoscale * f
 
 
+def _gauss_legendre(n):
+    import numpy as np
+    x, w = np.polynomial.legendre.leggauss(n)
+    return jnp.asarray(x), jnp.asarray(w)
+
+
+def sigma_nfw_miscentered(R, rs, rhoscale, sig_off, n_off: int = 64,
+                          n_ang: int = 128, off_max_sigmas: float = 5.0):
+    """Miscentered NFW Sigma(R): Rayleigh-distributed centering offsets
+    (clusterlensing SurfaceMassDensity(offsets=...) semantics, following
+    Johnston et al 2007 / George et al 2012):
+
+        Sigma_off(R) = int dRoff P(Roff) <Sigma(|R - Roff|)>_angle,
+        P(Roff) = Roff/sig^2 exp(-Roff^2 / 2 sig^2).
+
+    Both integrals are fixed Gauss-Legendre quadratures (jit/grad-safe);
+    the C^1 kink of Sigma_NFW at R=rs limits convergence to ~3e-4 relative
+    at the defaults (validated against adaptive scipy quadrature in
+    tests/test_cluster_lensing_ext.py) -- far below any observational
+    relevance of the miscentering nuisance.
+    R: (..., ntheta); rs, rhoscale: broadcastable; sig_off: (...,) offset
+    scale in the same length units as R.
+    """
+    xo, wo = _gauss_legendre(n_off)
+    xa, wa = _gauss_legendre(n_ang)
+    sig = jnp.asarray(sig_off)[..., None]
+    # R_off nodes on (0, off_max_sigmas * sig]
+    roff = (xo + 1.0) / 2.0 * off_max_sigmas * sig[..., None]   # (...,1,no)
+    wroff = wo * off_max_sigmas * sig[..., None] / 2.0
+    prayl = roff / sig[..., None] ** 2 * jnp.exp(
+        -(roff**2) / (2.0 * sig[..., None] ** 2))
+    # angle nodes on [0, pi], mean = (1/pi) int
+    ang = (xa + 1.0) / 2.0 * jnp.pi                              # (na,)
+    wang = wa / 2.0                                              # sums to 1
+    Rb = jnp.asarray(R)[..., None, None]                         # (...,nt,1,1)
+    ro = roff[..., None]                                         # (...,1,no,1)
+    arg = jnp.sqrt(jnp.maximum(
+        Rb**2 + ro**2 - 2.0 * Rb * ro * jnp.cos(ang), 1e-30))
+    sig_c = sigma_nfw(arg, rs[..., None, None], rhoscale[..., None, None])
+    sig_ang = (sig_c * wang).sum(-1)                             # (...,nt,no)
+    return (sig_ang * prayl * wroff).sum(-1)
+
+
 def sigma_1h_profiles(bg, zs, thetas, Ms, concs, sig_theta=None, delta=200,
-                      rho="mean", rho_at_z=True):
+                      rho="mean", rho_at_z=True, n_off: int = 64,
+                      n_ang: int = 128):
     """1-halo Sigma(theta) per z (reference hmvec.py:574-591 semantics,
-    without the clusterlensing dependency; offsets unsupported).
+    without the clusterlensing dependency).  ``sig_theta`` is the Gaussian
+    miscentering scale in radians; the reference converts it to a physical
+    offset via the angular-diameter distance (hmvec.py:581) and hands it to
+    clusterlensing -- reproduced here natively.
 
     Returns (nz, ntheta)."""
     from . import background as bgmod
     from .mass_function import R_from_M
-    if sig_theta is not None:
-        raise NotImplementedError("miscentering offsets not implemented")
     zs = jnp.asarray(zs)
     Ms = jnp.asarray(Ms)
     concs = jnp.asarray(concs)
@@ -56,7 +101,11 @@ def sigma_1h_profiles(bg, zs, thetas, Ms, concs, sig_theta=None, delta=200,
     rs = Rdeltas / concs
     rhocrits = bgmod.rho_critical_z(bg, zs)
     delta_c = Ms / 4.0 / jnp.pi / rs**3 / rhocrits / fcon(concs)
-    return sigma_nfw(rbins, rs[:, None], delta_c[:, None])
+    if sig_theta is None:
+        return sigma_nfw(rbins, rs[:, None], delta_c[:, None])
+    offsets = chis * sig_theta                                 # (nz,)
+    return sigma_nfw_miscentered(rbins, rs[:, None], delta_c[:, None],
+                                 offsets, n_off=n_off, n_ang=n_ang)
 
 
 def kappa_1h_profiles(bg, zs, thetas, Ms, concs, zsource, **kw):

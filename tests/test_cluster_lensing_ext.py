@@ -1,0 +1,128 @@
+"""Cluster-lensing miscentering + Schneider baryon-suppression envelope
+(VERDICT r1 item #9)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from hmvec_tpu.models.background import background
+from hmvec_tpu.models.cluster_lensing import (sigma_nfw,
+                                              sigma_nfw_miscentered,
+                                              sigma_1h_profiles,
+                                              kappa_1h_profiles)
+from hmvec_tpu.params import merge_params
+
+
+def test_miscentered_sigma_vs_scipy_quad():
+    """Fixed Gauss-Legendre quadratures vs adaptive scipy dblquad of the
+    Rayleigh-offset convolution (clusterlensing semantics)."""
+    from scipy.integrate import quad
+
+    rs, rhoscale, sig = 0.3, 2.5e14, 0.25
+
+    def sigma_c(r):
+        return float(sigma_nfw(jnp.asarray([r]), rs, rhoscale)[0])
+
+    def sigma_off_quad(R):
+        def inner(roff):
+            ang, _ = quad(lambda th: sigma_c(
+                np.sqrt(R**2 + roff**2 - 2 * R * roff * np.cos(th))),
+                0.0, np.pi, limit=200)
+            p = roff / sig**2 * np.exp(-roff**2 / (2 * sig**2))
+            return p * ang / np.pi
+        val, _ = quad(inner, 1e-6, 8 * sig, limit=200)
+        return val
+
+    Rs = np.array([0.05, 0.2, 0.5, 1.5])
+    got = np.asarray(sigma_nfw_miscentered(
+        jnp.asarray(Rs)[None, :], jnp.asarray([[rs]]),
+        jnp.asarray([[rhoscale]]), jnp.asarray([sig])))[0]
+    want = np.array([sigma_off_quad(R) for R in Rs])
+    # the Sigma_NFW C^1 kink at R=rs limits fixed-GL convergence; 5e-4 is
+    # the documented accuracy of the default node counts
+    np.testing.assert_allclose(got, want, rtol=5e-4)
+
+
+def test_miscentering_properties():
+    """Flattens the core, conserves the projected mass budget roughly,
+    converges to the centered profile as sig -> 0."""
+    rs, rhoscale = 0.25, 3e14
+    R = jnp.geomspace(0.01, 5.0, 200)
+    cen = np.asarray(sigma_nfw(R, rs, rhoscale))
+    off = np.asarray(sigma_nfw_miscentered(
+        R[None, :], jnp.asarray([[rs]]), jnp.asarray([[rhoscale]]),
+        jnp.asarray([0.3])))[0]
+    assert off[0] < cen[0] * 0.5            # core strongly suppressed
+    assert abs(off[-1] / cen[-1] - 1) < 0.05  # far field unchanged
+    tiny = np.asarray(sigma_nfw_miscentered(
+        R[None, :], jnp.asarray([[rs]]), jnp.asarray([[rhoscale]]),
+        jnp.asarray([1e-4])))[0]
+    np.testing.assert_allclose(tiny, cen, rtol=1e-3)
+
+
+def test_sigma_1h_profiles_with_sig_theta():
+    """The reference API path: sig_theta in radians, converted to physical
+    offsets via D_A (hmvec.py:577-589)."""
+    bg = background(merge_params())
+    zs = np.array([0.3, 0.7])
+    thetas = np.geomspace(1e-4, 3e-3, 30)
+    Ms = np.array([3e14, 5e14])
+    cs = np.array([5.0, 4.0])
+    cen = np.asarray(sigma_1h_profiles(bg, zs, thetas, Ms, cs))
+    off = np.asarray(sigma_1h_profiles(bg, zs, thetas, Ms, cs,
+                                       sig_theta=3e-4))
+    assert cen.shape == off.shape == (2, 30)
+    assert np.all(np.isfinite(off)) and np.all(off > 0)
+    assert np.all(off[:, 0] < cen[:, 0])
+    kap = np.asarray(kappa_1h_profiles(bg, zs, thetas, Ms, cs,
+                                       zsource=1.5, sig_theta=3e-4))
+    assert kap.shape == (2, 30) and np.all(kap > 0)
+
+
+SCHNEIDER_DIR = "/root/reference/hmvec/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(SCHNEIDER_DIR),
+                    reason="reference data not available")
+def test_baryon_suppression_vs_schneider_curves():
+    """Quantitative envelope vs the digitized Horizon-AGN/OWLS suppression
+    curves the reference validates against visually (bin/tests.py:517-547,
+    data read from the read-only reference tree)."""
+    from hmvec_tpu.models.halo_model import HaloModel
+
+    zs = np.array([0.0])
+    ms = np.geomspace(1e8, 1e16, 300)
+    h = merge_params()["H0"] / 100.0
+    kh_agn, agn = np.loadtxt(os.path.join(SCHNEIDER_DIR,
+                                          "schneider_horizon_agn.csv"),
+                             delimiter=",", unpack=True)
+    kh_owls, owls = np.loadtxt(os.path.join(SCHNEIDER_DIR,
+                                            "schneider_owls.csv"),
+                               delimiter=",", unpack=True)
+    ks = np.geomspace(0.05, 20.0, 120)      # Mpc^-1 (curves are in h/Mpc)
+
+    hm = HaloModel(zs, ks, ms=ms)
+    hm.add_battaglia_profile("e", family="AGN", nxs=4096, xmax=50)
+    Pnn = np.asarray(hm.get_power("nfw"))
+    Pne = np.asarray(hm.get_power("nfw", "e"))
+    Pee = np.asarray(hm.get_power("e"))
+    ratio = np.asarray(hm.total_matter_power_spectrum(Pnn, Pne, Pee))[0] \
+        / Pnn[0]
+
+    def at(kh_curve):
+        return np.interp(kh_curve * h, ks, ratio)
+
+    # the reference's plot compares on k/h in [0.08, 25] with y in
+    # [0.68, 1.04]; quantitatively our curve should track Horizon-AGN
+    # within ~6% absolute over the trustworthy range and stay within the
+    # band the two simulations span (padded 4%)
+    sel = (kh_agn > 0.2) & (kh_agn < 10.0)
+    diff = np.abs(at(kh_agn) - agn)[sel]
+    assert np.all(diff < 0.06), diff.max()
+    owls_on_agn = np.interp(kh_agn, kh_owls, owls)
+    lo = np.minimum(agn, owls_on_agn) - 0.04
+    hi = np.maximum(agn, owls_on_agn) + 0.04
+    r = at(kh_agn)
+    assert np.all((r[sel] > lo[sel]) & (r[sel] < hi[sel]))
