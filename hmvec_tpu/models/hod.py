@@ -138,6 +138,31 @@ class HODGrid(NamedTuple):
     log10mthresh: jnp.ndarray
 
 
+def _nc_ns_precomp(log10mstar, masses, zs, thresh, hod_params,
+                   Msat_override=None, Mcut_override=None):
+    """<Nc>, <Ns> given the precomputed Behroozi inversion log10mstar =
+    M*(M_halo) and masses = 10**log10mhalo on the (z, m) grid.
+
+    The grid inversion (mstellar_from_mhalo: a (nz, 4000)-point Behroozi
+    sweep + interp) depends only on the *mass grid*, not on the threshold
+    being solved -- hoisting it out of the 90-iteration ngal bisection is
+    the difference between 91 and 1 evaluations.  Bit-identical to
+    avg_nc/avg_ns (same ops, same order)."""
+    num = thresh - log10mstar
+    denom = jnp.sqrt(2.0) * hod_params["hod_sig_log_mstellar"]
+    Nc = 0.5 * (1.0 - erf(num / denom))
+    mthresh_halo = mhalo_from_mstellar(zs, jnp.asarray(thresh))
+    Msat = (Msat_override if Msat_override is not None
+            else _default_mfunc(mthresh_halo, hod_params["hod_Bsat"],
+                                hod_params["hod_betasat"]))
+    Mcut = (Mcut_override if Mcut_override is not None
+            else _default_mfunc(mthresh_halo, hod_params["hod_Bcut"],
+                                hod_params["hod_betacut"]))
+    Ns = (Nc * (masses / Msat) ** hod_params["hod_alphasat"]
+          * jnp.exp(-Mcut / masses))
+    return Nc, Ns
+
+
 def ngal_from_mthresh(log10mthresh, zs, nzm, ms, hod_params,
                       Msat_override=None, Mcut_override=None, weights=None):
     """n_gal(z) = int dm n(z,m) (Nc+Ns) (hmvec.py:936-957).
@@ -162,10 +187,17 @@ def build_hod(zs, ms, nzm, bh, hod_params, mthresh=None, ngal=None,
     w = trapz_weights(np.asarray(ms))  # static, before any tracing
     zs = jnp.asarray(zs)
     ms = jnp.asarray(ms)
+    log10mhalo = jnp.log10(ms)[None, :]
+    # threshold-independent precomputation (hoisted out of the bisection)
+    log10mstar = mstellar_from_mhalo(zs, log10mhalo)
+    masses = 10.0 ** log10mhalo
+    wj = jnp.asarray(w)
     if ngal is not None:
         def nfunc(log10mthresh):
-            return ngal_from_mthresh(log10mthresh, zs, nzm, ms, hod_params,
-                                     Msat_override, Mcut_override, weights=w)
+            Nc, Ns = _nc_ns_precomp(log10mstar, masses, zs,
+                                    log10mthresh[:, None], hod_params,
+                                    Msat_override, Mcut_override)
+            return (nzm * (Nc + Ns)) @ wj
 
         log10mthresh = invert_monotone(
             nfunc, jnp.asarray(ngal),
@@ -176,15 +208,12 @@ def build_hod(zs, ms, nzm, bh, hod_params, mthresh=None, ngal=None,
         mthresh = 10.0 ** (log10mthresh * hod_params["hod_A_log10mthresh"])
     mthresh = jnp.asarray(mthresh)
 
-    log10mhalo = jnp.log10(ms)[None, :]
     thresh = jnp.log10(mthresh)[:, None]
-    Nc = avg_nc(log10mhalo, zs, thresh, hod_params["hod_sig_log_mstellar"])
-    Ns = avg_ns(log10mhalo, zs, thresh, Nc, hod_params,
-                Msat_override, Mcut_override)
+    Nc, Ns = _nc_ns_precomp(log10mstar, masses, zs, thresh, hod_params,
+                            Msat_override, Mcut_override)
     NsNsm1 = avg_nsnsm1(Nc, Ns, corr)
     NcNs = avg_ncns(Nc, Ns, corr)
 
-    wj = jnp.asarray(w)
     ngal_out = (nzm * (Nc + Ns)) @ wj
     bg = ((nzm * (Nc + Ns) * bh) @ wj) / ngal_out
     return HODGrid(Nc=Nc, Ns=Ns, NsNsm1=NsNsm1, NcNs=NcNs,
