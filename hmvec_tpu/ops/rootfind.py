@@ -16,11 +16,16 @@ import jax.numpy as jnp
 
 
 def invert_monotone(func, targets, lo, hi, num_iter: int = 90,
-                    increasing: bool = True):
+                    increasing: bool = True, unroll: int = 10):
     """Solve func(y) = targets for y in [lo, hi], func monotone elementwise.
 
     func maps an array of y to an array of func(y) of the same shape as
     ``targets``.  Replaces utils.vectorized_bisection_search.
+
+    ``unroll``: loop-unroll factor.  The solve bodies here are tiny (z,m)
+    elementwise grids, so the serial lax.fori_loop step overhead (~70 us on
+    the tunneled TPU) dominates; unrolling amortizes it without changing
+    the iteration count or results.
     """
     targets = jnp.asarray(targets)
     lo = jnp.broadcast_to(jnp.asarray(lo, dtype=targets.dtype), targets.shape)
@@ -33,11 +38,12 @@ def invert_monotone(func, targets, lo, hi, num_iter: int = 90,
         go_right = (val < targets) if increasing else (val > targets)
         return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi),
+                               unroll=min(unroll, num_iter))
     return (lo + hi) / 2.0
 
 
-def solve_bisection_root(f, lo, hi, num_iter: int = 90):
+def solve_bisection_root(f, lo, hi, num_iter: int = 90, unroll: int = 10):
     """Find f(y)=0 for f monotone-decreasing elementwise on [lo, hi]."""
     lo = jnp.asarray(lo)
     hi = jnp.asarray(hi)
@@ -50,5 +56,6 @@ def solve_bisection_root(f, lo, hi, num_iter: int = 90):
         go_right = val > 0
         return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi),
+                               unroll=min(unroll, num_iter))
     return (lo + hi) / 2.0

@@ -171,30 +171,67 @@ def uk_brute_force(r, rho, rvir, ks):
     return trap(integrand.T) / m
 
 
-def resample_uniform_source(u, dkt, scales, ks):
+def _pair_lerp_gather(u, i0, frac):
+    """Reference lowering: two dynamic gathers + lerp (used on CPU and as
+    the differentiation rule -- gathers transpose to scatters cleanly)."""
+    u0 = jnp.take_along_axis(u, i0, axis=-1)
+    u1 = jnp.take_along_axis(u, i0 + 1, axis=-1)
+    return u0 + frac * (u1 - u0)
+
+
+@jax.custom_jvp
+def _pair_lerp_tpu(u, i0, frac):
+    """lerp(u, i0, frac) with the Pallas in-VMEM pair-selection kernel.
+
+    XLA's elementwise dynamic gather costs ~25 ns/element on this TPU
+    (~230 ms on the config-2 grid; tools/microbench_resample.py), so the
+    primal runs the mask-reduction kernel instead -- bit-identical f64
+    (exact hi/lo split + one-hot selection).  Differentiation falls back
+    to the gather form via the custom_jvp below (tangents are linear in
+    u/frac, so reverse mode transposes them to scatters automatically).
+    """
+    from .pallas_resample import select_pairs
+    u0, u1 = select_pairs(u, i0)
+    return u0 + frac * (u1 - u0)
+
+
+@_pair_lerp_tpu.defjvp
+def _pair_lerp_tpu_jvp(primals, tangents):
+    u, i0, frac = primals
+    du, _di0, dfrac = tangents
+    u0 = jnp.take_along_axis(u, i0, axis=-1)
+    u1 = jnp.take_along_axis(u, i0 + 1, axis=-1)
+    val = u0 + frac * (u1 - u0)
+    du0 = jnp.take_along_axis(du, i0, axis=-1)
+    du1 = jnp.take_along_axis(du, i0 + 1, axis=-1)
+    dval = du0 + frac * (du1 - du0) + dfrac * (u1 - u0)
+    return val, dval
+
+
+def resample_uniform_source(u, dkt, scales, ks, method: str = "auto"):
     """Vectorized replacement for the reference's _interp_loop (fft.py:97-115).
 
     u:      (..., nkt) profile transform on the uniform grid kt_i = i*dkt
     scales: (...,)      per-profile scale s = r_s * (1+z); the physical
                         output grid is kout_i = kt_i / s
     ks:     (nk,)       target wavenumbers
+    method: 'auto' (pallas kernel on TPU, gathers on CPU) | 'gather' |
+            'pallas'
 
     For each batch element, np.interp(ks, kout[1:], u[1:], left=u[1],
     right=0) reduces to interpolation at fractional index p = k*s/dkt.
-
-    TPU note: dynamic gathers are the cost center here (~25 ns/element).
-    Single-gather variants (f32-pair bitcast packing; stacked-pair gather)
-    were tried and either fail to compile or crash the TPU worker inside
-    larger pipelines, so the portable two-gather form is used.
     """
     nkt = u.shape[-1]
     p = jnp.asarray(ks) * scales[..., None] / dkt      # (..., nk)
     # clamp to the valid lerp window [1, nkt-2]; boundary handled below
     i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 1, nkt - 2)
     frac = p - i0
-    u0 = jnp.take_along_axis(u, i0, axis=-1)
-    u1 = jnp.take_along_axis(u, i0 + 1, axis=-1)
-    val = u0 + frac * (u1 - u0)
+    if method == "auto":
+        method = "gather" if jax.default_backend() == "cpu" else "pallas"
+    if method == "pallas":
+        val = _pair_lerp_tpu(u, i0, frac)
+    else:
+        val = _pair_lerp_gather(u, i0, frac)
     left = u[..., 1:2]                                 # flat below first kt>0
     val = jnp.where(p < 1.0, left, val)
     val = jnp.where(p > nkt - 1.0, 0.0, val)           # zero above Nyquist

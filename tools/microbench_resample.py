@@ -30,6 +30,7 @@ def _timeit(fn, *args, iters=7):
 
 def main():
     import jax
+    jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/hmvec_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if "--cpu" in sys.argv:
@@ -121,7 +122,69 @@ def main():
         u0 = jnp.take_along_axis(u, i0, axis=-1)
         return finish(u, p, u0).sum()
 
+    @jax.jit
+    def v_c64pair(u, scales):
+        # ONE c64 gather fetching the lerp pair (u0, du) packed re/im
+        p, i0, frac = prep(scales)
+        uh = u.astype(jnp.float32)
+        du = jnp.diff(uh, axis=-1)
+        du = jnp.concatenate([du, jnp.zeros_like(du[..., :1])], -1)
+        pair = jax.lax.complex(uh, du)                # c64
+        g = jnp.take_along_axis(pair, i0, axis=-1)
+        val = (g.real + frac.astype(jnp.float32) * g.imag).astype(jnp.float64)
+        return finish(u, p, val).sum()
+
+    @jax.jit
+    def v_c64ds(u, scales):
+        # double-single: two c64 gathers (hi pair + lo pair)
+        p, i0, frac = prep(scales)
+        uh = u.astype(jnp.float32)
+        ul = (u - uh.astype(jnp.float64)).astype(jnp.float32)
+
+        def mk(x):
+            d = jnp.diff(x, axis=-1)
+            d = jnp.concatenate([d, jnp.zeros_like(d[..., :1])], -1)
+            return jax.lax.complex(x, d)
+
+        gh = jnp.take_along_axis(mk(uh), i0, axis=-1)
+        gl = jnp.take_along_axis(mk(ul), i0, axis=-1)
+        u0 = gh.real.astype(jnp.float64) + gl.real.astype(jnp.float64)
+        du = gh.imag.astype(jnp.float64) + gl.imag.astype(jnp.float64)
+        return finish(u, p, u0 + frac * du).sum()
+
+    def make_slice_variant(W, S):
+        # chunked gather: fetch width-W slices at stride S, then select
+        # the (lo, lo+1) pair with static one-hot masks (no elementwise
+        # dynamic gather -- the chunk fetch is a slice-gather)
+        nch = -(-(nkt - W) // S) + 1
+        pad = S * (nch - 1) + W - nkt
+        idx = (S * np.arange(nch))[:, None] + np.arange(W)[None, :]
+
+        @jax.jit
+        def fn(u, scales):
+            p, i0, frac = prep(scales)
+            up = jnp.pad(u, [(0, 0)] * (u.ndim - 1) + [(0, pad)])
+            O = up[..., idx]                       # (nz, nm, nch, W) static
+            h = jnp.clip(i0 // S, 0, nch - 1)
+            lo = i0 - h * S
+            B = nz * nm
+            Of = O.reshape(B, nch, W)
+            hf = h.reshape(B, nk)
+            G = jax.vmap(lambda o, hh: jnp.take(o, hh, axis=0))(Of, hf)
+            G = G.reshape(nz, nm, nk, W)
+            lane = jnp.arange(W)
+            u0 = jnp.sum(jnp.where(lane == lo[..., None], G, 0.0), -1)
+            u1 = jnp.sum(jnp.where(lane == (lo + 1)[..., None], G, 0.0), -1)
+            return finish(u, p, u0 + frac * (u1 - u0)).sum()
+
+        return fn
+
     variants = [("base 2x f64 gather", v_base),
+                ("c64 pair 1x gather", v_c64pair),
+                ("c64 ds 2x gather", v_c64ds),
+                ("slice W8/S7", make_slice_variant(8, 7)),
+                ("slice W17/S16", make_slice_variant(17, 16)),
+                ("slice W128/S120", make_slice_variant(128, 120)),
                 ("concat 1x2nk gather", v_concat),
                 ("hi/lo 4x f32 gather", v_f32hilo),
                 ("f32-only 2x gather", v_f32only),
