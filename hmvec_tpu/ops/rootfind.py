@@ -15,8 +15,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _default_unroll():
+    """Unroll on TPU (serial loop overhead ~70 us/iter dominates the tiny
+    bodies); keep the loop rolled on CPU where the cost is trace/compile
+    size instead (tests, multichip dryrun)."""
+    return 1 if jax.default_backend() == "cpu" else 10
+
+
 def invert_monotone(func, targets, lo, hi, num_iter: int = 90,
-                    increasing: bool = True, unroll: int = 10):
+                    increasing: bool = True, unroll: int | None = None):
     """Solve func(y) = targets for y in [lo, hi], func monotone elementwise.
 
     func maps an array of y to an array of func(y) of the same shape as
@@ -38,12 +45,15 @@ def invert_monotone(func, targets, lo, hi, num_iter: int = 90,
         go_right = (val < targets) if increasing else (val > targets)
         return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
 
+    if unroll is None:
+        unroll = _default_unroll()
     lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi),
                                unroll=min(unroll, num_iter))
     return (lo + hi) / 2.0
 
 
-def solve_bisection_root(f, lo, hi, num_iter: int = 90, unroll: int = 10):
+def solve_bisection_root(f, lo, hi, num_iter: int = 90,
+                         unroll: int | None = None):
     """Find f(y)=0 for f monotone-decreasing elementwise on [lo, hi]."""
     lo = jnp.asarray(lo)
     hi = jnp.asarray(hi)
@@ -56,6 +66,8 @@ def solve_bisection_root(f, lo, hi, num_iter: int = 90, unroll: int = 10):
         go_right = val > 0
         return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
 
+    if unroll is None:
+        unroll = _default_unroll()
     lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi),
                                unroll=min(unroll, num_iter))
     return (lo + hi) / 2.0

@@ -50,19 +50,23 @@ def sine_dft(y, step, method: str = "auto", mixed_chunks: int = 16):
     y: (..., N) real.  Returns (..., N//2+1).
 
     Methods:
-      'fft'    -- rfft (c128 on CPU = exact; c64 on TPU, ~2e-7 rel-to-peak)
-      'matmul' -- dense DFT matmul in the input dtype (f64 on TPU runs on
-                  the slow emulated dot path: exact but ~21 GMAC/s)
-      'mixed'  -- double-single MXU path: split y and the sine matrix into
-                  (hi, lo) f32 pairs, run 3 f32 matmuls on the MXU per
-                  N-chunk, accumulate chunk results in f64.  ~50x faster
-                  than 'matmul' on TPU at ~1e-6 relative-to-peak accuracy
-                  (in-chunk f32 accumulation is the floor).
-      'auto'   -- CPU: fft (exact).  TPU: fft for power-of-two N (the XLA
-                  TPU FFT is fast there, ~2e-7 rel-to-peak), else mixed
-                  (XLA's FFT slows ~3x on non-pow2 N like the reference's
-                  default nxs=5000, and the f64 matmul path is ~12x slower
-                  than mixed).
+      'fft'     -- rfft (c128 on CPU = exact; c64 on TPU, ~2e-7 rel-to-peak)
+      'matmul'  -- dense DFT matmul in the input dtype (f64 on TPU runs on
+                   the slow emulated dot path: exact but ~21 GMAC/s)
+      'mixed'   -- double-single MXU path: split y and the sine matrix into
+                   (hi, lo) f32 pairs, run 3 f32 matmuls on the MXU per
+                   N-chunk, accumulate chunk results in f64.  ~50x faster
+                   than 'matmul' on TPU at ~1e-6 relative-to-peak accuracy
+                   (in-chunk f32 accumulation is the floor).
+      'mixed32' -- like 'mixed' but with y already f32 (2 matmuls: y
+                   against the hi and lo matrix parts, f64 chunk
+                   accumulation).  Input-quantization noise is spectrally
+                   flat and ~1e-8 of peak, so accuracy matches 'mixed'.
+      'auto'    -- CPU: fft (exact).  TPU: fft for power-of-two N (the XLA
+                   TPU FFT is fast there, ~2e-7 rel-to-peak), else mixed
+                   (XLA's FFT slows ~3x on non-pow2 N like the reference's
+                   default nxs=5000, and the f64 matmul path is ~12x slower
+                   than mixed); f32 input always takes mixed32.
     """
     n = y.shape[-1]
     nk = n // 2 + 1
@@ -70,6 +74,8 @@ def sine_dft(y, step, method: str = "auto", mixed_chunks: int = 16):
         on_cpu = jax.default_backend() == "cpu"
         if on_cpu:
             method = "fft"
+        elif y.dtype == jnp.float32:
+            method = "mixed32"
         elif y.dtype != jnp.float64:
             method = "matmul"
         else:
@@ -90,6 +96,8 @@ def sine_dft(y, step, method: str = "auto", mixed_chunks: int = 16):
         return out * step
     if method == "mixed":
         return _sine_dft_mixed(y, step, mixed_chunks)
+    if method == "mixed32":
+        return _sine_dft_mixed32(y, step, mixed_chunks)
     raise ValueError(method)
 
 
@@ -129,6 +137,35 @@ def _sine_dft_mixed(y, step, chunks: int):
     main = mm(yh, sh).astype(jnp.float64)
     cross = (mm(yh, sl) + mm(yl, sh)).astype(jnp.float64)
     out = (main + cross).sum(axis=0)          # f64 chunk accumulation
+    return out.reshape(*batch, nk) * step
+
+
+def _sine_dft_mixed32(y, step, chunks: int):
+    """mixed-path variant for f32 input: 2 f32 MXU matmuls per N-chunk
+    (y vs the hi/lo sine-matrix parts), f64 chunk accumulation."""
+    n = y.shape[-1]
+    nk = n // 2 + 1
+    nc = -(-n // chunks)
+    pad = nc * chunks - n
+    if pad:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
+    s64 = _sine_matrix(n, nk, "float64")
+    if pad:
+        s64 = np.pad(s64, [(0, pad), (0, 0)])
+    sh = jnp.asarray(s64.astype(np.float32)).reshape(chunks, nc, nk)
+    sl = jnp.asarray((s64 - s64.astype(np.float32)).astype(np.float32)
+                     ).reshape(chunks, nc, nk)
+
+    batch = y.shape[:-1]
+    yb = y.reshape(-1, chunks, nc).astype(jnp.float32)
+
+    def mm(a, b):  # (B, C, nc) x (C, nc, nk) -> (C, B, nk)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    out = (mm(yb, sh).astype(jnp.float64)
+           + mm(yb, sl).astype(jnp.float64)).sum(axis=0)
     return out.reshape(*batch, nk) * step
 
 
@@ -239,7 +276,8 @@ def resample_uniform_source(u, dkt, scales, ks, method: str = "auto"):
 
 
 def generic_profile_fft(rhofunc_x, cmaxs, rss, zs, ks, xmax, nxs,
-                        do_mass_norm: bool = True, method: str = "auto"):
+                        do_mass_norm: bool = True, method: str = "auto",
+                        sample_dtype=None):
     """Profile transform u(k|z,m) (reference: fft.py:56-94, TPU-native).
 
     rhofunc_x: callable sampling the profile on xs (returns (nz,nm,nxs) or
@@ -248,33 +286,48 @@ def generic_profile_fft(rhofunc_x, cmaxs, rss, zs, ks, xmax, nxs,
     rss:       (nz,nm) scale radii in Mpc (physical)
     zs:        (nz,) redshifts (for the physical->comoving k conversion)
     ks:        (nk,) target comoving wavenumbers
+    sample_dtype: dtype for the profile sampling stage.  None = auto:
+               float32 on TPU (the (z,m,nxs) exp/log stage runs on native
+               f32 instead of emulated f64; the cutoff mask stays f64-exact
+               and the mass norm accumulates in f64, so the deviation is
+               ~1e-7 relative -- far below the 1e-5 twin-parity gate),
+               float64 on CPU (bit-level parity with the numpy twin).
     Returns (ks, u) with u of shape (nz, nm, nk).
 
     Matches the reference's sampling conventions exactly, including its
     step = (xs[-1]-xs[0])/nxs (slightly different from the true spacing,
-    fft.py:46-48) so parity with the numpy twin is bit-level in f64.
+    fft.py:46-48).
     """
     xs_np = np.linspace(0.0, xmax, nxs + 1)[1:]
     xs = jnp.asarray(xs_np)
     step = (xs_np[-1] - xs_np[0]) / nxs
     dkt = 2.0 * np.pi / (nxs * step)
 
-    rhos = rhofunc_x(xs)
+    if sample_dtype is None:
+        sample_dtype = (jnp.float32 if jax.default_backend() != "cpu"
+                        else jnp.float64)
+    rhos = rhofunc_x(xs.astype(sample_dtype))
     if rhos.ndim == 1:
         rhos = rhos[None, None, :]
+    # cutoff mask from the f64 grid (a sample landing within f32-eps of
+    # the cutoff must not flip inclusion relative to the twin)
     theta = (xs[None, None, :] <= cmaxs[..., None]).astype(rhos.dtype)
     integrand = theta * rhos
+    xs_s = xs.astype(rhos.dtype)
     if do_mass_norm:
-        dx = jnp.diff(xs)
-        prof = integrand * xs[None, None, :] ** 2
-        mnorm = jnp.sum((prof[..., 1:] + prof[..., :-1]) * dx / 2.0, axis=-1)
+        dx = jnp.diff(xs_s)
+        prof = integrand * xs_s[None, None, :] ** 2
+        # f64 accumulation even for f32 samples (positive-term sum)
+        mnorm = jnp.sum((prof[..., 1:] + prof[..., :-1]) * dx / 2.0,
+                        axis=-1, dtype=jnp.float64).astype(jnp.float64)
     else:
-        mnorm = jnp.ones(rhos.shape[:-1], dtype=rhos.dtype)
+        mnorm = jnp.ones(rhos.shape[:-1], dtype=jnp.float64)
 
-    ukt = sine_dft(integrand * xs[None, None, :], step, method=method)
-    kts = jnp.arange(ukt.shape[-1], dtype=rhos.dtype) * dkt
+    ukt = sine_dft(integrand * xs_s[None, None, :], step, method=method)
+    kts = jnp.arange(ukt.shape[-1], dtype=jnp.float64) * dkt
     # u(kt) = ukt / kt / mnorm ; kt=0 entry is junk but never sampled
-    uk = ukt / jnp.where(kts == 0, 1.0, kts)[None, None, :] / mnorm[..., None]
+    uk = (ukt.astype(jnp.float64)
+          / jnp.where(kts == 0, 1.0, kts)[None, None, :] / mnorm[..., None])
 
     scales = rss * (1.0 + jnp.asarray(zs))[:, None]
     return jnp.asarray(ks), resample_uniform_source(uk, dkt, scales, ks)
