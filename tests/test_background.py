@@ -109,5 +109,5 @@ def test_plin_grad():
         bg = bgm.background(p)
         return jnp.sum(lpm.plin_approx(bg, jnp.asarray([0.5]), ks))
 
-    g = jax.grad(loss)(jnp.asarray(params["omch2"]))
+    g = jax.jit(jax.grad(loss))(jnp.asarray(params["omch2"]))
     assert np.isfinite(float(g)) and float(g) != 0.0

@@ -17,13 +17,27 @@ from hmvec_tpu.params import merge_params
 
 def test_miscentered_sigma_vs_scipy_quad():
     """Fixed Gauss-Legendre quadratures vs adaptive scipy dblquad of the
-    Rayleigh-offset convolution (clusterlensing semantics)."""
+    Rayleigh-offset convolution (clusterlensing semantics).
+
+    The centered Sigma used inside the scipy oracle is an independent
+    pure-numpy Wright & Brainerd closed form (also keeps the adaptive
+    quadrature fast -- a JAX dispatch per quad point made this test take
+    minutes)."""
     from scipy.integrate import quad
 
     rs, rhoscale, sig = 0.3, 2.5e14, 0.25
 
     def sigma_c(r):
-        return float(sigma_nfw(jnp.asarray([r]), rs, rhoscale)[0])
+        x = r / rs
+        if abs(x - 1.0) < 1e-9:
+            x = 1.0 + 1e-9
+        if x < 1.0:
+            s = np.sqrt(1.0 - x**2)
+            F = np.arctanh(s) / s
+        else:
+            s = np.sqrt(x**2 - 1.0)
+            F = np.arctan(s) / s
+        return 2.0 * rs * rhoscale * (1.0 - F) / (x**2 - 1.0)
 
     def sigma_off_quad(R):
         def inner(roff):

@@ -7,7 +7,6 @@ round 1 (models/ksz.py Nvv_core_integral)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from hmvec_tpu.pipeline import (make_pmm_fn, make_lensing_cls_fn,
                                 make_electron_fn, make_hod_fn,
@@ -23,15 +22,19 @@ PARAMS = list(FID)
 
 
 def _grad_ok(scalar_fn):
-    for name in PARAMS:
-        def loss(v, name=name):
-            ov = dict(FID)
-            ov[name] = v
-            return scalar_fn(ov)
-        g = float(jax.grad(loss)(jnp.asarray(FID[name])))
-        assert np.isfinite(g), (name, g)
+    # one jitted vector-grad: same per-parameter derivatives as 7 scalar
+    # grads, but a single trace/compile/backward pass (the suite runs on
+    # one CPU core; eager per-param grads dominated its wall time)
+    def loss(theta):
+        ov = {n: theta[i] for i, n in enumerate(PARAMS)}
+        return scalar_fn(ov)
+
+    g = np.asarray(jax.jit(jax.grad(loss))(
+        jnp.asarray([FID[n] for n in PARAMS])))
+    for i, name in enumerate(PARAMS):
+        assert np.isfinite(g[i]), (name, g[i])
         if name not in ("wa",):  # wa=0 can sit at a stationary point
-            assert g != 0.0, name
+            assert g[i] != 0.0, name
 
 
 def test_pmm_grads_all_params():
@@ -55,20 +58,14 @@ def test_hod_grads_all_params():
     _grad_ok(lambda ov: jnp.sum(fn(ov)[0]))
 
 
-@pytest.mark.parametrize("name", PARAMS)
-def test_ksz_snr_grad_per_param(name):
+def test_ksz_snr_grad_all_params():
     fn = make_ksz_snr_fn(0.55, 10.0, 1e-4, ms=MS, num_kL_bins=12,
                          num_kS_bins=13, num_mu_bins=8, nxs=256, xmax=10,
                          jit=False)
     Cls = 1e-5 * np.ones(10000)
 
-    def loss(v):
-        ov = dict(FID)
-        ov[name] = v
+    def snr_of(ov):
         snr, _, _ = fn(ov, Cls)
         return snr
 
-    g = float(jax.grad(loss)(jnp.asarray(FID[name])))
-    assert np.isfinite(g), (name, g)
-    if name != "wa":
-        assert g != 0.0, name
+    _grad_ok(snr_of)

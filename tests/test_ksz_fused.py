@@ -32,5 +32,5 @@ def test_fused_ksz_grad():
         snr, _, _ = fn({"omch2": omch2}, Cls)
         return snr
 
-    g = jax.grad(snr_of)(jnp.asarray(0.1198))
+    g = jax.jit(jax.grad(snr_of))(jnp.asarray(0.1198))
     assert np.isfinite(float(g)) and float(g) != 0.0

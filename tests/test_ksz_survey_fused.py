@@ -47,7 +47,7 @@ def test_survey_grad():
                     np.array([8.0, 12.0]), np.array([1.2e-4, 8e-5]), Cls)
         return tot
 
-    g = jax.grad(tot_of)(jnp.asarray(0.1198))
+    g = jax.jit(jax.grad(tot_of))(jnp.asarray(0.1198))
     assert np.isfinite(float(g)) and float(g) != 0.0
 
 

@@ -65,7 +65,7 @@ def test_electron_pipeline_grad():
         pee, pme = fn({"omch2": omch2})
         return jnp.sum(pee) + jnp.sum(pme)
 
-    g = jax.grad(loss)(jnp.asarray(0.1198))
+    g = jax.jit(jax.grad(loss))(jnp.asarray(0.1198))
     assert np.isfinite(float(g)) and float(g) != 0.0
 
 
@@ -80,5 +80,5 @@ def test_hod_pipeline_grad():
         pgg, pgm = fn({"As": As})
         return jnp.sum(pgg)
 
-    g = jax.grad(loss)(jnp.asarray(2.2e-9))
+    g = jax.jit(jax.grad(loss))(jnp.asarray(2.2e-9))
     assert np.isfinite(float(g)) and float(g) != 0.0

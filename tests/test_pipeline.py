@@ -28,7 +28,7 @@ def test_pipeline_grad():
     def loss(omch2):
         return jnp.sum(fn({"omch2": omch2}))
 
-    g = jax.grad(loss)(jnp.asarray(0.1198))
+    g = jax.jit(jax.grad(loss))(jnp.asarray(0.1198))
     assert np.isfinite(float(g)) and float(g) != 0.0
 
 
@@ -66,7 +66,7 @@ def test_sharded_fisher_step_runs_and_descends():
     mesh = make_mesh(8)
     ells = np.geomspace(30, 1000, 8)
     step, model = make_fisher_step_fn(ZS, KS, MS, ells, mesh, lr=1e-3)
-    data = model(jnp.asarray([1.0, 1.0]))  # fiducial-relative units
+    data = jax.jit(model)(jnp.asarray([1.0, 1.0]))  # fiducial-relative units
     theta0 = jnp.asarray([1.04, 1.08])
     theta1, loss0 = step(theta0, data)
     theta2, loss1 = step(theta1, data)
