@@ -36,6 +36,38 @@ def _fetch(out):
     return jax.tree_util.tree_map(np.asarray, out)
 
 
+def _packed(builder_fn):
+    """Wrap a multi-output pipeline so it returns ONE flat buffer.
+
+    Every output leaf fetched through the axon tunnel costs a separate
+    ~30 ms RPC round trip; concatenating inside the jitted program makes
+    the end-to-end latency one fetch, as a production consumer would.
+    Returns (packed_jit_fn, unpack) where unpack(flat) -> list of arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+    shapes = []
+
+    def packed(*args):
+        outs = builder_fn(*args)
+        if not isinstance(outs, (tuple, list)):
+            outs = (outs,)
+        del shapes[:]
+        shapes.extend(o.shape for o in outs)
+        return jnp.concatenate([o.ravel() for o in outs])
+
+    def unpack(flat):
+        flat = np.asarray(flat)
+        res, off = [], 0
+        for sh in shapes:
+            n = int(np.prod(sh))
+            res.append(flat[off:off + n].reshape(sh))
+            off += n
+        return res
+
+    return jax.jit(packed), unpack
+
+
 def _timeit(fn, *args, iters=10):
     _fetch(fn(*args))  # warmup past queue effects (first call compiled below)
     ts = []
@@ -115,35 +147,36 @@ def main():
 
     # ---- config 2: Battaglia electron Pee + Pme ----
     nxs, xmax = 4096, 20   # pow2 sampling: fast transform path on TPU
-    fn2 = make_electron_fn(zs, ks, ms, nxs=nxs, xmax=xmax)
+    fn2, unpack2 = _packed(make_electron_fn(zs, ks, ms, nxs=nxs, xmax=xmax,
+                                            jit=False))
     t2 = _timeit(fn2, overrides)
     t0 = time.perf_counter()
     tw.add_battaglia_profile("e", nxs=nxs, xmax=xmax)
     pee_t = tw.get_power("e")
     pme_t = tw.get_power("nfw", "e")
     tw2 = time.perf_counter() - t0
-    pee, pme = fn2(overrides)
+    pee, pme = unpack2(fn2(overrides))
     err2 = max(_relerr(pee, pee_t), _relerr(pme, pme_t))
     all_ok &= _emit("config2_battaglia_pee_pme", t2, tw2, err2)
 
     # ---- config 3: HOD Pgg + Pgm with iterative ngal solve ----
     ngal = np.full(zs.size, 1e-4)
-    fn3 = make_hod_fn(zs, ks, ms, ngal)
+    fn3, unpack3 = _packed(make_hod_fn(zs, ks, ms, ngal, jit=False))
     t3 = _timeit(fn3, overrides)
     t0 = time.perf_counter()
     tw.add_hod("g", ngal=ngal)
     pgg_t = tw.get_power("g")
     pgm_t = tw.get_power("g", "nfw")
     tw3 = time.perf_counter() - t0
-    pgg, pgm = fn3(overrides)
+    pgg, pgm = unpack3(fn3(overrides))
     err3 = max(_relerr(pgg, pgg_t), _relerr(pgm, pgm_t))
     all_ok &= _emit("config3_hod_pgg_pgm", t3, tw3, err3)
 
     # ---- config 4: Limber C_kk ----
     ells = np.geomspace(30, 3000, 60)
-    fn4 = make_lensing_cls_fn(zs, ks, ms, ells)
+    fn4, unpack4 = _packed(make_lensing_cls_fn(zs, ks, ms, ells, jit=False))
     t4 = _timeit(fn4, overrides)
-    ckk, _pmm4 = fn4(overrides)
+    ckk, _pmm4 = unpack4(fn4(overrides))
     t0 = time.perf_counter()
     pmm_t = tw.get_power("nfw")
     ckk_t = twin_limber.C_kk(tw, ells, zs, ks, pmm_t, 1100.0, 1100.0)
@@ -155,11 +188,12 @@ def main():
     # from per-op RPC latency; the fused pipeline is the production path.)
     ksz_ms = np.geomspace(1e8, 1e16, 500)
     ksz_cfg = dict(num_kL_bins=100, num_kS_bins=101, num_mu_bins=102)
-    fn5 = make_ksz_snr_fn(0.55, 10.0, 1e-4, ms=ksz_ms, nxs=nxs, xmax=xmax,
-                          **ksz_cfg)
+    fn5, unpack5 = _packed(make_ksz_snr_fn(0.55, 10.0, 1e-4, ms=ksz_ms,
+                                           nxs=nxs, xmax=xmax, jit=False,
+                                           **ksz_cfg))
     Cls = 1e-5 * np.ones(10000)
     t5 = _timeit(lambda ov: fn5(ov, Cls), overrides)
-    snr, nvv, _ = fn5(overrides, Cls)
+    snr, nvv, _ = unpack5(fn5(overrides, Cls))
     t0 = time.perf_counter()
     twk = TwinKSZ([0.55], [10.0], [1e-4], ms=ksz_ms,
                   electron_profile_nxs=nxs, electron_profile_xmax=xmax,

@@ -130,8 +130,11 @@ def _sine_dft_mixed(y, step, chunks: int):
     yh, yl = _split_hi_lo(yb)
 
     def mm(a, b):  # (B, C, nc) x (C, nc, nk) -> (C, B, nk)
+        # HIGHEST forces true-f32 MXU passes; the TPU default is
+        # bf16-class and costs ~5e-4 relative in the oscillatory sums
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
     main = mm(yh, sh).astype(jnp.float64)
@@ -162,6 +165,7 @@ def _sine_dft_mixed32(y, step, chunks: int):
     def mm(a, b):  # (B, C, nc) x (C, nc, nk) -> (C, B, nk)
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
     out = (mm(yb, sh).astype(jnp.float64)
