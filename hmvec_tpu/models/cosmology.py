@@ -9,6 +9,9 @@ tabulated P(z,k) standing in for CAMB/CLASS -- reference cosmology.py:17-25).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -17,6 +20,26 @@ from . import background as bgmod
 from . import limber as limb
 from . import linear_power as lpm
 from .transfer import transfer_eh98
+
+# Jitted entry points for the chunky eager class-API stages (compiled once
+# per grid shape, reused across instances; the fused pipelines in
+# hmvec_tpu.pipeline trace the un-jitted functions inside one program).
+_eh_pzk_j = jax.jit(lambda bg, zs, ks: lpm.EHEngine().pzk_grid(bg, zs, ks))
+_eh_plin_j = jax.jit(
+    lambda bg, zs, ks, accuracy: lpm.EHEngine().plin(bg, zs, ks,
+                                                     accuracy=accuracy),
+    static_argnames="accuracy")
+
+
+
+@functools.lru_cache(maxsize=16)
+def _sigma2_R_jit(kmin, kmax, numks, taylor_switch):
+    # the sigma^2 k-grid and its Simpson weights are host-side statics;
+    # key the compiled fn on the grid parameters
+    ks_s2 = lpm.sigma2_k_grid({"sigma2_kmin": kmin, "sigma2_kmax": kmax,
+                               "sigma2_numks": numks})
+    return jax.jit(lambda bg, R, zs, spzk: lpm.sigma2_R(
+        bg, R, zs, spzk, ks_s2, taylor_switch))
 
 
 def a2z(a):
@@ -155,6 +178,8 @@ class Cosmology:
                 return self.engine.pzk_grid(self.bg, zs, ks, nonlinear=True)
             from .halofit import halofit_power
             return halofit_power(self, zs, ks)
+        if self.engine.name == "eh":
+            return _eh_pzk_j(self.bg, zs, ks)
         return self.engine.pzk_grid(self.bg, zs, ks, nonlinear=False)
 
     def get_sigma2_R(self, R, zs, kmin=None, kmax=None, numks=None):
@@ -166,10 +191,15 @@ class Cosmology:
         if numks is not None:
             p["sigma2_numks"] = numks
         ks_s2 = lpm.sigma2_k_grid(p)
-        spzk = self.engine.plin(self.bg, zs, ks_s2, accuracy=self.accuracy)
+        if self.engine.name == "eh":
+            spzk = _eh_plin_j(self.bg, zs, ks_s2, self.accuracy)
+        else:
+            spzk = self.engine.plin(self.bg, zs, ks_s2,
+                                    accuracy=self.accuracy)
         R = jnp.atleast_1d(jnp.asarray(R))
-        return lpm.sigma2_R(self.bg, R, zs, spzk, ks_s2,
-                            self.p["Wkr_taylor_switch"])
+        f = _sigma2_R_jit(p["sigma2_kmin"], p["sigma2_kmax"],
+                          p["sigma2_numks"], self.p["Wkr_taylor_switch"])
+        return f(self.bg, R, zs, spzk)
 
     def get_sigma8(self, zs, kmin=1e-4, kmax=None, numks=1000):
         r = self.get_sigma2_R(8.0 / self.p["H0"] * 100.0, zs,

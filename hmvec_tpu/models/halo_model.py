@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..params import battaglia_defaults, scoped_override
 from ..ops.sine_transform import generic_profile_fft
 from .cosmology import Cosmology
@@ -19,6 +21,21 @@ from . import profiles as prof
 from . import power as pwr
 from .hod import build_hod
 from .mass_conversion import mdelta_from_mdelta
+
+# jitted entry points for the chunky class-API stages: the eager flow
+# dispatches op-by-op (slow on CPU from 4M-element temporaries per op,
+# ~23 ms/op over the TPU tunnel); these compile once per grid shape and
+# are reused across instances in-process
+_nfw_uk_analytic_j = jax.jit(prof.nfw_uk_analytic)
+_mdelta_j = jax.jit(mdelta_from_mdelta)
+_massfn_j = jax.jit(
+    lambda sigma2, zs, ms, rho_m0, mode, pnum: mfm.mass_function_grid(
+        sigma2, zs, ms, rho_m0, mode, pnum),
+    static_argnames="mode")
+
+
+def _numeric_params(p):
+    return {k: v for k, v in p.items() if isinstance(v, (int, float))}
 
 _HOD_PARAM_KEYS = [
     "hod_sig_log_mstellar", "hod_bisection_search_min_log10mthresh",
@@ -79,9 +96,9 @@ class HaloModel(Cosmology):
     def init_mass_function(self, ms):
         self.ms = jnp.asarray(ms)
         self.sigma2 = self.get_sigma2()
-        self.nzm, self.bh = mfm.mass_function_grid(
+        self.nzm, self.bh = _massfn_j(
             self.sigma2, self.zs, self.ms, self.rho_matter_z(0.0),
-            self.mode, self.p)
+            self.mode, _numeric_params(self.p))
 
     def get_nzm(self):
         return self.nzm
@@ -122,7 +139,7 @@ class HaloModel(Cosmology):
             from ..ops.pallas_kernels import nfw_uk_fast
             uk = nfw_uk_fast(self.ks, self.zs, cs, rss).astype(self.Pzk.dtype)
         else:
-            uk = prof.nfw_uk_analytic(self.ks, self.zs, cs, rss)
+            uk = _nfw_uk_analytic_j(self.ks, self.zs, cs, rss)
         self.uk_profiles[name] = uk
         return self.ks, uk
 
@@ -135,7 +152,7 @@ class HaloModel(Cosmology):
             delta_rhos1 = self.rho_matter_z(self.zs) * 200.0
         cs = self.concentration()
         delta_rhos2 = 200.0 * rhocritz
-        m200 = mdelta_from_mdelta(self.ms, cs, delta_rhos1, delta_rhos2)
+        m200 = _mdelta_j(self.ms, cs, delta_rhos1, delta_rhos2)
         r200 = mfm.R_from_M(m200, rhocritz[:, None], delta=200.0)
         return m200, r200, rhocritz
 
