@@ -176,6 +176,14 @@ class Cosmology:
         if nonlinear:
             if self.engine.name == "tabulated":
                 return self.engine.pzk_grid(self.bg, zs, ks, nonlinear=True)
+            # reference: halofit string is CAMB's halofit_version
+            # (cosmology.py:174, default 'mead'); dispatch natively
+            version = self.halofit
+            if version in (None, True):
+                version = self.p.get("default_halofit", "mead")
+            if version in ("mead", "mead2016", "hmcode"):
+                from .hmcode import hmcode_power
+                return hmcode_power(self, zs, ks)
             from .halofit import halofit_power
             return halofit_power(self, zs, ks)
         if self.engine.name == "eh":

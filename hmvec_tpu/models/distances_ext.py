@@ -151,8 +151,8 @@ def cmb_lensing_limber(cosmo, lmax, nonlinear=False, nz: int = 100,
     win = ((chistar - chis) / (chis**2 * chistar)) ** 2
 
     if nonlinear:
-        from .halofit import halofit_power
-        pk_of = lambda kq: halofit_power(cosmo, zs, kq)
+        # honors the cosmo.halofit version ('mead' -> HMcode, else Takahashi)
+        pk_of = lambda kq: cosmo._get_matter_power(zs, kq, nonlinear=True)
     else:
         pk_of = lambda kq: cosmo.engine.plin(bg, zs, kq,
                                              accuracy=cosmo.accuracy)

@@ -1,0 +1,238 @@
+"""HMcode nonlinear matter power (Mead et al 2015, arXiv:1505.07833,
+with the Mead et al 2016 updates, arXiv:1602.02154): the reference's
+default nonlinear model ('mead', hmvec/cosmology.py:174 -> CAMB
+halofit_version) implemented natively in jnp.
+
+HMcode is itself a halo model with emulator-fitted modifications, so it
+maps onto this package's existing machinery (sigma^2 matmuls, ST mass
+function, analytic NFW u(k) via Si/Ci):
+
+  * fitted virial overdensity    Dv(z)  = 418 * Om_m(z)^-0.352
+  * fitted collapse threshold    dc(z)  = 1.59 + 0.0314 ln sigma8(z),
+                                 x (1 + 0.0123 log10 Om_m(z))   [2016]
+  * halo bloating                u(k) -> u(nu^eta k),
+                                 eta = eta0 - 0.3 sigma8(z),
+                                 eta0 = 0.98 - 0.12 A            [2016]
+  * Bullock-2001 concentration   c(M,z) = A (1+z_f)/(1+z), with the
+                                 formation redshift from
+                                 g(z_f) sigma(f M, 0) = dc g(z), f = 0.01;
+                                 A = 3.13 is the baryonic-feedback knob
+  * one-halo large-scale damping Delta^2_1h *= (k/k*)^4/(1+(k/k*)^4),
+                                 k* = 0.584 / sigma_v(z)         [2016]
+  * two-halo perturbative damping P_2h = P_lin [1 - f tanh^2(k sigma_v
+                                 / sqrt(f))], f = 0.0095 sigma_v100^1.37
+                                 (sigma_v100 in Mpc/h)           [2016]
+  * quasi-linear smoothing       Delta^2 = (D2_2h^alpha +
+                                 D2_1h^alpha)^(1/alpha),
+                                 alpha = 3.24 * 1.85^neff        [2016]
+
+with neff from the top-hat variance at the nonlinear scale,
+3 + neff = -dln sigma^2/dln R at sigma(R, z) = 1.
+
+PROVENANCE NOTE: this environment has no network and no CAMB/HMcode
+source, so the fitted coefficients above are transcribed from the
+published papers without a machine-checked oracle; massive-neutrino and
+Dolag dark-energy corrections of the 2016 version are omitted (this
+package's linear power is EH98, mnu enters the background only).  The
+test suite pins the structural properties (linear limit, one-halo slope,
+feedback direction, Takahashi agreement envelope) rather than CAMB
+numbers; verify against CAMB 'mead' before using where percent-level
+absolute accuracy matters.  Everything is jit- and grad-compatible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.weights import trapz_weights
+from ..ops.special import Wkr
+from .profiles import nfw_uk_x
+from . import background as bgmod
+
+# static ln-k grid for the spectral moments (variance, displacement)
+_KG = np.geomspace(1e-4, 1e3, 1536)
+_LNKW = trapz_weights(np.log(_KG))
+
+# internal halo-mass grid (Msun, no h): wide enough that the nu-integral
+# tails are negligible at both ends for 0 <= z <~ 6
+_MS = np.geomspace(1e6, 1e18, 256)
+_LNMW = trapz_weights(np.log(_MS))
+
+# Sheth-Tormen g(nu) parameters, HMcode convention (Mead 2015 eq. 15-16)
+_ST_Q = 0.707
+_ST_P = 0.3
+# normalization so that int_0^inf g(nu) dnu = 1 (all mass in halos):
+# A = sqrt(2q) / (sqrt(pi) + 2^-p Gamma(1/2 - p))  [= 0.21616 for q,p above]
+from scipy.special import gamma as _scipy_gamma  # host-side constant only
+_ST_A = float(np.sqrt(2.0 * _ST_Q)
+              / (np.sqrt(np.pi) + 2.0 ** -_ST_P * _scipy_gamma(0.5 - _ST_P)))
+
+
+def _st_gnu(nu):
+    qnu2 = _ST_Q * nu**2
+    return _ST_A * (1.0 + qnu2 ** -_ST_P) * jnp.exp(-qnu2 / 2.0)
+
+
+def _xwprime(x, switch=0.05):
+    """x dW/dx for the top-hat window: 3 sin x / x - 3 W(x).
+
+    Taylor form -x^2/5 + x^4/70 below the switch (cancellation guard)."""
+    xs = jnp.where(x == 0, 1.0, x)
+    big = 3.0 * jnp.sin(xs) / xs - 3.0 * Wkr(x, 1.0)
+    small = -(x**2) / 5.0 + x**4 / 70.0
+    return jnp.where(x < switch, small, big)
+
+
+def _tophat_moments(delta2_g, R):
+    """(sigma^2(R), dln sigma^2/dln R) for top-hat smoothing.
+
+    delta2_g: (nz, nkg) dimensionless linear power on _KG; R broadcastable
+    to (nz, ...).  Contractions over k via static trapz-in-lnk weights."""
+    kg = jnp.asarray(_KG)
+    w = jnp.asarray(_LNKW)
+    x = kg * R[..., None]                         # (nz, ..., nkg)
+    W = Wkr(x, 1.0)
+    d2 = delta2_g[:, None, :] if x.ndim == 3 else delta2_g
+    s2 = (d2 * W**2) @ w
+    d1 = (d2 * 2.0 * W * _xwprime(x)) @ w         # dsigma^2/dlnR
+    return s2, d1 / s2
+
+
+def _sigma_v2(delta2_g, R):
+    """1-D displacement variance sigma_v^2(R) = (1/3) int dlnk D2(k)/k^2
+    W^2(kR) (Mead 2015 eq. 22).  R scalar (0 -> unfiltered)."""
+    kg = jnp.asarray(_KG)
+    w = jnp.asarray(_LNKW)
+    W2 = Wkr(kg * R, 1.0) ** 2
+    return (delta2_g * (W2 / kg**2)) @ w / 3.0
+
+
+def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
+                     num_iter: int = 60):
+    """HMcode-2016 nonlinear P(k,z) from precomputed linear power.
+
+    bg: BackgroundParams; zs: (nz,); ks: (nk,); plin_g: (nz, nkg) linear P
+    on the static _KG grid; plin: (nz, nk) on the target ks; sigma8_0:
+    scalar sigma_8(z=0).  Pure jnp, jit/grad-safe; callers jit.
+    """
+    zs = jnp.atleast_1d(jnp.asarray(zs))
+    ks = jnp.asarray(ks)
+    kg = jnp.asarray(_KG)
+    ms = jnp.asarray(_MS)
+    h = bg.H0 / 100.0
+    delta2_g = plin_g * kg[None, :] ** 3 / (2.0 * np.pi**2)
+
+    # --- fitted background quantities ---------------------------------
+    a = 1.0 / (1.0 + zs)
+    gz = bgmod.d_growth(bg, a, norm="z0norm")            # g(0) = 1
+    omz = bgmod.omz(bg, zs)
+    sigma8_z = sigma8_0 * gz
+    dc = ((1.59 + 0.0314 * jnp.log(sigma8_z))
+          * (1.0 + 0.0123 * jnp.log10(omz)))             # Mead16 table 1
+    Dv = 418.0 * omz ** -0.352
+    eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
+
+    sv2 = _sigma_v2(delta2_g, 0.0)                       # (nz,)
+    sv = jnp.sqrt(sv2)
+    sv100 = jnp.sqrt(_sigma_v2(delta2_g, 100.0 / h))     # R = 100 Mpc/h
+    fdamp = jnp.clip(0.0095 * (sv100 * h) ** 1.37, 1e-3, 0.99)
+    kstar = 0.584 / sv
+
+    # --- neff at the nonlinear scale (top-hat sigma = 1) ---------------
+    lo = jnp.full((zs.size,), jnp.log(1e-4))
+    hi = jnp.full((zs.size,), jnp.log(1e3))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) / 2.0
+        s2, _ = _tophat_moments(delta2_g, jnp.exp(mid))
+        go_right = s2 > 1.0          # sigma^2 decreasing in R
+        return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi))
+    _, dlns2_nl = _tophat_moments(delta2_g, jnp.exp((lo + hi) / 2.0))
+    neff = -3.0 - dlns2_nl
+    alpha = 3.24 * 1.85**neff
+
+    # --- halo ingredients on the internal mass grid --------------------
+    rho_m0 = bgmod.rho_matter_z(bg, 0.0)                 # comoving
+    rl = (3.0 * ms / (4.0 * np.pi * rho_m0)) ** (1.0 / 3.0)
+    sigma2_m, dlns2_m = _tophat_moments(
+        delta2_g, rl[None, :] + jnp.zeros((zs.size, 1)))  # (nz, nm)
+    sig = jnp.sqrt(sigma2_m)
+    nu = dc[:, None] / sig
+    # dnu/dlnM = -(nu/6) dln sigma^2/dln R  (dlnR/dlnM = 1/3)
+    dnu_dlnm = -(nu / 6.0) * dlns2_m
+
+    # Bullock formation redshift: g(z_f) = dc(z) g(z) / sigma(f M, z=0)
+    # (Mead 2015 eq. 20-21, f = 0.01).  sigma(fM) from the local slope:
+    # ln sigma(fM) = ln sigma(M) + (dln sigma/dln M) ln f, exact to the
+    # grid's resolution of the slowly-varying slope.
+    lnf = jnp.log(0.01)
+    sig0 = sig / gz[:, None]                             # sigma(M, z=0)
+    sig0_fm = sig0 * jnp.exp((dlns2_m / 6.0) * lnf)
+    rhs = dc[:, None] * gz[:, None] / sig0_fm            # target g(z_f)
+
+    zlo = jnp.zeros_like(rhs)
+    zhi = jnp.full_like(rhs, 100.0)
+
+    def zbody(_, carry):
+        zlo, zhi = carry
+        zmid = (zlo + zhi) / 2.0
+        gmid = bgmod.d_growth(bg, 1.0 / (1.0 + zmid), norm="z0norm")
+        deeper = gmid > rhs          # g decreasing in z
+        return jnp.where(deeper, zmid, zlo), jnp.where(deeper, zhi, zmid)
+
+    zlo, zhi = jax.lax.fori_loop(0, num_iter, zbody, (zlo, zhi))
+    zf = (zlo + zhi) / 2.0
+    c = A_bary * (1.0 + zf) / (1.0 + zs[:, None])
+    c = jnp.maximum(c, A_bary)       # z_f < z collapses to c = A
+
+    # comoving virial and scale radii from the fitted Dv (mean-density def)
+    rv = rl[None, :] / Dv[:, None] ** (1.0 / 3.0)
+    rs = rv / c
+
+    # --- one-halo term --------------------------------------------------
+    x = (nu ** eta[:, None])[..., None] * ks[None, None, :] * rs[..., None]
+    u = nfw_uk_x(x, c[..., None])                        # (nz, nm, nk)
+    w_int = (jnp.asarray(_LNMW)[None, :] * _st_gnu(nu) * dnu_dlnm
+             * ms[None, :] / rho_m0)                     # (nz, nm)
+    p1h = jnp.sum(w_int[..., None] * u * u, axis=1)      # (nz, nk)
+    d2_1h = p1h * ks[None, :] ** 3 / (2.0 * np.pi**2)
+    ky = ks[None, :] / kstar[:, None]
+    d2_1h = d2_1h * ky**4 / (1.0 + ky**4)
+
+    # --- two-halo term (damped linear) ----------------------------------
+    d2_lin = plin * ks[None, :] ** 3 / (2.0 * np.pi**2)
+    f = fdamp[:, None]
+    d2_2h = d2_lin * (1.0 - f * jnp.tanh(ks[None, :] * sv[:, None]
+                                         / jnp.sqrt(f)) ** 2)
+
+    # --- quasi-linear smoothing ------------------------------------------
+    al = alpha[:, None]
+    d2 = (d2_2h**al + d2_1h**al) ** (1.0 / al)
+    return d2 * (2.0 * np.pi**2) / ks[None, :] ** 3
+
+
+def hmcode_power(cosmo, zs, ks, A_bary=None):
+    """Nonlinear P(k,z) via HMcode-2016 for a Cosmology instance
+    (HaloModel(halofit='mead') path -- reference cosmology.py:174).
+
+    A_bary: Bullock concentration amplitude, the baryonic-feedback knob
+    (Mead 2015 fig. 6; 3.13 = DM-only fit, lower = stronger feedback).
+    Default from params['hmcode_A'].
+    """
+    bg = cosmo.bg
+    zs = jnp.atleast_1d(jnp.asarray(zs))
+    if A_bary is None:
+        A_bary = cosmo.p.get("hmcode_A", 3.13)
+    plin_g = cosmo.engine.plin(bg, zs, jnp.asarray(_KG),
+                               accuracy=cosmo.accuracy)
+    plin = cosmo.engine.plin(bg, zs, jnp.asarray(ks),
+                             accuracy=cosmo.accuracy)
+    sigma8_0 = jnp.sqrt(cosmo.get_sigma2_R(8.0 / (bg.H0 / 100.0),
+                                           jnp.asarray([0.0]))[0, 0])
+    return hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0,
+                            A_bary=jnp.asarray(A_bary, dtype=jnp.float64))

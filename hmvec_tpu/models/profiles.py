@@ -62,6 +62,14 @@ def nfw_uk_analytic(ks, zs, cs, rss):
     """
     cs = cs[..., None]
     x = jnp.asarray(ks)[None, None, :] * rss[..., None] * (1.0 + jnp.asarray(zs)[:, None, None])
+    return nfw_uk_x(x, cs)
+
+
+def nfw_uk_x(x, cs):
+    """Truncated-NFW u as a function of x = k * r_s(comoving) and c.
+
+    Shared core of nfw_uk_analytic; also used by the HMcode nonlinear
+    power (models/hmcode.py), whose halo-bloating rescales x per (z,m,k)."""
     x2 = (1.0 + cs) * x
     sx, cx = jnp.sin(x), jnp.cos(x)
     sx2, cx2 = jnp.sin(x2), jnp.cos(x2)
@@ -77,6 +85,36 @@ def battaglia_fit(m200critz, z, A0, alpham, alphaz):
     return A0 * (m200critz / 1.0e14) ** alpham * (1.0 + z) ** alphaz
 
 
+_INV_LN2 = 1.4426950408889634
+
+
+def _exp_split_f32(arg64):
+    """exp(arg) with the argument in f64 and the transcendental in f32.
+
+    Plain f32 exp of a large-magnitude argument loses |arg| * eps_f32
+    RELATIVE accuracy purely from quantizing the argument (the Battaglia
+    exponent chains reach |arg| ~ 80, i.e. ~1e-5 -- the round-2 config-2
+    accuracy-gate failure).  Splitting arg/ln2 = n + f with n integer makes
+    the f32-quantized part (f, |f| <= 1/2) carry only ~3e-8 absolute error,
+    so the result is accurate to ~1 f32 ulp relative at any magnitude while
+    all the heavy transcendental work stays on the native f32 VPU.
+    """
+    e = arg64 * _INV_LN2
+    n = jnp.round(e)
+    f = (e - n).astype(jnp.float32)
+    return jnp.ldexp(jnp.exp2(f), n.astype(jnp.int32))
+
+
+def _softplus_f32(a64):
+    """ln(1 + exp(a)) with f64 argument accuracy and f32 transcendentals.
+
+    The dominant |a| part is exact (f64 max/add); only the bounded
+    correction log1p(exp(-|a|)) <= ln 2 runs in f32, so the absolute error
+    is ~4e-8 independent of |a|."""
+    t = jnp.exp(-jnp.abs(a64).astype(jnp.float32))
+    return jnp.maximum(a64, 0.0) + jnp.log1p(t).astype(jnp.float64)
+
+
 def rho_gas_x(x, m200critz, z, omb, omm, rhocritz, gamma, fit_params):
     """Battaglia 2016 gas density profile in x = r/(R200/2) (hmvec.py:844-860).
 
@@ -87,10 +125,12 @@ def rho_gas_x(x, m200critz, z, omb, omm, rhocritz, gamma, fit_params):
     with ln x computed once on the (1,1,nx) sample axis -- halves the
     transcendental count on the broadcast (z,m,x) grid vs naive pow.
 
-    The broadcast stage follows x.dtype: the fit-parameter grids are
-    computed in f64 and cast, so an f32 sample grid (the TPU fast path in
-    generic_profile_fft) runs the big exp/log1p stage on native f32
-    hardware instead of emulated f64 (~1e-7 relative deviation).
+    The broadcast stage follows x.dtype: an f32 sample grid (the TPU fast
+    path in generic_profile_fft) runs the transcendentals on the native f32
+    VPU, but with all exponent ARGUMENTS carried in f64 and the final
+    exponentials magnitude-split (_exp_split_f32) -- plain f32 pow chains
+    lose |exponent * ln x| * eps ~ 1e-5 relative here, the split path
+    ~2e-7.
     """
     rho0 = battaglia_fit(m200critz, z, fit_params["rho0_A0"],
                          fit_params["rho0_alpham"], fit_params["rho0_alphaz"])
@@ -99,15 +139,23 @@ def rho_gas_x(x, m200critz, z, omb, omm, rhocritz, gamma, fit_params):
     beta = battaglia_fit(m200critz, z, fit_params["beta_A0"],
                          fit_params["beta_alpham"], fit_params["beta_alphaz"])
     dt = jnp.asarray(x).dtype
-    pref = ((omb / omm) * rhocritz * rho0).astype(dt)
+    pref = (omb / omm) * rhocritz * rho0
+    expo = -(beta + gamma) / alpha
+    if dt == jnp.float32:
+        # TPU fast path: f64 argument algebra (cheap double-single mul/add),
+        # f32 transcendentals with magnitude-safe splits (~2e-7 relative vs
+        # the all-f64 path; plain f32 pow chains cost ~1e-5 here).
+        lnx = jnp.log(x.astype(jnp.float64))
+        g = gamma * lnx + expo * _softplus_f32(alpha * lnx)
+        return pref.astype(dt) * _exp_split_f32(g)
     gamma_c = jnp.asarray(gamma, dtype=jnp.float64).astype(dt)
     alpha_c = alpha.astype(dt)
-    expo_c = (-(beta + gamma) / alpha).astype(dt)
+    expo_c = expo.astype(dt)
     lnx = jnp.log(x)
     xgamma = jnp.exp(gamma_c * lnx)
     xalpha = jnp.exp(alpha_c * lnx)
     outer = jnp.exp(expo_c * jnp.log1p(xalpha))
-    return pref * xgamma * outer
+    return pref.astype(dt) * xgamma * outer
 
 
 def pressure_x(x, m200critz, r200critz, z, omb, omm, rhocritz,
@@ -127,14 +175,19 @@ def pressure_x(x, m200critz, r200critz, z, omb, omm, rhocritz,
     # broadcast stage follows x.dtype (see rho_gas_x)
     dt = jnp.asarray(x).dtype
     pref = (eFrac * (omb / omm) * 200.0 * m200critz * G_newt * rhocritz
-            / (2.0 * r200critz) * P0).astype(dt)
+            / (2.0 * r200critz) * P0)
+    if dt == jnp.float32:
+        # f64 argument algebra + split-f32 transcendentals (see rho_gas_x)
+        lnxxc = jnp.log(x.astype(jnp.float64)) - jnp.log(xc)
+        g = gamma * lnxxc - beta * _softplus_f32(alpha * lnxxc)
+        return pref.astype(dt) * _exp_split_f32(g)
     gamma_c = jnp.asarray(gamma, dtype=jnp.float64).astype(dt)
     beta_c = beta.astype(dt)
     alpha_c = jnp.asarray(alpha, dtype=jnp.float64).astype(dt)
     lnxxc = jnp.log(x) - jnp.log(xc).astype(dt)  # ln x on the sample axis
     shape = jnp.exp(gamma_c * lnxxc
                     - beta_c * jnp.log1p(jnp.exp(alpha_c * lnxxc)))
-    return pref * shape
+    return pref.astype(dt) * shape
 
 
 def rvir_grid(ms, zs, mdef, rhocritz, rhomz, omz):

@@ -84,6 +84,9 @@ default_params = {
     # ---- Power spectra ----
     "kstar_damping": 0.01,
     "default_halofit": "mead",
+    # HMcode Bullock concentration amplitude (baryonic-feedback knob;
+    # Mead 2015 table 2: 3.13 = DM-only fit, ~2 = strong AGN feedback)
+    "hmcode_A": 3.13,
     # ---- Cosmology (Planck-like; massless neutrinos by default) ----
     "omch2": 0.1198,
     "ombh2": 0.02225,
