@@ -84,15 +84,16 @@ def _relerr(a, b):
     return float(np.max(np.abs(a - b) / np.abs(b)))
 
 
-def _emit(metric, tpu_s, twin_s, err, extra=None):
-    ok = err <= GATE
+def _emit(metric, tpu_s, twin_s, err, extra=None, gate=GATE):
+    ok = err <= gate
     line = {
         "metric": metric,
         "value": round(tpu_s * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(twin_s / tpu_s, 2) if twin_s else None,
         "max_rel_err": float(f"{err:.3e}"),
-        "accuracy_gate_1e-5": "PASS" if ok else "FAIL",
+        f"accuracy_gate_{gate:.0e}".replace("e-0", "e-"):
+            "PASS" if ok else "FAIL",
     }
     if extra:
         line.update(extra)
@@ -144,6 +145,15 @@ def main():
                     _relerr(out1, p_twin))
     print(f"# backend={jax.default_backend()} config1 compile={compile_s:.1f}s",
           file=sys.stderr)
+
+    # ---- config 1 throughput mode: f32 Pallas Si/Ci NFW stage ----
+    # (documented fast-mode budget 1e-4; the primary line above holds the
+    # 1e-5 twin-parity gate in f64)
+    if jax.default_backend() != "cpu":
+        fn1f = make_pmm_fn(zs, ks, ms, fast=True)
+        t1f = _timeit(fn1f, overrides)
+        _emit("config1_fast_f32_pallas", t1f, tw1,
+              _relerr(np.asarray(fn1f(overrides)), p_twin), gate=1e-4)
 
     # ---- config 2: Battaglia electron Pee + Pme ----
     nxs, xmax = 4096, 20   # pow2 sampling: fast transform path on TPU

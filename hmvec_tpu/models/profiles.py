@@ -11,7 +11,11 @@ transforms go through the batched sine-DFT kernel in ops/sine_transform.
 
 from __future__ import annotations
 
+import math as _math
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.special import sici_with_trig
 from .mass_function import R_from_M
@@ -86,33 +90,71 @@ def battaglia_fit(m200critz, z, A0, alpham, alphaz):
 
 
 _INV_LN2 = 1.4426950408889634
+_LN2_F32 = np.float32(0.6931471805599453)
+
+# exp(a) Taylor coefficients 1/k!, k = 7..2, for |a| <= ln2/2 = 0.347
+# (truncation 0.347^8/8! = 5e-9 relative; Horner in correctly-rounded
+# f32 FMAs adds ~2 ulp)
+_EXP_TAYLOR = tuple(np.float32(1.0 / _math.factorial(k))
+                    for k in range(7, 1, -1))
+
+
+def _exp2_poly_f32(f32):
+    """2^f for f in [-1/2, 1/2] by polynomial only -- no exp/exp2 intrinsic.
+
+    This TPU's XLA f32 transcendental intrinsics are low-precision
+    (measured: exp/exp2 ~5e-6, log/log1p ~3e-4 relative -- DEVNOTES.md);
+    plain mul/add are correctly rounded, so a degree-7 Taylor in
+    a = f ln 2 restores ~1e-7 accuracy at negligible cost."""
+    a = f32 * _LN2_F32
+    acc = jnp.full_like(a, _EXP_TAYLOR[0])
+    for ck in _EXP_TAYLOR[1:]:
+        acc = acc * a + ck
+    return (acc * a + 1.0) * a + 1.0
+
+
+def _log1p_poly_f32(u32):
+    """ln(1+u) for u in [0, 1] by the atanh series -- no log intrinsic.
+
+    ln(1+u) = 2 atanh(w), w = u/(2+u) <= 1/3; odd series through w^13
+    truncates at (1/3)^14/15 ~ 1e-8 relative."""
+    w = u32 / (2.0 + u32)
+    w2 = w * w
+    acc = jnp.full_like(w, np.float32(1.0 / 13.0))
+    for ck in (1.0 / 11.0, 1.0 / 9.0, 1.0 / 7.0, 1.0 / 5.0, 1.0 / 3.0, 1.0):
+        acc = acc * w2 + np.float32(ck)
+    return 2.0 * w * acc
 
 
 def _exp_split_f32(arg64):
-    """exp(arg) with the argument in f64 and the transcendental in f32.
+    """exp(arg) with the argument in f64 and the mantissa work in f32.
 
     Plain f32 exp of a large-magnitude argument loses |arg| * eps_f32
     RELATIVE accuracy purely from quantizing the argument (the Battaglia
     exponent chains reach |arg| ~ 80, i.e. ~1e-5 -- the round-2 config-2
     accuracy-gate failure).  Splitting arg/ln2 = n + f with n integer makes
-    the f32-quantized part (f, |f| <= 1/2) carry only ~3e-8 absolute error,
-    so the result is accurate to ~1 f32 ulp relative at any magnitude while
-    all the heavy transcendental work stays on the native f32 VPU.
+    the f32 part (f, |f| <= 1/2) carry only ~3e-8 absolute error.  2^f is
+    a pure-FMA polynomial (the TPU exp2 intrinsic is ~5e-6) and 2^n is
+    built bit-exactly: (n+127)<<23 is the f32 encoding of 2^n for n in
+    [-126, 127], zero below (true result subnormal).
     """
     e = arg64 * _INV_LN2
     n = jnp.round(e)
     f = (e - n).astype(jnp.float32)
-    return jnp.ldexp(jnp.exp2(f), n.astype(jnp.int32))
+    n_i = n.astype(jnp.int32)
+    pow2 = jax.lax.bitcast_convert_type(
+        (jnp.clip(n_i, -126, 127) + 127) << 23, jnp.float32)
+    return jnp.where(n_i < -126, 0.0, _exp2_poly_f32(f) * pow2)
 
 
 def _softplus_f32(a64):
-    """ln(1 + exp(a)) with f64 argument accuracy and f32 transcendentals.
+    """ln(1 + exp(a)) with f64 argument accuracy, intrinsic-free f32 core.
 
-    The dominant |a| part is exact (f64 max/add); only the bounded
-    correction log1p(exp(-|a|)) <= ln 2 runs in f32, so the absolute error
-    is ~4e-8 independent of |a|."""
-    t = jnp.exp(-jnp.abs(a64).astype(jnp.float32))
-    return jnp.maximum(a64, 0.0) + jnp.log1p(t).astype(jnp.float64)
+    The dominant |a| part is exact (f64 max/add); the bounded correction
+    log1p(exp(-|a|)) <= ln 2 runs through the polynomial exp/log kernels,
+    so the absolute error is ~1e-7 independent of |a|."""
+    t = _exp_split_f32(-jnp.abs(a64))
+    return jnp.maximum(a64, 0.0) + _log1p_poly_f32(t).astype(jnp.float64)
 
 
 def rho_gas_x(x, m200critz, z, omb, omm, rhocritz, gamma, fit_params):

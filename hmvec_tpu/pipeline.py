@@ -24,8 +24,13 @@ from .models import power as pwr
 from .models import limber as limb
 
 
-def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine):
-    """Shared staged computation: background through mass function + NFW."""
+def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
+            fast_nfw: bool = False):
+    """Shared staged computation: background through mass function + NFW.
+
+    fast_nfw: replace the f64 Si/Ci analytic NFW stage (the largest single
+    on-chip cost of the flagship config) with the f32 Pallas kernel
+    (ops/pallas_kernels.nfw_uk_fast, ~1e-5 absolute on u)."""
     bg = bgmod.background(p)
     zsj = jnp.asarray(zs)
     ksj = jnp.asarray(ks)
@@ -53,18 +58,26 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine):
     cs = prof.concentration_duffy(msj, zsj, mdef, p, p["H0"] / 100.0)
     rvirs = prof.rvir_grid(msj, zsj, mdef, rhocritz, rhomz, omz)
     rss = rvirs / cs
-    uk = prof.nfw_uk_analytic(ksj, zsj, cs, rss)
+    if fast_nfw and jax.default_backend() != "cpu":
+        from .ops.pallas_kernels import nfw_uk_fast
+        uk = nfw_uk_fast(ksj, zsj, cs, rss)
+    else:
+        uk = prof.nfw_uk_analytic(ksj, zsj, cs, rss)
     return bg, pzk, nzm, bh, rho_m0, uk
 
 
 def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
                 mdef: str = "vir", accuracy: str = "medium",
-                engine=None, jit: bool = True):
+                engine=None, jit: bool = True, fast: bool = False):
     """Build params -> Pmm(1h+2h) on a static (zs, ks, ms) grid.
 
     The returned function takes a dict of cosmological parameter overrides
     (traced leaves allowed) and returns the (nz, nk) total matter power --
     the BASELINE config-1 workload (bin/simple_test.py semantics).
+
+    fast: throughput mode -- the Si/Ci NFW stage runs the f32 Pallas
+    kernel (~1e-5 absolute on u -> ~1e-4-class relative on Pmm; the
+    default mode holds the <=1e-5 twin-parity gate).  No-op on CPU.
     """
     zs = np.asarray(zs)
     ks = np.asarray(ks)
@@ -75,7 +88,8 @@ def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
     def pmm(overrides=None):
         p = {**defaults, **(overrides or {})}
         _, pzk, nzm, bh, rho_m0, uk = _stages(
-            p, zs, ks, ms, mass_function, mdef, accuracy, engine)
+            p, zs, ks, ms, mass_function, mdef, accuracy, engine,
+            fast_nfw=fast)
         tr = pwr.MatterTracer(uk=uk)
         return pwr.power_total(tr, tr, nzm, bh, ms, ks, pzk, rho_m0,
                                p["kstar_damping"])

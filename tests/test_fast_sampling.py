@@ -72,3 +72,25 @@ def test_f32_sampling_battaglia_density():
     # f32 path really produced f32 samples (dtype plumbing works)
     r32 = rhofunc(jnp.asarray(np.linspace(0.01, 20, 16), jnp.float32))
     assert r32.dtype == jnp.float32
+
+
+def test_intrinsic_free_poly_kernels():
+    """The f32 split-exponential path must not regress: this TPU's XLA f32
+    log/log1p intrinsics err ~3e-4 (DEVNOTES), so the polynomial kernels
+    carry the accuracy of the whole f32 Battaglia sampling stage."""
+    from hmvec_tpu.models.profiles import (_exp2_poly_f32, _log1p_poly_f32,
+                                           _exp_split_f32)
+    f = jnp.asarray(np.linspace(-0.5, 0.5, 20001), jnp.float32)
+    got = np.asarray(_exp2_poly_f32(f), np.float64)
+    ref = np.exp2(np.asarray(f, np.float64))
+    assert np.max(np.abs(got - ref) / ref) < 3e-7
+
+    u = jnp.asarray(np.linspace(0.0, 1.0, 20001), jnp.float32)
+    gl = np.asarray(_log1p_poly_f32(u), np.float64)
+    rl = np.log1p(np.asarray(u, np.float64))
+    assert np.max(np.abs(gl - rl)) < 5e-7
+
+    a = jnp.asarray(np.linspace(-85.0, 3.0, 20001))
+    es = np.asarray(_exp_split_f32(a), np.float64)
+    er = np.exp(np.asarray(a))
+    assert np.max(np.abs(es - er) / er) < 3e-7

@@ -33,9 +33,13 @@ def test_pipeline_grad():
 
 
 def test_fisher_jacobian():
-    fn = make_pmm_fn(ZS, KS, MS, jit=False)
-    jac = fisher_jacobian(lambda o: fn(o)[:, ::16], merge := {"omch2": 0.1198,
-                                                              "As": 2.2e-9},
+    # smaller grid than the module default: the jacobian program compiles
+    # the whole pipeline twice (fwd tangents), which dominated suite time
+    ms_j = MS[::2]
+    ks_j = KS[::2]
+    fn = make_pmm_fn(ZS, ks_j, ms_j, jit=False)
+    jac = fisher_jacobian(lambda o: fn(o)[:, ::8], merge := {"omch2": 0.1198,
+                                                             "As": 2.2e-9},
                           ("omch2", "As"))
     jac = np.asarray(jac)
     assert jac.shape == (ZS.size, 8, 2)
