@@ -216,6 +216,19 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     return d2 * (2.0 * np.pi**2) / ks[None, :] ** 3
 
 
+import functools
+
+_hmcode_nl_j = jax.jit(hmcode_nonlinear)
+
+
+@functools.lru_cache(maxsize=4)
+def _plin_j(engine, accuracy):
+    """Per-(engine, accuracy) jitted linear-power eval (class-API path:
+    eager dispatch costs ~23 ms/op on the tunneled TPU, DEVNOTES.md)."""
+    return jax.jit(lambda bg, zs, ks: engine.plin(bg, zs, ks,
+                                                  accuracy=accuracy))
+
+
 def hmcode_power(cosmo, zs, ks, A_bary=None):
     """Nonlinear P(k,z) via HMcode-2016 for a Cosmology instance
     (HaloModel(halofit='mead') path -- reference cosmology.py:174).
@@ -228,11 +241,10 @@ def hmcode_power(cosmo, zs, ks, A_bary=None):
     zs = jnp.atleast_1d(jnp.asarray(zs))
     if A_bary is None:
         A_bary = cosmo.p.get("hmcode_A", 3.13)
-    plin_g = cosmo.engine.plin(bg, zs, jnp.asarray(_KG),
-                               accuracy=cosmo.accuracy)
-    plin = cosmo.engine.plin(bg, zs, jnp.asarray(ks),
-                             accuracy=cosmo.accuracy)
+    plin_fn = _plin_j(cosmo.engine, cosmo.accuracy)
+    plin_g = plin_fn(bg, zs, jnp.asarray(_KG))
+    plin = plin_fn(bg, zs, jnp.asarray(ks))
     sigma8_0 = jnp.sqrt(cosmo.get_sigma2_R(8.0 / (bg.H0 / 100.0),
                                            jnp.asarray([0.0]))[0, 0])
-    return hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0,
-                            A_bary=jnp.asarray(A_bary, dtype=jnp.float64))
+    return _hmcode_nl_j(bg, zs, jnp.asarray(ks), plin_g, plin, sigma8_0,
+                        jnp.asarray(A_bary, dtype=jnp.float64))
