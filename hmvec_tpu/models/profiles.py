@@ -202,9 +202,13 @@ def rho_gas_x(x, m200critz, z, omb, omm, rhocritz, gamma, fit_params):
 
 def pressure_x(x, m200critz, r200critz, z, omb, omm, rhocritz,
                alpha, gamma, fit_params,
-               parsec_m=3.08567758e16, msun_kg=1.989e30, G_SI=6.674e-11):
+               parsec_m=3.08567758e16, msun_kg=1.989e30, G_SI=6.67430e-11):
     """Battaglia 2016 electron pressure profile P_e(x), x = r/R200
-    (hmvec.py:906-927).  Includes the XH=0.76 electron fraction."""
+    (hmvec.py:906-927).  Includes the XH=0.76 electron fraction.
+
+    G_SI matches the reference's scipy.constants.G (CODATA 6.67430e-11;
+    its cosmology.py and ksz.py use other G values -- kept separately for
+    exact parity with each module)."""
     P0 = battaglia_fit(m200critz, z, fit_params["P0_A0"],
                        fit_params["P0_alpham"], fit_params["P0_alphaz"])
     xc = battaglia_fit(m200critz, z, fit_params["xc_A0"],

@@ -156,7 +156,8 @@ class TwinHaloModelExt(TwinHaloModel):
             beta = battaglia_fit(m, z, fp["beta_A0"], fp["beta_alpham"], fp["beta_alphaz"])
             XH = 0.76
             eFrac = 2.0 * (XH + 1.0) / (5.0 * XH + 3.0)
-            G_newt = 6.674e-11 / (3.08567758e16 * 1e6) ** 3 * 1.989e30
+            # scipy.constants.G, as the reference's P_e_generic_x uses
+            G_newt = 6.67430e-11 / (3.08567758e16 * 1e6) ** 3 * 1.989e30
             x = xs[None, None, :]
             return (eFrac * (omb / omm) * 200.0 * m * G_newt
                     * rhocritz[:, None, None] / (2.0 * r2) * P0

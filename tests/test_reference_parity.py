@@ -332,6 +332,39 @@ def test_battaglia_rho_gas_vs_reference():
         np.testing.assert_allclose(got, ref, rtol=1e-12, err_msg=fam)
 
 
+def test_battaglia_pressure_vs_reference():
+    """P_e_generic_x (hmvec.py:906-927), incl. the XH=0.76 electron
+    fraction and the G/(Mpc,Msun) unit chain."""
+    rh = load_ref("hmvec")
+    from hmvec_tpu.models.profiles import pressure_x
+
+    p = merge_params()
+    x = np.geomspace(1e-2, 10.0, 50)[None, None, :]
+    m200 = np.geomspace(1e12, 1e15, 8)[None, :, None]
+    r200 = np.geomspace(0.3, 2.0, 8)[None, :, None]
+    z = np.array([0.5])[:, None, None]
+    omb, omm, rhocritz = 0.049, 0.31, 9.2e10
+
+    f = battaglia_defaults["pres"]
+    ref = rh.P_e_generic_x(
+        x, m200, r200, z, omb, omm, rhocritz,
+        alpha=p["battaglia_pres_alpha"], gamma=p["battaglia_pres_gamma"],
+        P0_A0=f["P0_A0"], P0_alpham=f["P0_alpham"],
+        P0_alphaz=f["P0_alphaz"],
+        xc_A0=f["xc_A0"], xc_alpham=f["xc_alpham"],
+        xc_alphaz=f["xc_alphaz"],
+        beta_A0=f["beta_A0"], beta_alpham=f["beta_alpham"],
+        beta_alphaz=f["beta_alphaz"])
+    got = np.asarray(pressure_x(jnp.asarray(x), jnp.asarray(m200),
+                                jnp.asarray(r200), jnp.asarray(z),
+                                omb, omm, rhocritz,
+                                p["battaglia_pres_alpha"],
+                                p["battaglia_pres_gamma"], dict(f)))
+    # rtol 1e-7: the reference takes G from scipy.constants at f64 while
+    # we fold the unit chain host-side; values agree to float precision
+    np.testing.assert_allclose(got, ref, rtol=1e-7)
+
+
 def test_mass_conversion_vs_reference():
     """mdelta_from_mdelta: our fixed-trip bisection vs the reference's
     scipy-newton secant (hmvec.py:748-798)."""
