@@ -214,6 +214,27 @@ def main():
     all_ok &= _emit("config5_ksz_nvv_snr", t5, tw5, _relerr(nvv, nvv_t),
                     extra={"snr": round(float(np.asarray(snr)), 2)})
 
+    # ---- serving throughput: 16 cosmologies in ONE vmapped program ----
+    # (the MCMC/emulator surface; per-cosmology latency amortizes compile
+    # and the fixed ~29 ms tunnel RPC across the batch)
+    from hmvec_tpu.pipeline import make_batched_fn
+    B = 16
+    bf = make_batched_fn(make_pmm_fn(zs, ks, ms, fast=on_tpu, jit=False),
+                         ("omch2", "As"))
+    theta = np.column_stack([np.linspace(0.11, 0.13, B),
+                             np.linspace(2.0e-9, 2.4e-9, B)])
+    theta = jnp.asarray(theta)
+    tb = _timeit(bf, theta, iters=5)
+    out_b = np.asarray(bf(theta))
+    # row exactness vs the single-cosmology program (same code path)
+    row = np.asarray(fn1({**overrides,
+                          "omch2": jnp.asarray(theta[0, 0]),
+                          "As": jnp.asarray(theta[0, 1])}))
+    _emit("batch16_pmm_per_cosmology", tb / B, tw1,
+          _relerr(out_b[0], row), extra={"batch": B,
+                                         "batch_latency_ms":
+                                             round(tb * 1e3, 3)})
+
     return 0 if all_ok else 1
 
 

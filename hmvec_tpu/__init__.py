@@ -35,6 +35,6 @@ from .models.mass_conversion import mdelta_from_mdelta  # noqa: F401,E402
 from .ops.sine_transform import generic_profile_fft  # noqa: F401,E402
 from .pipeline import (make_pmm_fn, make_lensing_cls_fn,  # noqa: F401,E402
                        make_electron_fn, make_hod_fn, make_ksz_snr_fn,
-                       make_ksz_survey_fn, fisher_jacobian)
+                       make_ksz_survey_fn, make_batched_fn, fisher_jacobian)
 
 __version__ = "0.1.0"

@@ -476,6 +476,44 @@ def make_ksz_survey_fn(num_bins: int, lmax_cls: int = 10000,
     return jax.jit(fn) if jit else fn
 
 
+def make_batched_fn(fn, param_names, base: dict | None = None,
+                    jit: bool = True):
+    """Batch any pipeline function over cosmological parameter SETS.
+
+    The serving/inference surface the reference has no analogue for:
+    MCMC chains, emulator training sets, and grid scans evaluate the same
+    static-grid pipeline at many cosmologies -- vmap turns that into ONE
+    XLA program whose elementwise stages fuse across the batch and whose
+    reductions stay MXU-shaped, amortizing both compile and (on the
+    tunneled TPU) the fixed ~29 ms RPC cost over the whole batch.
+
+    fn: a make_*_fn(..., jit=False) product (overrides dict -> pytree)
+    param_names: parameter keys varied across the batch
+    base: fixed overrides applied to every batch element
+
+    Returns batched(theta) with theta (B, len(param_names)) -- or a dict
+    of (B,) leaves -- evaluating all B cosmologies in one program.
+    """
+    names = tuple(param_names)
+    base = dict(base or {})
+
+    def one(theta_row):
+        ov = dict(base)
+        for i, k in enumerate(names):
+            ov[k] = theta_row[i]
+        return fn(ov)
+
+    def batched(theta):
+        if isinstance(theta, dict):
+            theta = jnp.stack([jnp.asarray(theta[k], dtype=jnp.float64)
+                               for k in names], axis=-1)
+        else:
+            theta = jnp.asarray(theta)
+        return jax.vmap(one)(theta)
+
+    return jax.jit(batched) if jit else batched
+
+
 def fisher_jacobian(fn, params0: dict, param_names):
     """d output / d theta for the named parameters -- the Fisher use case
     (reference design note hmvec.py:50-64) via forward-mode autodiff."""
