@@ -306,3 +306,42 @@ def make_fisher_step_fn(zs, ks, ms, ells, mesh: Mesh,
         return theta_rel - lr * grad, loss
 
     return step, model
+
+
+def make_sharded_batched_fn(fn, param_names, mesh: Mesh,
+                            axis_name: str = "m", base: dict | None = None):
+    """Data-parallel serving: a batch of cosmologies sharded over the mesh.
+
+    Complements pipeline.make_batched_fn (one device, vmap): here the
+    batch axis is split across devices with shard_map -- each chip runs
+    the full pipeline for its share of the parameter sets, with no
+    cross-device communication at all (embarrassingly parallel; the
+    all_gather of the stacked outputs is the only collective, inserted by
+    the out_specs).  B must divide the mesh size.
+
+    fn: a make_*_fn(..., jit=False) product; param_names: keys of the
+    batched parameters; returns batched(theta: (B, P)) -> stacked outputs.
+    """
+    names = tuple(param_names)
+    base = dict(base or {})
+    nd = mesh.devices.size
+
+    def one(theta_row):
+        ov = dict(base)
+        for i, k in enumerate(names):
+            ov[k] = theta_row[i]
+        return fn(ov)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=P(axis_name, None),
+                       out_specs=P(axis_name))
+    def _local(theta_l):
+        return jax.vmap(one)(theta_l)
+
+    def batched(theta):
+        theta = jnp.asarray(theta)
+        assert theta.shape[0] % nd == 0, \
+            f"batch {theta.shape[0]} must divide mesh size {nd}"
+        return _local(theta)
+
+    return batched

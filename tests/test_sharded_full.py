@@ -30,3 +30,23 @@ def test_sharded_galaxy_electron_matches_class_api():
     np.testing.assert_allclose(pgg_s, pgg, rtol=1e-9)
     np.testing.assert_allclose(pge_s, pge, rtol=1e-9)
     np.testing.assert_allclose(pee_s, pee, rtol=1e-9)
+
+
+def test_sharded_batched_cosmologies():
+    """Batch-of-cosmologies sharded over the 8-device mesh == vmap on one
+    device (data-parallel serving; no cross-device communication)."""
+    from hmvec_tpu.parallel.sharding import make_mesh, make_sharded_batched_fn
+    from hmvec_tpu.pipeline import make_pmm_fn, make_batched_fn
+
+    zs = np.linspace(0.1, 2.0, 3)
+    ms = np.geomspace(2e10, 1e17, 32)
+    ks = np.geomspace(1e-3, 10, 64)
+    fn = make_pmm_fn(zs, ks, ms, jit=False)
+    theta = np.column_stack([np.linspace(0.11, 0.13, 8),
+                             np.linspace(2.0e-9, 2.4e-9, 8)])
+
+    mesh = make_mesh(8)
+    sharded = jax.jit(make_sharded_batched_fn(fn, ("omch2", "As"), mesh))
+    single = make_batched_fn(fn, ("omch2", "As"))
+    np.testing.assert_allclose(np.asarray(sharded(theta)),
+                               np.asarray(single(theta)), rtol=1e-11)
