@@ -159,7 +159,7 @@ def main():
     # ---- config 2: Battaglia electron Pee + Pme ----
     nxs, xmax = 4096, 20   # pow2 sampling: fast transform path on TPU
     fn2, unpack2 = _packed(make_electron_fn(zs, ks, ms, nxs=nxs, xmax=xmax,
-                                            jit=False))
+                                            jit=False, fast=on_tpu))
     t2 = _timeit(fn2, overrides)
     t0 = time.perf_counter()
     tw.add_battaglia_profile("e", nxs=nxs, xmax=xmax)
@@ -172,7 +172,8 @@ def main():
 
     # ---- config 3: HOD Pgg + Pgm with iterative ngal solve ----
     ngal = np.full(zs.size, 1e-4)
-    fn3, unpack3 = _packed(make_hod_fn(zs, ks, ms, ngal, jit=False))
+    fn3, unpack3 = _packed(make_hod_fn(zs, ks, ms, ngal, jit=False,
+                                       fast=on_tpu))
     t3 = _timeit(fn3, overrides)
     t0 = time.perf_counter()
     tw.add_hod("g", ngal=ngal)
@@ -185,7 +186,8 @@ def main():
 
     # ---- config 4: Limber C_kk ----
     ells = np.geomspace(30, 3000, 60)
-    fn4, unpack4 = _packed(make_lensing_cls_fn(zs, ks, ms, ells, jit=False))
+    fn4, unpack4 = _packed(make_lensing_cls_fn(zs, ks, ms, ells, jit=False,
+                                               fast=on_tpu))
     t4 = _timeit(fn4, overrides)
     ckk, _pmm4 = unpack4(fn4(overrides))
     t0 = time.perf_counter()
