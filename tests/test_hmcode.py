@@ -103,8 +103,10 @@ def test_jit_and_grad(cosmo):
     def total(a_bary):
         plin_g = cosmo.engine.plin(bg, zs, kgj)
         plin = cosmo.engine.plin(bg, zs, ks)
+        # num_iter=20: enough for finite-grad structure, 3x less to compile
         pnl = hmcode_nonlinear(bg, zs, ks, plin_g, plin,
-                               jnp.asarray(0.8484), A_bary=a_bary)
+                               jnp.asarray(0.8484), A_bary=a_bary,
+                               num_iter=20)
         return jnp.sum(jnp.log(pnl))
 
     f = jax.jit(total)

@@ -35,10 +35,10 @@ def test_pipeline_grad():
 def test_fisher_jacobian():
     # smaller grid than the module default: the jacobian program compiles
     # the whole pipeline twice (fwd tangents), which dominated suite time
-    ms_j = MS[::2]
-    ks_j = KS[::2]
+    ms_j = MS[::4]
+    ks_j = KS[::4]
     fn = make_pmm_fn(ZS, ks_j, ms_j, jit=False)
-    jac = fisher_jacobian(lambda o: fn(o)[:, ::8], merge := {"omch2": 0.1198,
+    jac = fisher_jacobian(lambda o: fn(o)[:, ::4], merge := {"omch2": 0.1198,
                                                              "As": 2.2e-9},
                           ("omch2", "As"))
     jac = np.asarray(jac)
