@@ -44,6 +44,11 @@ def rho_nfw_x(x, rhoscale=1.0):
     return rhoscale / x / (1.0 + x) ** 2
 
 
+def rho_nfw(r, rhoscale, rs):
+    """NFW density at radius r (reference: hmvec.py:743-746)."""
+    return rho_nfw_x(jnp.asarray(r) / rs, rhoscale)
+
+
 def rhoscale_nfw(mdelta, rdelta, cdelta):
     rs = rdelta / cdelta
     return mdelta / (4.0 * jnp.pi * rs**3) / fcon(cdelta)
