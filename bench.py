@@ -232,10 +232,9 @@ def main():
     row = np.asarray(fn1({**overrides,
                           "omch2": jnp.asarray(theta[0, 0]),
                           "As": jnp.asarray(theta[0, 1])}))
-    _emit("batch16_pmm_per_cosmology", tb / B, tw1,
-          _relerr(out_b[0], row), extra={"batch": B,
-                                         "batch_latency_ms":
-                                             round(tb * 1e3, 3)})
+    all_ok &= _emit("batch16_pmm_per_cosmology", tb / B, tw1,
+                    _relerr(out_b[0], row),
+                    extra={"batch": B, "batch_latency_ms": round(tb * 1e3, 3)})
 
     return 0 if all_ok else 1
 

@@ -321,6 +321,8 @@ class Cosmology:
                         dtype=np.float64)
         if cl.ndim > 1:          # CAMB get_lens_potential_cls returns (nl,3)
             cl = cl[:, 0]
+        if cl.size < lmax + 1:   # NaN-pad like get_cmb_cls, don't truncate
+            cl = np.concatenate([cl, np.full(lmax + 1 - cl.size, np.nan)])
         cl = cl[:lmax + 1]
         ells = np.arange(cl.size)
         return ells, cl * 2.0 * np.pi / 4.0

@@ -216,17 +216,33 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     return d2 * (2.0 * np.pi**2) / ks[None, :] ** 3
 
 
-import functools
-
 _hmcode_nl_j = jax.jit(hmcode_nonlinear)
 
 
-@functools.lru_cache(maxsize=4)
+_PLIN_JIT_CACHE: dict = {}
+
+
 def _plin_j(engine, accuracy):
-    """Per-(engine, accuracy) jitted linear-power eval (class-API path:
-    eager dispatch costs ~23 ms/op on the tunneled TPU, DEVNOTES.md)."""
-    return jax.jit(lambda bg, zs, ks: engine.plin(bg, zs, ks,
-                                                  accuracy=accuracy))
+    """Jitted linear-power eval (class-API path: eager dispatch costs
+    ~23 ms/op on the tunneled TPU, DEVNOTES.md).
+
+    The stateless EHEngine caches by TYPE (every Cosmology() builds a
+    fresh instance -- instance keying would retrace per object);
+    stateful engines (TabulatedEngine carries its table) key by identity,
+    kept alive by the jitted closure.
+    """
+    if type(engine).__name__ == "EHEngine":
+        key = ("eh", accuracy)
+    else:
+        key = (id(engine), accuracy)
+    fn = _PLIN_JIT_CACHE.get(key)
+    if fn is None:
+        if len(_PLIN_JIT_CACHE) > 16:
+            _PLIN_JIT_CACHE.pop(next(iter(_PLIN_JIT_CACHE)))
+        fn = jax.jit(lambda bg, zs, ks: engine.plin(bg, zs, ks,
+                                                    accuracy=accuracy))
+        _PLIN_JIT_CACHE[key] = fn
+    return fn
 
 
 def hmcode_power(cosmo, zs, ks, A_bary=None):

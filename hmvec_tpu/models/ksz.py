@@ -641,7 +641,10 @@ def get_ksz_snr_survey(zs, dndz, zedges, Cls, fsky, Ngals, bs=None,
     vols_gpc3, ngals_mpc3, zcents = _survey_bins(zs, dndz, zedges, fsky,
                                                  Ngals, params)
 
-    if sigz is None:
+    use_fused = sigz is None
+    fused_kw = None
+    if use_fused:
+        import inspect
         from ..pipeline import make_ksz_survey_fn
         from ..params import merge_params
         p = merge_params(params)
@@ -654,6 +657,12 @@ def get_ksz_snr_survey(zs, dndz, zedges, Cls, fsky, Ngals, bs=None,
             p["electron_density_profile_integral_xmax"])
         if "electron_profile_family" in fused_kw:
             fused_kw["family"] = fused_kw.pop("electron_profile_family")
+        # class-API-only options (e.g. nfw_numeric) exist only on the
+        # per-bin path; fall back rather than TypeError-ing
+        accepted = set(inspect.signature(make_ksz_survey_fn).parameters)
+        use_fused = not (set(fused_kw) - accepted)
+
+    if use_fused:
         fn = make_ksz_survey_fn(nbins, **fused_kw)
         tot, snrs, bgals = fn(params, np.asarray(zcents),
                               np.asarray(vols_gpc3), np.asarray(ngals_mpc3),

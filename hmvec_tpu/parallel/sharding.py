@@ -52,7 +52,7 @@ def make_sharded_pmm_fn(zs, ks, ms, mesh: Mesh, axis_name: str = "m",
     ks = np.asarray(ks)
     ms = np.asarray(ms)
     nd = mesh.devices.size
-    assert ms.size % nd == 0, "len(ms) must divide the mesh size"
+    assert ms.size % nd == 0, "mesh size must divide len(ms)"
     defaults = merge_params()
     engine = engine or lpm.EHEngine()
     w_m = trapz_weights(ms)
@@ -141,7 +141,7 @@ def make_sharded_galaxy_electron_fn(zs, ks, ms, ngal, mesh: Mesh,
     ms = np.asarray(ms)
     ngal = np.asarray(ngal)
     nd = mesh.devices.size
-    assert ms.size % nd == 0, "len(ms) must divide the mesh size"
+    assert ms.size % nd == 0, "mesh size must divide len(ms)"
     defaults = merge_params()
     engine = engine or lpm.EHEngine()
     fit = dict(battaglia_defaults[family])
@@ -317,7 +317,7 @@ def make_sharded_batched_fn(fn, param_names, mesh: Mesh,
     the full pipeline for its share of the parameter sets, with no
     cross-device communication at all (embarrassingly parallel; the
     all_gather of the stacked outputs is the only collective, inserted by
-    the out_specs).  B must divide the mesh size.
+    the out_specs).  The mesh size must divide B.
 
     fn: a make_*_fn(..., jit=False) product; param_names: keys of the
     batched parameters; returns batched(theta: (B, P)) -> stacked outputs.
@@ -341,7 +341,8 @@ def make_sharded_batched_fn(fn, param_names, mesh: Mesh,
     def batched(theta):
         theta = jnp.asarray(theta)
         assert theta.shape[0] % nd == 0, \
-            f"batch {theta.shape[0]} must divide mesh size {nd}"
+            (f"mesh size {nd} must divide the batch "
+             f"(got batch {theta.shape[0]})")
         return _local(theta)
 
     return batched
