@@ -6,10 +6,14 @@ materialize (z,m,k)-sized temporaries in HBM.  This kernel computes the
 whole profile -- trig range reduction, Si/Ci auxiliaries, NFW assembly --
 in f32 inside VMEM tiles: one HBM read of the inputs, one write of u(k).
 
-Accuracy: ~2e-6 relative (f32 arithmetic with 3-term Cody-Waite reduction,
-so sin/cos stay accurate out to x ~ 1e5).  Intended for production
-sampling/forecasting loops where the f64 gate is not required; the exact
-f64 path remains the default.
+Accuracy: ~3e-6 worst-case absolute on u.  The phases x = k r_s (1+z)
+(up to ~1e3) are carried in double-single -- Dekker TwoProduct of
+f64-split (hi, lo) factors, Cody-Waite reduction on the hi word -- so
+trig arguments hold ~1e-7; the residual error is f32 Clenshaw
+accumulation in the Si/Ci Chebyshev sums.  Intended for production
+sampling/forecasting loops where the 1e-5 twin-parity gate has headroom
+(Pmm ~2e-6 relative end-to-end; HOD u_s^2 weighting amplifies to ~1.3e-5,
+so config 3 keeps the f64 path); the exact f64 path remains the default.
 
 Pallas TPU has no f64 (Mosaic), hence the f32 design.
 """
@@ -85,6 +89,44 @@ def _sincos_reduced(x):
     return jnp.sin(r), jnp.cos(r)
 
 
+_SPLIT_MASK = np.int32(np.uint32(0xFFFFF000))  # keep 12 mantissa bits
+
+
+def _two_prod(a, b):
+    """Dekker TwoProduct without FMA: p = fl(a*b) and its exact rounding
+    error, via 12-bit mantissa splits (12x12-bit products are exact in
+    f32)."""
+    ah = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(a, jnp.int32) & _SPLIT_MASK,
+        jnp.float32)
+    al = a - ah
+    bh = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(b, jnp.int32) & _SPLIT_MASK,
+        jnp.float32)
+    bl = b - bh
+    p = a * b
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _ds_phase(kh, kl, sh, sl):
+    """x = k * s as a double-single (hi, lo) pair from hi/lo factor pairs.
+
+    The phase reaches ~1e3 here, so a plain f32 product costs ~|x| * eps
+    ~ 5e-5 absolute in the trig arguments -- the dominant error of the
+    original all-f32 kernel.  TwoProduct + cross terms keep it ~1e-7."""
+    p, e = _two_prod(kh, sh)
+    return p, e + kh * sl + kl * sh
+
+
+def _sincos_ds(xh, xl):
+    """sin/cos of a double-single phase: Cody-Waite on the hi word, lo
+    word folded into the reduced argument."""
+    n = jnp.round(xh * _INV_TWO_PI)
+    r = (((xh - n * _TWO_PI_HI) - n * _TWO_PI_MID) - n * _TWO_PI_LO) + xl
+    return jnp.sin(r), jnp.cos(r)
+
+
 def _sici_f32(x, sinx, cosx):
     """f32 Si/Ci with precomputed trig (mirrors special.sici_with_trig)."""
     xs = jnp.maximum(x, np.float32(1e-30))
@@ -137,58 +179,83 @@ def _sici_f32(x, sinx, cosx):
             jnp.where(in0, ci_small, ci_large))
 
 
-def _nfw_uk_kernel(scale_ref, cs_ref, ks_ref, out_ref):
-    """One (TB, TK) tile of u(k): scale s=r_s(1+z) (TB,1), c (TB,1), k (1,TK)."""
-    s = scale_ref[:]          # (TB, 1)
-    c = cs_ref[:]             # (TB, 1)
-    k = ks_ref[:]             # (1, TK)
-    x = k * s                 # (TB, TK)
-    x2 = (1.0 + c) * x
-    sx, cx = _sincos_reduced(x)
-    sx2, cx2 = _sincos_reduced(x2)
-    si, ci = _sici_f32(x, sx, cx)
-    sic, cic = _sici_f32(x2, sx2, cx2)
+def _nfw_uk_kernel(s1h_ref, s1l_ref, s2h_ref, s2l_ref, cs_ref,
+                   kh_ref, kl_ref, out_ref):
+    """One (TB, TK) tile of u(k).
+
+    Row inputs (TB,1): s1 = r_s(1+z) and s2 = (1+c) s1 as f64-split
+    (hi, lo) f32 pairs, plus c; column inputs (1,TK): k as an (hi, lo)
+    pair.  The phases x = k s1 and (1+c)x = k s2 are carried in
+    double-single through the trig range reduction; everything
+    phase-insensitive (Si/Ci auxiliaries, NFW assembly) is plain f32.
+    """
+    s1h, s1l = s1h_ref[:], s1l_ref[:]     # (TB, 1)
+    s2h, s2l = s2h_ref[:], s2l_ref[:]
+    c = cs_ref[:]
+    kh, kl = kh_ref[:], kl_ref[:]         # (1, TK)
+    xh, xl = _ds_phase(kh, kl, s1h, s1l)  # (TB, TK)
+    x2h, x2l = _ds_phase(kh, kl, s2h, s2l)
+    sx, cx = _sincos_ds(xh, xl)
+    sx2, cx2 = _sincos_ds(x2h, x2l)
+    si, ci = _sici_f32(xh, sx, cx)
+    sic, cic = _sici_f32(x2h, sx2, cx2)
     sin_cx = sx2 * cx - cx2 * sx
     mc = _log_f32(1.0 + c) - c / (1.0 + c)
-    out_ref[:] = (sx * (sic - si) - sin_cx / x2 + cx * (cic - ci)) / mc
+    out_ref[:] = (sx * (sic - si) - sin_cx / x2h + cx * (cic - ci)) / mc
+
+
+def _split_f32(x64):
+    hi = jnp.asarray(x64).astype(jnp.float32)
+    lo = (jnp.asarray(x64) - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
 
 
 def nfw_uk_pallas(ks, scales, cs, tb: int = 256, tk: int = 512,
                   interpret: bool = False):
     """Fast-path NFW u(k|z,m) on the (batch, k) grid.
 
-    ks: (nk,) wavenumbers; scales: (B,) r_s(1+z); cs: (B,) concentration.
-    Returns (B, nk) f32.  Pads to tile multiples internally.
+    ks: (nk,) wavenumbers; scales: (B,) r_s(1+z); cs: (B,) concentration
+    (f64 in, split host/XLA-side into hi/lo f32 pairs for the
+    double-single phase computation).  Returns (B, nk) f32.  Pads to tile
+    multiples internally.
     """
-    ks = jnp.asarray(ks, jnp.float32)
-    scales = jnp.asarray(scales, jnp.float32).reshape(-1)
-    cs = jnp.asarray(cs, jnp.float32).reshape(-1)
+    ks = jnp.asarray(ks, jnp.float64)
+    scales = jnp.asarray(scales, jnp.float64).reshape(-1)
+    cs64 = jnp.asarray(cs, jnp.float64).reshape(-1)
     B, nk = scales.shape[0], ks.shape[0]
     Bp = -(-B // tb) * tb
     nkp = -(-nk // tk) * tk
-    scales_p = jnp.pad(scales, (0, Bp - B), constant_values=1.0)[:, None]
-    cs_p = jnp.pad(cs, (0, Bp - B), constant_values=5.0)[:, None]
-    ks_p = jnp.pad(ks, (0, nkp - nk), constant_values=1.0)[None, :]
+
+    def padb(v, const):
+        return jnp.pad(v, (0, Bp - B), constant_values=const)[:, None]
+
+    def padk(v, const):
+        return jnp.pad(v, (0, nkp - nk), constant_values=const)[None, :]
+
+    s1h, s1l = _split_f32(scales)
+    s2h, s2l = _split_f32((1.0 + cs64) * scales)
+    kh, kl = _split_f32(ks)
+    args = (padb(s1h, 1.0), padb(s1l, 0.0),
+            padb(s2h, 6.0), padb(s2l, 0.0),
+            padb(cs64.astype(jnp.float32), 5.0),
+            padk(kh, 1.0), padk(kl, 0.0))
 
     # x64 mode promotes index-map literals to i64, which Mosaic rejects;
     # the kernel is pure f32/i32, so scope x64 off around the call.
     with jax.enable_x64(False):
+        row = pl.BlockSpec((tb, 1), lambda i, j: (i, 0),
+                           memory_space=pltpu.VMEM)
+        col = pl.BlockSpec((1, tk), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             _nfw_uk_kernel,
             out_shape=jax.ShapeDtypeStruct((Bp, nkp), jnp.float32),
             grid=(Bp // tb, nkp // tk),
-            in_specs=[
-                pl.BlockSpec((tb, 1), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tb, 1), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tk), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=[row, row, row, row, row, col, col],
             out_specs=pl.BlockSpec((tb, tk), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(scales_p, cs_p, ks_p)
+        )(*args)
     return out[:B, :nk]
 
 
