@@ -172,10 +172,8 @@ def main():
 
     # ---- config 3: HOD Pgg + Pgm with iterative ngal solve ----
     ngal = np.full(zs.size, 1e-4)
-    # NB: fast=False here -- the HOD 1-halo u_s^2 weighting amplifies the
-    # f32 Pallas kernel error to 1.5e-5, just past the gate (measured);
-    # configs 1/2/4 hold the gate with the fast stage, this one runs f64.
-    fn3, unpack3 = _packed(make_hod_fn(zs, ks, ms, ngal, jit=False))
+    fn3, unpack3 = _packed(make_hod_fn(zs, ks, ms, ngal, jit=False,
+                                       fast=on_tpu))
     t3 = _timeit(fn3, overrides)
     t0 = time.perf_counter()
     tw.add_hod("g", ngal=ngal)

@@ -37,15 +37,24 @@ _TWO_PI_LO = np.float32(6.28318530717958647692 - 6.28125
                         - float(np.float32(6.28318530717958647692 - 6.28125)))
 _INV_TWO_PI = np.float32(1.0 / (2.0 * np.pi))
 
-# f32 truncations of the unified sici tables (degree 24 is overkill for
-# f32; keep 16 terms, truncation < 1e-9)
+# f32 hi/lo splits of the unified sici tables (degree 24 is overkill for
+# f32; keep 16 terms, truncation < 1e-9).  The lo parts feed the
+# double-single Clenshaw -- plain f32 Clenshaw accumulates ~1e-5 here.
 _NCOEF = 16
-_A0 = _sc.SICI_A0[:_NCOEF].astype(np.float32)
-_A1 = _sc.SICI_A1[:_NCOEF].astype(np.float32)
-_A2 = _sc.SICI_A2[:_NCOEF].astype(np.float32)
-_B0 = _sc.SICI_B0[:_NCOEF].astype(np.float32)
-_B1 = _sc.SICI_B1[:_NCOEF].astype(np.float32)
-_B2 = _sc.SICI_B2[:_NCOEF].astype(np.float32)
+
+
+def _split_table(t64):
+    hi = t64[:_NCOEF].astype(np.float32)
+    lo = (t64[:_NCOEF] - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+_A0, _A0L = _split_table(_sc.SICI_A0)
+_A1, _A1L = _split_table(_sc.SICI_A1)
+_A2, _A2L = _split_table(_sc.SICI_A2)
+_B0, _B0L = _split_table(_sc.SICI_B0)
+_B1, _B1L = _split_table(_sc.SICI_B1)
+_B2, _B2L = _split_table(_sc.SICI_B2)
 import math as _math  # noqa: E402
 
 # short asymptotic tails (7 terms is past f32 resolution at x>40)
@@ -127,6 +136,30 @@ def _sincos_ds(xh, xl):
     return jnp.sin(r), jnp.cos(r)
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: s = fl(a+b) and its exact rounding error."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _ds_add(ah, al, bh, bl):
+    """Double-single addition with renormalization."""
+    s, e = _two_sum(ah, bh)
+    e = e + (al + bl)
+    hi = s + e
+    return hi, e - (hi - s)
+
+
+def _ds_mul_f32(ah, al, b):
+    """Double-single * f32 with renormalization."""
+    p, e = _two_prod(ah, b)
+    e = e + al * b
+    hi = p + e
+    return hi, e - (hi - p)
+
+
 def _sici_f32(x, sinx, cosx):
     """f32 Si/Ci with precomputed trig (mirrors special.sici_with_trig)."""
     xs = jnp.maximum(x, np.float32(1e-30))
@@ -142,18 +175,32 @@ def _sici_f32(x, sinx, cosx):
     t2 = (2.0 * jnp.clip(v, lo2, hi2) - (lo2 + hi2)) / (hi2 - lo2)
     t = jnp.where(in0, t0, jnp.where(in1, t1, t2))
 
-    a0 = jnp.zeros_like(t)
-    a1 = jnp.zeros_like(t)
-    b0 = jnp.zeros_like(t)
-    b1 = jnp.zeros_like(t)
+    # Double-single Clenshaw: the plain-f32 recurrence accumulates
+    # ~16 steps * eps * |intermediates| ~ 1e-5 -- the dominant error of
+    # the v1 kernel.  DS state + hi/lo coefficient tables hold ~1e-7.
+    z = jnp.zeros_like(t)
+    a0h, a0l, a1h, a1l = z, z, z, z
+    b0h, b0l, b1h, b1l = z, z, z, z
     t2x = 2.0 * t
     for k in range(_NCOEF - 1, -1, -1):
-        cA = jnp.where(in0, _A0[k], jnp.where(in1, _A1[k], _A2[k]))
-        cB = jnp.where(in0, _B0[k], jnp.where(in1, _B1[k], _B2[k]))
-        a0, a1 = t2x * a0 - a1 + cA, a0
-        b0, b1 = t2x * b0 - b1 + cB, b0
-    A = a0 - t * a1
-    B = b0 - t * b1
+        cAh = jnp.where(in0, _A0[k], jnp.where(in1, _A1[k], _A2[k]))
+        cAl = jnp.where(in0, _A0L[k], jnp.where(in1, _A1L[k], _A2L[k]))
+        cBh = jnp.where(in0, _B0[k], jnp.where(in1, _B1[k], _B2[k]))
+        cBl = jnp.where(in0, _B0L[k], jnp.where(in1, _B1L[k], _B2L[k]))
+        mh, ml = _ds_mul_f32(a0h, a0l, t2x)
+        sh_, sl_ = _ds_add(mh, ml, -a1h, -a1l)
+        na0h, na0l = _ds_add(sh_, sl_, cAh, cAl)
+        a0h, a0l, a1h, a1l = na0h, na0l, a0h, a0l
+        mh, ml = _ds_mul_f32(b0h, b0l, t2x)
+        sh_, sl_ = _ds_add(mh, ml, -b1h, -b1l)
+        nb0h, nb0l = _ds_add(sh_, sl_, cBh, cBl)
+        b0h, b0l, b1h, b1l = nb0h, nb0l, b0h, b0l
+    mh, ml = _ds_mul_f32(a1h, a1l, t)
+    Ah, Al = _ds_add(a0h, a0l, -mh, -ml)
+    A = Ah + Al
+    mh, ml = _ds_mul_f32(b1h, b1l, t)
+    Bh, Bl = _ds_add(b0h, b0l, -mh, -ml)
+    B = Bh + Bl
 
     si_small = xs * A
     ci_small = _EULER_GAMMA + _log_f32(xs) + B
@@ -175,8 +222,12 @@ def _sici_f32(x, sinx, cosx):
     g = jnp.where(xs > 40.0, g_asy, g_mid)
     si_large = np.float32(np.pi / 2.0) - f * cosx - g * sinx
     ci_large = f * sinx - g * cosx
+    # B, f, g and the small-branch mask are also returned so callers can
+    # form Si/Ci DIFFERENCES without the catastrophic constants: Si pairs
+    # both ~pi/2 at large x (difference ~1/x but f32 ulp(pi/2) ~ 1.2e-7),
+    # Ci pairs both ~ln x at tiny x (see _nfw_uk_kernel)
     return (jnp.where(in0, si_small, si_large),
-            jnp.where(in0, ci_small, ci_large))
+            jnp.where(in0, ci_small, ci_large), B, f, g, in0)
 
 
 def _nfw_uk_kernel(s1h_ref, s1l_ref, s2h_ref, s2l_ref, cs_ref,
@@ -197,11 +248,21 @@ def _nfw_uk_kernel(s1h_ref, s1l_ref, s2h_ref, s2l_ref, cs_ref,
     x2h, x2l = _ds_phase(kh, kl, s2h, s2l)
     sx, cx = _sincos_ds(xh, xl)
     sx2, cx2 = _sincos_ds(x2h, x2l)
-    si, ci = _sici_f32(xh, sx, cx)
-    sic, cic = _sici_f32(x2h, sx2, cx2)
+    si, ci, B1, f1, g1, in0_1 = _sici_f32(xh, sx, cx)
+    sic, cic, B2, f2, g2, in0_2 = _sici_f32(x2h, sx2, cx2)
     sin_cx = sx2 * cx - cx2 * sx
-    mc = _log_f32(1.0 + c) - c / (1.0 + c)
-    out_ref[:] = (sx * (sic - si) - sin_cx / x2h + cx * (cic - ci)) / mc
+    ln1pc = _log_f32(1.0 + c)
+    # Ci difference: when both args are in the series branch (x2 <= 4
+    # implies x <= 4), ln x2 - ln x = ln(1+c) exactly -- avoids the ~1e-6
+    # quantization of the individually-large ci values at tiny x
+    dci = jnp.where(in0_2, ln1pc + (B2 - B1), cic - ci)
+    # Si difference: when both args are in the auxiliary branch (x > 4
+    # implies x2 > 4), cancel the pi/2 constants analytically -- the
+    # difference is ~1/x while ulp(pi/2) alone is 1.2e-7
+    dsi_large = (f1 * cx + g1 * sx) - (f2 * cx2 + g2 * sx2)
+    dsi = jnp.where(in0_1, sic - si, dsi_large)
+    mc = ln1pc - c / (1.0 + c)
+    out_ref[:] = (sx * dsi - sin_cx / x2h + cx * dci) / mc
 
 
 def _split_f32(x64):

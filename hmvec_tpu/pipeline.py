@@ -199,10 +199,8 @@ def make_hod_fn(zs, ks, ms, ngal, mass_function: str = "sheth-torman",
     """params -> (Pgg, Pgm): HOD galaxy spectra incl. the iterative
     ngal->mthresh solve, one XLA program (BASELINE config 3).
 
-    fast: f32 Pallas Si/Ci NFW stage.  NOTE: the HOD 1-halo u_s^2
-    weighting amplifies the kernel error to ~1.5e-5 relative on Pgg
-    (measured) -- above the 1e-5 twin-parity gate, fine for ~1e-4
-    budgets.  Default False."""
+    fast: f32 Pallas Si/Ci NFW stage (difference-form Si/Ci + DS phases:
+    Pgg/Pgm ~1e-6 relative, inside the 1e-5 twin-parity gate)."""
     from .models.hod import build_hod
     from .models import profiles as prof
 
