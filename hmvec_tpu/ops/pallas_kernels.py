@@ -6,14 +6,18 @@ materialize (z,m,k)-sized temporaries in HBM.  This kernel computes the
 whole profile -- trig range reduction, Si/Ci auxiliaries, NFW assembly --
 in f32 inside VMEM tiles: one HBM read of the inputs, one write of u(k).
 
-Accuracy: ~3e-6 worst-case absolute on u.  The phases x = k r_s (1+z)
-(up to ~1e3) are carried in double-single -- Dekker TwoProduct of
-f64-split (hi, lo) factors, Cody-Waite reduction on the hi word -- so
-trig arguments hold ~1e-7; the residual error is f32 Clenshaw
-accumulation in the Si/Ci Chebyshev sums.  Intended for production
-sampling/forecasting loops where the 1e-5 twin-parity gate has headroom
-(Pmm ~2e-6 relative end-to-end; HOD u_s^2 weighting amplifies to ~1.3e-5,
-so config 3 keeps the f64 path); the exact f64 path remains the default.
+Accuracy: ~6e-7 worst-case absolute on u; end-to-end Pmm/Pgg/Pgm hold
+~1e-6 relative vs the f64 twin.  Three mechanisms carry the precision on
+pure-f32 hardware:
+  * phases x = k r_s (1+z) (up to ~1e3) in double-single -- Dekker
+    TwoProduct of f64-split factors, Cody-Waite on the hi word;
+  * double-single Clenshaw for the Si/Ci Chebyshev sums (plain f32
+    recurrences accumulate ~1e-5) with hi/lo coefficient tables;
+  * DIFFERENCE-form assembly: Si((1+c)x)-Si(x) via the auxiliary
+    functions (both Si ~ pi/2 at large x) and Ci((1+c)x)-Ci(x) via
+    ln(1+c) (both Ci ~ ln x at tiny x), dodging the f32 ulp of the large
+    constants.
+The exact f64 XLA path remains the default (fast=False).
 
 Pallas TPU has no f64 (Mosaic), hence the f32 design.
 """
@@ -271,8 +275,11 @@ def _split_f32(x64):
     return hi, lo
 
 
-def nfw_uk_pallas(ks, scales, cs, tb: int = 256, tk: int = 512,
+def nfw_uk_pallas(ks, scales, cs, tb: int = 256, tk: int = 256,
                   interpret: bool = False):
+    # tile budget: the DS-Clenshaw state (~36 live (tb, tk) f32 arrays)
+    # hits the 16M VMEM scoped limit at (256, 512) -- (256, 256) fits
+    # with ~7M headroom
     """Fast-path NFW u(k|z,m) on the (batch, k) grid.
 
     ks: (nk,) wavenumbers; scales: (B,) r_s(1+z); cs: (B,) concentration

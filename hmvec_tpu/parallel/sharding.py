@@ -346,3 +346,44 @@ def make_sharded_batched_fn(fn, param_names, mesh: Mesh,
         return _local(theta)
 
     return batched
+
+
+def make_sharded_ksz_survey_fn(num_bins: int, mesh: Mesh,
+                               axis_name: str = "m", **survey_kwargs):
+    """Survey kSZ forecast with the BIN axis sharded over the mesh.
+
+    Each device runs the complete per-bin halo-model pipeline (electron
+    transform, HOD ngal solve, Pgg/Pge, Nvv, SNR) for its share of the
+    redshift bins; a single psum closes the total SNR^2 over ICI.  The
+    mesh size must divide num_bins.  Same call signature as
+    pipeline.make_ksz_survey_fn (bs=None only).
+    """
+    from ..pipeline import make_ksz_survey_fn
+
+    nd = mesh.devices.size
+    assert num_bins % nd == 0, "mesh size must divide num_bins"
+    inner = make_ksz_survey_fn(num_bins // nd, jit=False, **survey_kwargs)
+
+    def fn(overrides, zcents, vols_gpc3, ngals, Cls):
+        zcents = jnp.asarray(zcents, dtype=jnp.float64)
+        vols = jnp.asarray(vols_gpc3, dtype=jnp.float64)
+        ngs = jnp.asarray(ngals, dtype=jnp.float64)
+        Clsj = jnp.asarray(Cls, dtype=jnp.float64)
+
+        # check_vma off: the HOD bisection carry starts replicated and
+        # becomes device-varying inside the loop, which the varying-axis
+        # checker rejects; the 8-device equivalence test pins correctness
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(P(axis_name), P(axis_name),
+                                     P(axis_name), P(None)),
+                           out_specs=(P(), P(axis_name), P(axis_name)),
+                           check_vma=False)
+        def _local(zc_l, v_l, n_l, cls_r):
+            _, snrs_l, bg_l = inner(overrides, zc_l, v_l, n_l, cls_r)
+            tot2 = jax.lax.psum(jnp.sum(snrs_l**2), axis_name)
+            return tot2, snrs_l, bg_l
+
+        tot2, snrs, bgals = _local(zcents, vols, ngs, Clsj)
+        return jnp.sqrt(tot2), snrs, bgals
+
+    return fn

@@ -76,3 +76,27 @@ def test_reference_shaped_api_matches_per_bin_class_path():
         bs=[2.0, 2.5], **kw)
     s_b0, _ = get_ksz_snr(vols[0], zcents[0], ngals[0], Cls, bg=2.0, **kw)
     np.testing.assert_allclose(float(snrs_b[0]), float(s_b0), rtol=1e-7)
+
+
+def test_sharded_survey_matches_single_device():
+    """Bins sharded over the 8-device mesh == the single-device vmapped
+    survey program (one psum closes the total SNR)."""
+    from hmvec_tpu.parallel.sharding import make_mesh, make_sharded_ksz_survey_fn
+    from hmvec_tpu.pipeline import make_ksz_survey_fn
+
+    cfg = dict(num_kL_bins=10, num_kS_bins=11, num_mu_bins=8,
+               ms=np.geomspace(1e10, 1e16, 40), nxs=256, xmax=10)
+    zc = np.linspace(0.3, 1.0, 8)
+    vols = np.linspace(5.0, 12.0, 8)
+    ngals = np.full(8, 1e-4)
+    Cls = 1e-5 * np.ones(10000)
+
+    single = make_ksz_survey_fn(8, **cfg)
+    mesh = make_mesh(8)
+    sharded = jax.jit(make_sharded_ksz_survey_fn(8, mesh, **cfg))
+
+    t1, s1, b1 = single({}, zc, vols, ngals, Cls)
+    t2, s2, b2 = sharded({}, zc, vols, ngals, Cls)
+    np.testing.assert_allclose(float(t2), float(t1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=1e-10)
