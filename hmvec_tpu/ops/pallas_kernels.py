@@ -95,13 +95,6 @@ def _log_f32(x):
     return e * _LN2_HI + (lnf + e * _LN2_LO)
 
 
-def _sincos_reduced(x):
-    """sin/cos via 3-term Cody-Waite reduction mod 2*pi (f32-safe to ~1e5)."""
-    n = jnp.round(x * _INV_TWO_PI)
-    r = ((x - n * _TWO_PI_HI) - n * _TWO_PI_MID) - n * _TWO_PI_LO
-    return jnp.sin(r), jnp.cos(r)
-
-
 _SPLIT_MASK = np.int32(np.uint32(0xFFFFF000))  # keep 12 mantissa bits
 
 
