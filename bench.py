@@ -119,9 +119,15 @@ def main():
     from hmvec_tpu.twin import limber as twin_limber
     from hmvec_tpu.twin.ksz import TwinKSZ
 
-    zs = np.linspace(0.1, 3.0, 20)
-    ms = np.geomspace(2e10, 1e17, 200)
-    ks = np.geomspace(1e-4, 100, 1001)
+    smoke = "--smoke" in sys.argv   # tiny grids: harness regression test
+    if smoke:
+        zs = np.linspace(0.1, 3.0, 3)
+        ms = np.geomspace(2e10, 1e17, 24)
+        ks = np.geomspace(1e-4, 100, 64)
+    else:
+        zs = np.linspace(0.1, 3.0, 20)
+        ms = np.geomspace(2e10, 1e17, 200)
+        ks = np.geomspace(1e-4, 100, 1001)
     # Pass the cosmology as *traced* inputs so XLA cannot constant-fold the
     # pipeline away (an empty overrides dict would compile to a constant).
     overrides = {k: jnp.asarray(v) for k, v in {
@@ -137,10 +143,11 @@ def main():
     # the 1e-5 gate).  The all-f64 build is emitted right after (2e-8).
     on_tpu = jax.default_backend() != "cpu"
     fn1 = make_pmm_fn(zs, ks, ms, fast=on_tpu)
+    iters = 2 if smoke else 10
     t0 = time.perf_counter()
     out1 = np.asarray(fn1(overrides))
     compile_s = time.perf_counter() - t0
-    t1 = _timeit(fn1, overrides)
+    t1 = _timeit(fn1, overrides, iters=iters)
     tw = TwinHaloModelExt(zs, ks, ms)
     t0 = time.perf_counter()
     p_twin = tw.get_power("nfw")
@@ -152,15 +159,15 @@ def main():
 
     if on_tpu:
         fn1x = make_pmm_fn(zs, ks, ms)
-        t1x = _timeit(fn1x, overrides)
+        t1x = _timeit(fn1x, overrides, iters=iters)
         all_ok &= _emit("config1_f64_exact", t1x, tw1,
                         _relerr(np.asarray(fn1x(overrides)), p_twin))
 
     # ---- config 2: Battaglia electron Pee + Pme ----
-    nxs, xmax = 4096, 20   # pow2 sampling: fast transform path on TPU
+    nxs, xmax = (512, 20) if smoke else (4096, 20)   # pow2 sampling: fast transform path on TPU
     fn2, unpack2 = _packed(make_electron_fn(zs, ks, ms, nxs=nxs, xmax=xmax,
                                             jit=False, fast=on_tpu))
-    t2 = _timeit(fn2, overrides)
+    t2 = _timeit(fn2, overrides, iters=iters)
     t0 = time.perf_counter()
     tw.add_battaglia_profile("e", nxs=nxs, xmax=xmax)
     pee_t = tw.get_power("e")
@@ -174,7 +181,7 @@ def main():
     ngal = np.full(zs.size, 1e-4)
     fn3, unpack3 = _packed(make_hod_fn(zs, ks, ms, ngal, jit=False,
                                        fast=on_tpu))
-    t3 = _timeit(fn3, overrides)
+    t3 = _timeit(fn3, overrides, iters=iters)
     t0 = time.perf_counter()
     tw.add_hod("g", ngal=ngal)
     pgg_t = tw.get_power("g")
@@ -188,7 +195,7 @@ def main():
     ells = np.geomspace(30, 3000, 60)
     fn4, unpack4 = _packed(make_lensing_cls_fn(zs, ks, ms, ells, jit=False,
                                                fast=on_tpu))
-    t4 = _timeit(fn4, overrides)
+    t4 = _timeit(fn4, overrides, iters=iters)
     ckk, _pmm4 = unpack4(fn4(overrides))
     t0 = time.perf_counter()
     pmm_t = tw.get_power("nfw")
@@ -199,13 +206,17 @@ def main():
     # ---- config 5: kSZ pipeline end-to-end, fused single-jit ----
     # (The eager class API takes ~8 s warm on the remote-tunnel TPU purely
     # from per-op RPC latency; the fused pipeline is the production path.)
-    ksz_ms = np.geomspace(1e8, 1e16, 500)
-    ksz_cfg = dict(num_kL_bins=100, num_kS_bins=101, num_mu_bins=102)
+    if smoke:
+        ksz_ms = np.geomspace(1e8, 1e16, 50)
+        ksz_cfg = dict(num_kL_bins=10, num_kS_bins=11, num_mu_bins=12)
+    else:
+        ksz_ms = np.geomspace(1e8, 1e16, 500)
+        ksz_cfg = dict(num_kL_bins=100, num_kS_bins=101, num_mu_bins=102)
     fn5, unpack5 = _packed(make_ksz_snr_fn(0.55, 10.0, 1e-4, ms=ksz_ms,
                                            nxs=nxs, xmax=xmax, jit=False,
                                            **ksz_cfg))
     Cls = 1e-5 * np.ones(10000)
-    t5 = _timeit(lambda ov: fn5(ov, Cls), overrides)
+    t5 = _timeit(lambda ov: fn5(ov, Cls), overrides, iters=iters)
     snr, nvv, _ = unpack5(fn5(overrides, Cls))
     t0 = time.perf_counter()
     twk = TwinKSZ([0.55], [10.0], [1e-4], ms=ksz_ms,
@@ -226,7 +237,7 @@ def main():
     theta = np.column_stack([np.linspace(0.11, 0.13, B),
                              np.linspace(2.0e-9, 2.4e-9, B)])
     theta = jnp.asarray(theta)
-    tb = _timeit(bf, theta, iters=5)
+    tb = _timeit(bf, theta, iters=2 if smoke else 5)
     out_b = np.asarray(bf(theta))
     # row exactness vs the single-cosmology program (same code path)
     row = np.asarray(fn1({**overrides,
