@@ -29,6 +29,8 @@ import time
 import numpy as np
 
 GATE = 1e-5
+_SMOKE = False   # set by --smoke: tags every JSON line so downstream
+                 # collectors cannot mistake tiny-grid numbers for real ones
 
 
 def _fetch(out):
@@ -95,6 +97,8 @@ def _emit(metric, tpu_s, twin_s, err, extra=None, gate=GATE):
         f"accuracy_gate_{gate:.0e}".replace("e-0", "e-"):
             "PASS" if ok else "FAIL",
     }
+    if _SMOKE:
+        line["smoke"] = True
     if extra:
         line.update(extra)
     print(json.dumps(line), flush=True)
@@ -119,7 +123,8 @@ def main():
     from hmvec_tpu.twin import limber as twin_limber
     from hmvec_tpu.twin.ksz import TwinKSZ
 
-    smoke = "--smoke" in sys.argv   # tiny grids: harness regression test
+    global _SMOKE
+    smoke = _SMOKE = "--smoke" in sys.argv   # tiny grids: harness regression
     if smoke:
         zs = np.linspace(0.1, 3.0, 3)
         ms = np.geomspace(2e10, 1e17, 24)

@@ -6,7 +6,8 @@ materialize (z,m,k)-sized temporaries in HBM.  This kernel computes the
 whole profile -- trig range reduction, Si/Ci auxiliaries, NFW assembly --
 in f32 inside VMEM tiles: one HBM read of the inputs, one write of u(k).
 
-Accuracy: ~6e-7 worst-case absolute on u; end-to-end Pmm/Pgg/Pgm hold
+Accuracy: ~1.5e-6 worst-case absolute on u (adversarial sweep over
+c in [1.2, 30], r_s to 3, k to 100, z to 3; typical grids ~6e-7); end-to-end Pmm/Pgg/Pgm hold
 ~1e-6 relative vs the f64 twin.  Three mechanisms carry the precision on
 pure-f32 hardware:
   * phases x = k r_s (1+z) (up to ~1e3) in double-single -- Dekker
@@ -31,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import _sici_coeffs as _sc
+from .sine_transform import _split_hi_lo as _split_f32
 
 _EULER_GAMMA = np.float32(_sc.EULER_GAMMA)
 
@@ -262,12 +264,6 @@ def _nfw_uk_kernel(s1h_ref, s1l_ref, s2h_ref, s2l_ref, cs_ref,
     out_ref[:] = (sx * dsi - sin_cx / x2h + cx * dci) / mc
 
 
-def _split_f32(x64):
-    hi = jnp.asarray(x64).astype(jnp.float32)
-    lo = (jnp.asarray(x64) - hi.astype(jnp.float64)).astype(jnp.float32)
-    return hi, lo
-
-
 def nfw_uk_pallas(ks, scales, cs, tb: int = 256, tk: int = 256,
                   interpret: bool = False):
     # tile budget: the DS-Clenshaw state (~36 live (tb, tk) f32 arrays)
@@ -280,6 +276,13 @@ def nfw_uk_pallas(ks, scales, cs, tb: int = 256, tk: int = 256,
     double-single phase computation).  Returns (B, nk) f32.  Pads to tile
     multiples internally.
     """
+    if not jax.config.jax_enable_x64:
+        # the hi/lo splits silently collapse to lo=0 without x64, quietly
+        # degrading the kernel ~50x below its documented accuracy
+        raise ValueError(
+            "nfw_uk_pallas needs jax_enable_x64 for its double-single "
+            "phase splits; with the HMVEC_TPU_NO_X64 opt-out use the "
+            "plain f64->f32 cast path (fast=False).")
     ks = jnp.asarray(ks, jnp.float64)
     scales = jnp.asarray(scales, jnp.float64).reshape(-1)
     cs64 = jnp.asarray(cs, jnp.float64).reshape(-1)

@@ -30,7 +30,8 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
 
     fast_nfw: replace the f64 Si/Ci analytic NFW stage (the largest single
     on-chip cost of the flagship config) with the f32 Pallas kernel
-    (ops/pallas_kernels.nfw_uk_fast, ~1e-5 absolute on u)."""
+    (ops/pallas_kernels.nfw_uk_fast, ~1e-6-class absolute on u; needs
+    x64 for its double-single splits -- falls back to f64 otherwise)."""
     bg = bgmod.background(p)
     zsj = jnp.asarray(zs)
     ksj = jnp.asarray(ks)
@@ -58,7 +59,8 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
     cs = prof.concentration_duffy(msj, zsj, mdef, p, p["H0"] / 100.0)
     rvirs = prof.rvir_grid(msj, zsj, mdef, rhocritz, rhomz, omz)
     rss = rvirs / cs
-    if fast_nfw and jax.default_backend() != "cpu":
+    if (fast_nfw and jax.default_backend() != "cpu"
+            and jax.config.jax_enable_x64):
         from .ops.pallas_kernels import nfw_uk_fast
         uk = nfw_uk_fast(ksj, zsj, cs, rss)
     else:
@@ -76,9 +78,9 @@ def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
     the BASELINE config-1 workload (bin/simple_test.py semantics).
 
     fast: production mode -- the Si/Ci NFW stage runs the f32 Pallas
-    kernel (measured 1.9e-6 relative on Pmm vs the f64 twin, i.e. still
-    5x inside the 1e-5 parity gate; fast=False is the 2e-8 all-f64
-    build).  No-op on CPU.
+    kernel (measured 1.2e-6 relative on Pmm vs the f64 twin, 8x inside
+    the 1e-5 parity gate; fast=False is the 2e-8 all-f64 build).
+    No-op on CPU or without x64.
     """
     zs = np.asarray(zs)
     ks = np.asarray(ks)

@@ -3,14 +3,17 @@ plain invocation emits all expected JSON metric lines with passing gates
 (on tiny --smoke grids, CPU)."""
 
 import json
+import pathlib
 import subprocess
 import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
 def test_bench_smoke_emits_all_configs():
     out = subprocess.run(
         [sys.executable, "bench.py", "--cpu", "--smoke"],
-        capture_output=True, text=True, timeout=900, cwd="/root/repo")
+        capture_output=True, text=True, timeout=900, cwd=str(REPO))
     assert out.returncode == 0, out.stdout + out.stderr
     lines = [json.loads(l) for l in out.stdout.splitlines()
              if l.startswith("{")]
