@@ -74,3 +74,14 @@ def test_kk_exact_roughly_matches_limber_shape():
     ells, clkk_back = cos2.cmb_lensing_kk_exact(lmax=lmax)
     np.testing.assert_allclose(clkk_back[2:], clkk_limber[2:], rtol=1e-12)
     assert ells.size == lmax + 1
+
+
+def test_kk_exact_pads_with_nan_beyond_table():
+    """Short lens-potential table: NaN-pad to lmax+1 (like get_cmb_cls),
+    never silently truncate."""
+    dd = np.linspace(1e-8, 1e-7, 200)
+    c = Cosmology(cls_table={"cls_lens_potential": dd})
+    ells, clkk = c.cmb_lensing_kk_exact(lmax=500)
+    assert ells.size == clkk.size == 501
+    assert np.all(np.isfinite(clkk[:200]))
+    assert np.all(np.isnan(clkk[200:]))

@@ -82,3 +82,20 @@ def test_ksz_snr_survey_smoke():
         zs, dndz, zedges=[0.4, 0.8], Cls=Cls, fsky=0.3, Ngals=1e6)
     assert len(snrs) == 1 and np.isfinite(tot) and tot > 0
     assert 0.5 < bgs[0] < 6.0
+
+
+def test_survey_class_api_kwarg_falls_back_to_per_bin_path():
+    """get_ksz_snr_survey with a class-API-only kwarg (nfw_numeric) must
+    run the per-bin path instead of TypeError-ing the fused builder."""
+    zs = np.linspace(0.1, 1.2, 30)
+    dndz = np.exp(-((zs - 0.6) / 0.3) ** 2)
+    zedges = np.array([0.2, 0.9])
+    Cls = 1e-5 * np.ones(10000)
+    from hmvec_tpu.models.ksz import get_ksz_snr_survey
+    out = get_ksz_snr_survey(
+        zs, dndz, zedges, Cls, fsky=0.4, Ngals=1e6,
+        nfw_numeric=False,           # class-API-only name
+        ms=np.geomspace(1e10, 1e16, 30), num_kL_bins=8, num_kS_bins=9,
+        num_mu_bins=8, electron_profile_nxs=200, electron_profile_xmax=10)
+    tot = out[-1]
+    assert np.isfinite(tot) and tot > 0

@@ -105,3 +105,13 @@ def test_batched_grad():
 
     g = np.asarray(jax.jit(jax.grad(loss))(jnp.asarray([[0.11], [0.13]])))
     assert g.shape == (2, 1) and np.all(np.isfinite(g)) and np.all(g != 0)
+
+
+def test_batched_base_overrides():
+    """make_batched_fn(base=...): fixed overrides apply to every element."""
+    from hmvec_tpu.pipeline import make_batched_fn
+    fn = make_pmm_fn(ZS, KS[::8], MS[::8], jit=False)
+    bf = make_batched_fn(fn, ("omch2",), base={"As": 2.5e-9})
+    out = np.asarray(bf(np.array([[0.115], [0.125]])))
+    ref0 = np.asarray(fn({"omch2": 0.115, "As": 2.5e-9}))
+    np.testing.assert_allclose(out[0], ref0, rtol=1e-12)
