@@ -123,3 +123,16 @@ def test_golden_regression(cosmo):
     golden = np.array([1.227140839321e+04, 9.475194951900e+02,
                        1.857015624000e+01])
     assert np.allclose(pnl, golden, rtol=5e-4), pnl
+
+
+def test_hmcode_wcdm_smoke():
+    """w0/wa cosmologies: background terms exact, growth keeps the LCDM
+    closed form (documented deviation, MIGRATION.md #7) -- results must
+    stay finite and deviate from LCDM in the right direction."""
+    ks = np.geomspace(1e-3, 10.0, 48)
+    zs = np.array([0.0, 1.0])
+    p_l = np.asarray(hmcode_power(Cosmology(), zs, ks))
+    p_w = np.asarray(hmcode_power(Cosmology({"w0": -0.9, "wa": 0.2}),
+                                  zs, ks))
+    assert np.all(np.isfinite(p_w)) and np.all(p_w > 0)
+    assert np.max(np.abs(p_w / p_l - 1.0)) > 1e-3  # w actually matters

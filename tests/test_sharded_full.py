@@ -50,3 +50,16 @@ def test_sharded_batched_cosmologies():
     single = make_batched_fn(fn, ("omch2", "As"))
     np.testing.assert_allclose(np.asarray(sharded(theta)),
                                np.asarray(single(theta)), rtol=1e-11)
+
+
+def test_sharded_batched_rejects_indivisible_batch():
+    from hmvec_tpu.parallel.sharding import make_mesh, make_sharded_batched_fn
+    from hmvec_tpu.pipeline import make_pmm_fn
+    import pytest
+
+    zs = np.linspace(0.1, 1.0, 2)
+    fn = make_pmm_fn(zs, np.geomspace(1e-3, 1, 8),
+                     np.geomspace(1e11, 1e15, 8), jit=False)
+    bf = make_sharded_batched_fn(fn, ("omch2",), make_mesh(8))
+    with pytest.raises(AssertionError, match="mesh size 8 must divide"):
+        bf(np.full((4, 1), 0.12))
