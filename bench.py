@@ -147,7 +147,7 @@ def main():
     # otherwise-f64 pipeline (measured 1.9e-6 vs the f64 twin -- 5x inside
     # the 1e-5 gate).  The all-f64 build is emitted right after (2e-8).
     on_tpu = jax.default_backend() != "cpu"
-    fn1 = make_pmm_fn(zs, ks, ms, fast=on_tpu)
+    fn1 = make_pmm_fn(zs, ks, ms, fast=on_tpu, growth="closed")
     iters = 2 if smoke else 10
     t0 = time.perf_counter()
     out1 = np.asarray(fn1(overrides))
@@ -163,7 +163,7 @@ def main():
           file=sys.stderr)
 
     if on_tpu:
-        fn1x = make_pmm_fn(zs, ks, ms)
+        fn1x = make_pmm_fn(zs, ks, ms, growth="closed")
         t1x = _timeit(fn1x, overrides, iters=iters)
         all_ok &= _emit("config1_f64_exact", t1x, tw1,
                         _relerr(np.asarray(fn1x(overrides)), p_twin))
@@ -171,7 +171,8 @@ def main():
     # ---- config 2: Battaglia electron Pee + Pme ----
     nxs, xmax = (512, 20) if smoke else (4096, 20)   # pow2 sampling: fast transform path on TPU
     fn2, unpack2 = _packed(make_electron_fn(zs, ks, ms, nxs=nxs, xmax=xmax,
-                                            jit=False, fast=on_tpu))
+                                            jit=False, fast=on_tpu,
+                                            growth="closed"))
     t2 = _timeit(fn2, overrides, iters=iters)
     t0 = time.perf_counter()
     tw.add_battaglia_profile("e", nxs=nxs, xmax=xmax)
@@ -185,7 +186,7 @@ def main():
     # ---- config 3: HOD Pgg + Pgm with iterative ngal solve ----
     ngal = np.full(zs.size, 1e-4)
     fn3, unpack3 = _packed(make_hod_fn(zs, ks, ms, ngal, jit=False,
-                                       fast=on_tpu))
+                                       fast=on_tpu, growth="closed"))
     t3 = _timeit(fn3, overrides, iters=iters)
     t0 = time.perf_counter()
     tw.add_hod("g", ngal=ngal)
@@ -199,7 +200,8 @@ def main():
     # ---- config 4: Limber C_kk ----
     ells = np.geomspace(30, 3000, 60)
     fn4, unpack4 = _packed(make_lensing_cls_fn(zs, ks, ms, ells, jit=False,
-                                               fast=on_tpu))
+                                               fast=on_tpu,
+                                               growth="closed"))
     t4 = _timeit(fn4, overrides, iters=iters)
     ckk, _pmm4 = unpack4(fn4(overrides))
     t0 = time.perf_counter()
@@ -219,7 +221,7 @@ def main():
         ksz_cfg = dict(num_kL_bins=100, num_kS_bins=101, num_mu_bins=102)
     fn5, unpack5 = _packed(make_ksz_snr_fn(0.55, 10.0, 1e-4, ms=ksz_ms,
                                            nxs=nxs, xmax=xmax, jit=False,
-                                           **ksz_cfg))
+                                           growth="closed", **ksz_cfg))
     Cls = 1e-5 * np.ones(10000)
     t5 = _timeit(lambda ov: fn5(ov, Cls), overrides, iters=iters)
     snr, nvv, _ = unpack5(fn5(overrides, Cls))
@@ -237,19 +239,22 @@ def main():
     # and the fixed ~29 ms tunnel RPC across the batch)
     from hmvec_tpu.pipeline import make_batched_fn
     B = 16
-    bf = make_batched_fn(make_pmm_fn(zs, ks, ms, fast=on_tpu, jit=False),
+    bf = make_batched_fn(make_pmm_fn(zs, ks, ms, fast=on_tpu, jit=False,
+                                     growth="closed"),
                          ("omch2", "As"))
     theta = np.column_stack([np.linspace(0.11, 0.13, B),
                              np.linspace(2.0e-9, 2.4e-9, B)])
     theta = jnp.asarray(theta)
     tb = _timeit(bf, theta, iters=2 if smoke else 5)
     out_b = np.asarray(bf(theta))
-    # row exactness vs the single-cosmology program (same code path)
-    row = np.asarray(fn1({**overrides,
-                          "omch2": jnp.asarray(theta[0, 0]),
-                          "As": jnp.asarray(theta[0, 1])}))
+    # row-0 accuracy vs the INDEPENDENT twin at that cosmology (not the
+    # single-call jax path: a vmapped-path bug hitting both identically
+    # must not cancel out)
+    tw_b0 = TwinHaloModelExt(zs, ks, ms,
+                             params={"omch2": float(theta[0, 0]),
+                                     "As": float(theta[0, 1])})
     all_ok &= _emit("batch16_pmm_per_cosmology", tb / B, tw1,
-                    _relerr(out_b[0], row),
+                    _relerr(out_b[0], tw_b0.get_power("nfw")),
                     extra={"batch": B, "batch_latency_ms": round(tb * 1e3, 3)})
 
     return 0 if all_ok else 1

@@ -179,22 +179,35 @@ def omz(bg: BackgroundParams, z):
     return rho_matter_z(bg, z) / rho_critical_z(bg, z)
 
 
-def growth_unnormalized(bg: BackgroundParams, a):
+def growth_unnormalized(bg: BackgroundParams, a, mode: str = "closed",
+                        table=None):
     """D(a) with D ~ a in matter domination (Heath 1977 closed form).
 
-    Reference: cosmology.py:297-314 (D_growth_approx).  LCDM-shaped; exact
-    analytic integral via 2F1.
+    Reference: cosmology.py:297-314 (D_growth_approx).  ``mode="closed"``
+    is the LCDM-exact analytic integral via 2F1; ``mode="ode"`` integrates
+    the linear growth ODE for general (w0, wa) backgrounds -- the analogue
+    of the reference's engine-exact growth (cosmology.py:288-294), which
+    gets D from CAMB/CLASS for any background.  Pick the mode with
+    ``growth_mode_for(params)`` at build time (host side, where w0/wa are
+    concrete).
     """
+    if mode == "ode":
+        if table is None:
+            table = growth_table(bg)
+        return growth_eval(table, a)[0]
     a = jnp.asarray(a)
     x = (bg.oml0 / bg.omm0) ** (1.0 / 3.0) * a
     x3 = x**3
     return jnp.sqrt(1.0 + x3) * hyp2f1_growth(x3) * a
 
 
-def d_growth(bg: BackgroundParams, a, norm: str = "anorm"):
+def d_growth(bg: BackgroundParams, a, norm: str = "anorm",
+             mode: str = "closed", table=None):
     """Normalized growth factor (reference: cosmology.py:317-332)."""
-    d1 = growth_unnormalized(bg, jnp.asarray(1.0))
-    val = growth_unnormalized(bg, a) / d1
+    if mode == "ode" and table is None:
+        table = growth_table(bg)
+    d1 = growth_unnormalized(bg, jnp.asarray(1.0), mode, table)
+    val = growth_unnormalized(bg, a, mode, table) / d1
     if norm == "z0norm":
         return val
     if norm == "anorm":
@@ -202,18 +215,131 @@ def d_growth(bg: BackgroundParams, a, norm: str = "anorm"):
     raise ValueError(norm)
 
 
-def growth_rate_f(bg: BackgroundParams, z):
-    """f(z) = dlnD/dlna via autodiff of the closed-form D.
+def growth_rate_f(bg: BackgroundParams, z, mode: str = "closed",
+                  table=None):
+    """f(z) = dlnD/dlna via autodiff of the closed-form D ("closed") or
+    from the integrated dD/dlna ("ode", any w0/wa).
 
     Replaces the reference's CLASS-only growth rate
     (cosmology.py:345-350) with an engine-free differentiable version.
     """
     z = jnp.atleast_1d(jnp.asarray(z))
+    if mode == "ode":
+        if table is None:
+            table = growth_table(bg)
+        return growth_eval(table, 1.0 / (1.0 + z))[1]
 
     def logd(lna):
         return jnp.log(growth_unnormalized(bg, jnp.exp(lna)))
 
     return jax.vmap(jax.grad(logd))(jnp.log(1.0 / (1.0 + z)))
+
+
+# ---------------------------------------------------------------------------
+# ODE growth for general (w0, wa) dark energy
+# ---------------------------------------------------------------------------
+#
+# The reference takes D(z) and f(z) from the Boltzmann engine for ANY
+# background (cosmology.py:288-294, :345-350); the closed-form Heath/2F1
+# integral above is exact only for (w0, wa) = (-1, 0).  Here the growing
+# mode is integrated directly:  with g = D/a and x = ln a,
+#
+#   g'' + (4 + dlnE/dx) g' + (3 + dlnE/dx - (3/2) Om_m(a)) g = 0,
+#
+# over the same reduced background as Heath (matter + curvature + w0waCDM
+# dark energy, no radiation), so the LCDM limit reproduces the closed form
+# exactly.  g is O(1) and flat until late times, so fixed-step RK4 in ln a
+# converges fast; nodes carry (D, dD/dlna) and evaluation is cubic-Hermite
+# (O(h^4) with exact derivatives).  Everything is jit- and grad-safe.
+
+_GROWTH_LNA0 = float(np.log(1e-4))
+
+
+class GrowthTable(NamedTuple):
+    lna0: jnp.ndarray     # scalar ln a of the first node
+    h: jnp.ndarray        # scalar step in ln a
+    d: jnp.ndarray        # (n+1,) unnormalized D (D -> a in matter dom.)
+    dp: jnp.ndarray       # (n+1,) dD/dlna
+
+
+def _growth_ode_rhs(bg: BackgroundParams, lna, y):
+    g, gp = y
+    a = jnp.exp(lna)
+    fde = a ** (-3.0 * (1.0 + bg.w0 + bg.wa)) * jnp.exp(-3.0 * bg.wa * (1.0 - a))
+    m = bg.omm0 * a**-3
+    k = bg.omk0 * a**-2
+    e2 = m + k + bg.oml0 * fde
+    dlne = 0.5 * (-3.0 * m - 2.0 * k + bg.oml0 * fde
+                  * (-3.0 * (1.0 + bg.w0 + bg.wa) + 3.0 * bg.wa * a)) / e2
+    om_a = m / e2
+    return gp, -(4.0 + dlne) * gp - (3.0 + dlne - 1.5 * om_a) * g
+
+
+def growth_table(bg: BackgroundParams, n_steps: int = 384,
+                 lna_min: float = _GROWTH_LNA0) -> GrowthTable:
+    """Integrate the growth ODE on a uniform ln-a grid up to a = 1.
+
+    Initial conditions deep in matter domination (g = 1, g' = 0 at
+    a = 1e-4; the DE correction there is O(oml/omm * a^3) ~ 1e-12).
+    """
+    h = (0.0 - lna_min) / n_steps
+    lnas = lna_min + h * jnp.arange(n_steps)
+
+    def step(y, lna):
+        k1 = _growth_ode_rhs(bg, lna, y)
+        y2 = (y[0] + 0.5 * h * k1[0], y[1] + 0.5 * h * k1[1])
+        k2 = _growth_ode_rhs(bg, lna + 0.5 * h, y2)
+        y3 = (y[0] + 0.5 * h * k2[0], y[1] + 0.5 * h * k2[1])
+        k3 = _growth_ode_rhs(bg, lna + 0.5 * h, y3)
+        y4 = (y[0] + h * k3[0], y[1] + h * k3[1])
+        k4 = _growth_ode_rhs(bg, lna + h, y4)
+        y_next = (y[0] + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]),
+                  y[1] + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]))
+        return y_next, y_next
+
+    one = jnp.ones_like(bg.w0)
+    y0 = (one, jnp.zeros_like(bg.w0))
+    # unroll amortizes the ~70 us/step serial-loop overhead on the
+    # tunneled TPU (DEVNOTES.md) to ~n_steps/8 sequenced blocks
+    _, (gs, gps) = jax.lax.scan(step, y0, lnas, unroll=8)
+    g = jnp.concatenate([one[None], gs])
+    gp = jnp.concatenate([jnp.zeros_like(one)[None], gps])
+    a_nodes = jnp.exp(lna_min + h * jnp.arange(n_steps + 1))
+    return GrowthTable(lna0=jnp.asarray(lna_min), h=jnp.asarray(h),
+                       d=a_nodes * g, dp=a_nodes * (g + gp))
+
+
+def growth_eval(tab: GrowthTable, a):
+    """(D(a), f(a) = dlnD/dlna) by cubic-Hermite interpolation of the
+    table; below the table D extends as D = a * (D0/a0) (pure matter
+    domination), above a = 1 it clamps to the last interval's Hermite."""
+    a = jnp.asarray(a)
+    lna = jnp.log(a)
+    n = tab.d.shape[0] - 1
+    u = (lna - tab.lna0) / tab.h
+    i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n - 1)
+    t = u - i
+    d0, d1 = tab.d[i], tab.d[i + 1]
+    p0, p1 = tab.dp[i] * tab.h, tab.dp[i + 1] * tab.h
+    t2, t3 = t * t, t * t * t
+    D = ((2 * t3 - 3 * t2 + 1) * d0 + (t3 - 2 * t2 + t) * p0
+         + (-2 * t3 + 3 * t2) * d1 + (t3 - t2) * p1)
+    Dp = ((6 * t2 - 6 * t) * d0 + (3 * t2 - 4 * t + 1) * p0
+          + (-6 * t2 + 6 * t) * d1 + (3 * t2 - 2 * t) * p1) / tab.h
+    below = lna < tab.lna0
+    a0 = jnp.exp(tab.lna0)
+    D = jnp.where(below, a * (tab.d[0] / a0), D)
+    f = jnp.where(below, tab.dp[0] / tab.d[0], Dp / D)
+    return D, f
+
+
+def growth_mode_for(params: dict) -> str:
+    """'closed' (Heath/2F1, exact for LCDM) unless (w0, wa) != (-1, 0),
+    then 'ode'.  Call at build time on the concrete params dict."""
+    if float(params.get("w0", -1.0)) == -1.0 and \
+            float(params.get("wa", 0.0)) == 0.0:
+        return "closed"
+    return "ode"
 
 
 def redshift_at_comoving_radial_distance(bg: BackgroundParams, chi,

@@ -24,11 +24,14 @@ from .transfer import transfer_eh98
 # Jitted entry points for the chunky eager class-API stages (compiled once
 # per grid shape, reused across instances; the fused pipelines in
 # hmvec_tpu.pipeline trace the un-jitted functions inside one program).
-_eh_pzk_j = jax.jit(lambda bg, zs, ks: lpm.EHEngine().pzk_grid(bg, zs, ks))
+_eh_pzk_j = jax.jit(
+    lambda bg, zs, ks, growth_mode="closed": lpm.EHEngine().pzk_grid(
+        bg, zs, ks, growth_mode=growth_mode),
+    static_argnames="growth_mode")
 _eh_plin_j = jax.jit(
-    lambda bg, zs, ks, accuracy: lpm.EHEngine().plin(bg, zs, ks,
-                                                     accuracy=accuracy),
-    static_argnames="accuracy")
+    lambda bg, zs, ks, accuracy, growth_mode="closed": lpm.EHEngine().plin(
+        bg, zs, ks, accuracy=accuracy, growth_mode=growth_mode),
+    static_argnames=("accuracy", "growth_mode"))
 
 
 
@@ -58,9 +61,16 @@ def get_eds_model(fb=0.15, H0=68.0, YHe=0.25):
 
 class Cosmology:
     def __init__(self, params=None, halofit=None, engine="eh",
-                 accuracy="medium", pk_table=None, cls_table=None):
+                 accuracy="medium", pk_table=None, cls_table=None,
+                 growth="auto"):
         self.accuracy = accuracy
         self.p = merge_params(params)
+        # growth-factor mode: 'closed' = Heath/2F1 (LCDM-exact), 'ode' =
+        # integrated growing mode for general (w0, wa) -- the analogue of
+        # the reference's engine-exact growth (cosmology.py:288-294).
+        # 'auto' picks by the concrete (w0, wa) at construction.
+        self.growth_mode = (bgmod.growth_mode_for(self.p)
+                            if growth == "auto" else growth)
         self.params = self.p
         self.engine_name = engine
         self.engine = lpm.make_engine(engine, pk_table)
@@ -93,7 +103,8 @@ class Cosmology:
                       else params["S8"] / _np.sqrt(omm0 / 0.3))
             ks_s2 = lpm.sigma2_k_grid(self.p)
             spzk = self.engine.plin(self.bg, jnp.asarray([0.0]), ks_s2,
-                                    accuracy="medium")
+                                    accuracy="medium",
+                                    growth_mode=self.growth_mode)
             s2 = lpm.sigma2_R(self.bg, jnp.asarray([8.0 / h]),
                               jnp.asarray([0.0]), spzk, ks_s2,
                               self.p["Wkr_taylor_switch"])
@@ -138,14 +149,24 @@ class Cosmology:
 
     # ---- growth ----
     def D_growth_approx(self, a):
+        # the reference's D_growth_approx is the closed form by definition
+        # (cosmology.py:297-314)
         return bgmod.growth_unnormalized(self.bg, a)
 
     def D_growth(self, a, type="anorm", exact=False):
-        del exact  # engine-free build: the closed form is the exact path
-        return bgmod.d_growth(self.bg, a, norm=type)
+        # exact=True forces the ODE growing mode (the analogue of the
+        # reference's engine-exact D, cosmology.py:288-294); otherwise the
+        # instance's growth_mode decides (ODE automatically under w0/wa).
+        mode = "ode" if exact else self.growth_mode
+        return bgmod.d_growth(self.bg, a, norm=type, mode=mode)
+
+    def D_growth_exact_arbitrary_norm(self, a):
+        """Unnormalized engine-exact growth (reference cosmology.py:288-294
+        alias; here the ODE growing mode, D -> a in matter domination)."""
+        return bgmod.growth_unnormalized(self.bg, a, mode="ode")
 
     def get_growth_rate_f(self, zs):
-        return bgmod.growth_rate_f(self.bg, zs)
+        return bgmod.growth_rate_f(self.bg, zs, mode=self.growth_mode)
 
     def bias_fnl(self, bg_bias, fnl, z, ks, deltac=1.42):
         """Scale-dependent fNL bias (reference: cosmology.py:132-136)."""
@@ -153,7 +174,8 @@ class Cosmology:
         a = 1.0 / (1.0 + z)
         alpha = ((2.0 * jnp.asarray(ks) ** 2 * self.Tk(ks, "eisenhu_osc"))
                  / (3.0 * self.bg.omm0 * bgmod.h_of_z(self.bg, 0.0) ** 2)
-                 * bgmod.d_growth(self.bg, a, norm="anorm"))
+                 * bgmod.d_growth(self.bg, a, norm="anorm",
+                                  mode=self.growth_mode))
         return bg_bias + fnl * (beta / alpha)
 
     # ---- linear power ----
@@ -162,15 +184,34 @@ class Cosmology:
 
     def P_lin(self, ks, zs, knorm=1e-4, kmax=None):
         del knorm, kmax
-        return self.engine.plin(self.bg, zs, ks, accuracy="medium")
+        return self.engine.plin(self.bg, zs, ks, accuracy="medium",
+                                growth_mode=self.growth_mode)
 
     def P_lin_slow(self, ks, zs, kmax=None):
         del kmax
         return self.engine.plin(self.bg, zs, ks, accuracy="high"
-                                if self.engine.name == "tabulated" else "medium")
+                                if self.engine.name == "tabulated" else "medium",
+                                growth_mode=self.growth_mode)
 
     def P_lin_approx(self, ks, zs, type="eisenhu_osc"):
-        return lpm.plin_approx(self.bg, zs, ks, type)
+        return lpm.plin_approx(self.bg, zs, ks, type,
+                               growth_mode=self.growth_mode)
+
+    def P_mm_linear(self, zs, ks):
+        """Linear matter power on (zs, ks).  The reference declares this
+        (cosmology.py:104-105) but leaves it as a `pass` stub; here it is
+        the linear grid eval."""
+        return self._get_matter_power(zs, ks, nonlinear=False)
+
+    def P_mm_nonlinear(self, ks, zs, halofit_version="mead"):
+        """Nonlinear matter power on (zs, ks) (reference cosmology.py:107-108,
+        a `pass` stub there; argument order preserved)."""
+        old = self.halofit
+        self.halofit = halofit_version
+        try:
+            return self._get_matter_power(zs, ks, nonlinear=True)
+        finally:
+            self.halofit = old
 
     def _get_matter_power(self, zs, ks, nonlinear=False):
         if nonlinear:
@@ -187,8 +228,9 @@ class Cosmology:
             from .halofit import halofit_power
             return halofit_power(self, zs, ks)
         if self.engine.name == "eh":
-            return _eh_pzk_j(self.bg, zs, ks)
-        return self.engine.pzk_grid(self.bg, zs, ks, nonlinear=False)
+            return _eh_pzk_j(self.bg, zs, ks, self.growth_mode)
+        return self.engine.pzk_grid(self.bg, zs, ks, nonlinear=False,
+                                    growth_mode=self.growth_mode)
 
     def get_sigma2_R(self, R, zs, kmin=None, kmax=None, numks=None):
         p = dict(self.p)
@@ -200,10 +242,12 @@ class Cosmology:
             p["sigma2_numks"] = numks
         ks_s2 = lpm.sigma2_k_grid(p)
         if self.engine.name == "eh":
-            spzk = _eh_plin_j(self.bg, zs, ks_s2, self.accuracy)
+            spzk = _eh_plin_j(self.bg, zs, ks_s2, self.accuracy,
+                              self.growth_mode)
         else:
             spzk = self.engine.plin(self.bg, zs, ks_s2,
-                                    accuracy=self.accuracy)
+                                    accuracy=self.accuracy,
+                                    growth_mode=self.growth_mode)
         R = jnp.atleast_1d(jnp.asarray(R))
         f = _sigma2_R_jit(p["sigma2_kmin"], p["sigma2_kmax"],
                           p["sigma2_numks"], self.p["Wkr_taylor_switch"])

@@ -15,7 +15,7 @@ function, analytic NFW u(k) via Si/Ci):
                                  eta0 = 0.98 - 0.12 A            [2016]
   * Bullock-2001 concentration   c(M,z) = A (1+z_f)/(1+z), with the
                                  formation redshift from
-                                 g(z_f) sigma(f M, 0) = dc g(z), f = 0.01;
+                                 g(z_f) sigma(f M, 0) = dc(z), f = 0.01;
                                  A = 3.13 is the baryonic-feedback knob
   * one-halo large-scale damping Delta^2_1h *= (k/k*)^4/(1+(k/k*)^4),
                                  k* = 0.584 / sigma_v(z)         [2016]
@@ -31,13 +31,19 @@ with neff from the top-hat variance at the nonlinear scale,
 
 PROVENANCE NOTE: this environment has no network and no CAMB/HMcode
 source, so the fitted coefficients above are transcribed from the
-published papers without a machine-checked oracle; massive-neutrino and
+published papers.  Since round 3 the transcription is checked by an
+INDEPENDENT explicit-loop numpy oracle (twin/hmcode.py: scipy
+sici/brentq/quad, its own window functions and ST normalization), pinned
+at <=1e-8 (LCDM) / <=1e-6 (w0/wa) in tests/test_hmcode.py, plus external
+quantitative anchors: the Mead-2015 Table-2 eta0 value recovered by the
+2016 tied relation, and the A=2.32 feedback suppression tracked against
+the reference's digitized OWLS/Horizon-AGN curves.  Massive-neutrino and
 Dolag dark-energy corrections of the 2016 version are omitted (this
-package's linear power is EH98, mnu enters the background only).  The
-test suite pins the structural properties (linear limit, one-halo slope,
-feedback direction, Takahashi agreement envelope) rather than CAMB
-numbers; verify against CAMB 'mead' before using where percent-level
-absolute accuracy matters.  Everything is jit- and grad-compatible.
+package's linear power is EH98, mnu enters the background only); w0/wa
+growth uses the integrated growing mode (background.growth_table).
+Verify against CAMB 'mead' before use where sub-percent absolute
+accuracy vs CAMB specifically matters.  Everything is jit- and
+grad-compatible.
 """
 
 from __future__ import annotations
@@ -59,6 +65,19 @@ _LNKW = trapz_weights(np.log(_KG))
 # tails are negligible at both ends for 0 <= z <~ 6
 _MS = np.geomspace(1e6, 1e18, 256)
 _LNMW = trapz_weights(np.log(_MS))
+
+# sigma(f M) for the Bullock formation-redshift condition (f = 0.01): the
+# mass grid is uniform in ln M, so evaluating ln sigma at ln M + ln f is a
+# CONSTANT fractional index shift -- static gather indices + one lerp
+# weight.  t is left unclamped so masses whose f M falls below the grid
+# extrapolate linearly in (ln M, ln sigma) from the lowest grid interval
+# (those are M < 1e8 Msun, negligible in the nu integrals; beats both the
+# old one-term local-slope extrapolation and a flat clamp).
+_FM_LNF = np.log(0.01)
+_FM_SHIFT = _FM_LNF / np.log(_MS[1] / _MS[0])        # ~ -42.5 grid cells
+_FM_J = np.clip(np.arange(_MS.size) + int(np.floor(_FM_SHIFT)),
+                0, _MS.size - 2)
+_FM_T = np.arange(_MS.size) + _FM_SHIFT - _FM_J      # unclamped fraction
 
 # Sheth-Tormen g(nu) parameters, HMcode convention (Mead 2015 eq. 15-16)
 _ST_Q = 0.707
@@ -110,12 +129,15 @@ def _sigma_v2(delta2_g, R):
 
 
 def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
-                     num_iter: int = 60):
+                     num_iter: int = 60, growth_mode: str = "closed"):
     """HMcode-2016 nonlinear P(k,z) from precomputed linear power.
 
     bg: BackgroundParams; zs: (nz,); ks: (nk,); plin_g: (nz, nkg) linear P
     on the static _KG grid; plin: (nz, nk) on the target ks; sigma8_0:
-    scalar sigma_8(z=0).  Pure jnp, jit/grad-safe; callers jit.
+    scalar sigma_8(z=0).  growth_mode: 'closed' (LCDM 2F1) or 'ode'
+    (general w0/wa; one growth table integrated up front and shared by
+    every growth eval incl. the z_f bisection).  Pure jnp, jit/grad-safe;
+    callers jit.
     """
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
@@ -124,9 +146,15 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     h = bg.H0 / 100.0
     delta2_g = plin_g * kg[None, :] ** 3 / (2.0 * np.pi**2)
 
+    gtab = bgmod.growth_table(bg) if growth_mode == "ode" else None
+
+    def growth_z0norm(a_eval):
+        return bgmod.d_growth(bg, a_eval, norm="z0norm", mode=growth_mode,
+                              table=gtab)
+
     # --- fitted background quantities ---------------------------------
     a = 1.0 / (1.0 + zs)
-    gz = bgmod.d_growth(bg, a, norm="z0norm")            # g(0) = 1
+    gz = growth_z0norm(a)                                # g(0) = 1
     omz = bgmod.omz(bg, zs)
     sigma8_z = sigma8_0 * gz
     dc = ((1.59 + 0.0314 * jnp.log(sigma8_z))
@@ -166,14 +194,17 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     # dnu/dlnM = -(nu/6) dln sigma^2/dln R  (dlnR/dlnM = 1/3)
     dnu_dlnm = -(nu / 6.0) * dlns2_m
 
-    # Bullock formation redshift: g(z_f) = dc(z) g(z) / sigma(f M, z=0)
-    # (Mead 2015 eq. 20-21, f = 0.01).  sigma(fM) from the local slope:
-    # ln sigma(fM) = ln sigma(M) + (dln sigma/dln M) ln f, exact to the
-    # grid's resolution of the slowly-varying slope.
-    lnf = jnp.log(0.01)
+    # Bullock formation redshift (Mead 2015 eq. 20-21, f = 0.01):
+    # sigma(f M, z_f) = dc(z), i.e. g(z_f) sigma(fM, 0) = dc(z), so
+    # z_f -> z exactly when sigma(fM, z) = dc.  sigma(fM, 0) by lerp of
+    # ln sigma(M, 0) on the (uniform-in-lnM) mass grid at the static
+    # fractional shift ln f / dlnM (see _FM_* above).
     sig0 = sig / gz[:, None]                             # sigma(M, z=0)
-    sig0_fm = sig0 * jnp.exp((dlns2_m / 6.0) * lnf)
-    rhs = dc[:, None] * gz[:, None] / sig0_fm            # target g(z_f)
+    lnsig0 = jnp.log(sig0)
+    t = jnp.asarray(_FM_T)[None, :]
+    sig0_fm = jnp.exp(lnsig0[:, _FM_J] * (1.0 - t)
+                      + lnsig0[:, _FM_J + 1] * t)
+    rhs = dc[:, None] / sig0_fm                          # target g(z_f)
 
     zlo = jnp.zeros_like(rhs)
     zhi = jnp.full_like(rhs, 100.0)
@@ -181,7 +212,7 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     def zbody(_, carry):
         zlo, zhi = carry
         zmid = (zlo + zhi) / 2.0
-        gmid = bgmod.d_growth(bg, 1.0 / (1.0 + zmid), norm="z0norm")
+        gmid = growth_z0norm(1.0 / (1.0 + zmid))
         deeper = gmid > rhs          # g decreasing in z
         return jnp.where(deeper, zmid, zlo), jnp.where(deeper, zhi, zmid)
 
@@ -216,13 +247,14 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     return d2 * (2.0 * np.pi**2) / ks[None, :] ** 3
 
 
-_hmcode_nl_j = jax.jit(hmcode_nonlinear)
+_hmcode_nl_j = jax.jit(hmcode_nonlinear,
+                       static_argnames=("num_iter", "growth_mode"))
 
 
 _PLIN_JIT_CACHE: dict = {}
 
 
-def _plin_j(engine, accuracy):
+def _plin_j(engine, accuracy, growth_mode="closed"):
     """Jitted linear-power eval (class-API path: eager dispatch costs
     ~23 ms/op on the tunneled TPU, DEVNOTES.md).
 
@@ -232,15 +264,15 @@ def _plin_j(engine, accuracy):
     kept alive by the jitted closure.
     """
     if type(engine).__name__ == "EHEngine":
-        key = ("eh", accuracy)
+        key = ("eh", accuracy, growth_mode)
     else:
-        key = (id(engine), accuracy)
+        key = (id(engine), accuracy, growth_mode)
     fn = _PLIN_JIT_CACHE.get(key)
     if fn is None:
         if len(_PLIN_JIT_CACHE) > 16:
             _PLIN_JIT_CACHE.pop(next(iter(_PLIN_JIT_CACHE)))
-        fn = jax.jit(lambda bg, zs, ks: engine.plin(bg, zs, ks,
-                                                    accuracy=accuracy))
+        fn = jax.jit(lambda bg, zs, ks: engine.plin(
+            bg, zs, ks, accuracy=accuracy, growth_mode=growth_mode))
         _PLIN_JIT_CACHE[key] = fn
     return fn
 
@@ -257,10 +289,12 @@ def hmcode_power(cosmo, zs, ks, A_bary=None):
     zs = jnp.atleast_1d(jnp.asarray(zs))
     if A_bary is None:
         A_bary = cosmo.p.get("hmcode_A", 3.13)
-    plin_fn = _plin_j(cosmo.engine, cosmo.accuracy)
+    gm = getattr(cosmo, "growth_mode", "closed")
+    plin_fn = _plin_j(cosmo.engine, cosmo.accuracy, gm)
     plin_g = plin_fn(bg, zs, jnp.asarray(_KG))
     plin = plin_fn(bg, zs, jnp.asarray(ks))
     sigma8_0 = jnp.sqrt(cosmo.get_sigma2_R(8.0 / (bg.H0 / 100.0),
                                            jnp.asarray([0.0]))[0, 0])
     return _hmcode_nl_j(bg, zs, jnp.asarray(ks), plin_g, plin, sigma8_0,
-                        jnp.asarray(A_bary, dtype=jnp.float64))
+                        jnp.asarray(A_bary, dtype=jnp.float64),
+                        growth_mode=gm)

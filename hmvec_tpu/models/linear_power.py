@@ -36,16 +36,21 @@ from .transfer import transfer_eh98
 CSPEED_KMS = 299792.458
 
 
-def plin_approx(bg, zs, ks, kind: str = "eisenhu_osc"):
+def plin_approx(bg, zs, ks, kind: str = "eisenhu_osc",
+                growth_mode: str = "closed"):
     """Fully analytic linear P(k,z) in Mpc^3 (reference: cosmology.py:391-402).
 
     P = [8 pi^2 As c^4 / (25 (omm H0^2)^2)] (k/kp)^(ns-1) k D(z)^2 T(k)^2
+
+    growth_mode: 'closed' (Heath/2F1, LCDM-exact) or 'ode' (general w0/wa;
+    see background.growth_table).  Decide host-side via
+    background.growth_mode_for(params).
     """
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
     tk = transfer_eh98(bg, ks, kind)[None, :]
     a = 1.0 / (1.0 + zs)
-    dz = bgmod.d_growth(bg, a, norm="anorm")[:, None]
+    dz = bgmod.d_growth(bg, a, norm="anorm", mode=growth_mode)[:, None]
     # omm*H0^2 including massive neutrinos (ref cosmology.py:399)
     omh2 = (bg.omch2 + bg.ombh2) * 100.0**2 + bg.omnu0 * bg.H0**2
     kfacts = (ks / bg.pivot_scalar) ** (bg.ns - 1.0) * ks
@@ -62,26 +67,42 @@ class EHEngine:
 
     name = "eh"
 
-    def plin(self, bg, zs, ks, accuracy: str = "medium"):
-        p = plin_approx(bg, zs, ks)
+    def plin(self, bg, zs, ks, accuracy: str = "medium",
+             growth_mode: str = "closed"):
+        p = plin_approx(bg, zs, ks, growth_mode=growth_mode)
         if accuracy != "low":
             p = bg.as8**2 * p  # as8 knob applies on engine-normalized tiers
         return p
 
-    def pzk_grid(self, bg, zs, ks, nonlinear: bool = False):
+    def pzk_grid(self, bg, zs, ks, nonlinear: bool = False,
+                 growth_mode: str = "closed"):
         if nonlinear:
             raise NotImplementedError(
                 "EHEngine has no nonlinear power; use halofit module or a table")
-        return bg.as8**2 * plin_approx(bg, zs, ks)
+        return bg.as8**2 * plin_approx(bg, zs, ks, growth_mode=growth_mode)
+
+
+def _hermite_weights(t):
+    """Cubic-Hermite basis (h00, h10, h01, h11) at fraction t."""
+    t2 = t * t
+    t3 = t2 * t
+    return (2 * t3 - 3 * t2 + 1, t3 - 2 * t2 + t,
+            -2 * t3 + 3 * t2, t3 - t2)
 
 
 class TabulatedEngine:
     """P(z,k) from a host-side table (CAMB/CLASS parity path).
 
-    ``zs_t, ks_t, p_t`` define the table; interpolation is bilinear in
-    (z, ln k) of ln P -- the same spline family the reference builds via
-    camb.get_matter_power_interpolator (cosmology.py:772-809), with
-    power-law extrapolation beyond the table kmax.
+    ``zs_t, ks_t, p_t`` define the table; interpolation is tensor-product
+    cubic Hermite (Catmull-Rom node slopes, precomputed host-side) of
+    ln P in (z, ln k) -- matching the bicubic-spline semantics of the
+    interpolator the reference builds via
+    camb.get_matter_power_interpolator (cosmology.py:772-809,
+    utils.py:53-182) to ~1e-5 on CAMB-shaped grids
+    (tests/test_tabulated_semantics.py pins the measured bound), with
+    LINEAR extrapolation of ln P beyond the table edges (= power law in k,
+    the reference's extrap_kmax behaviour; the reference's raw spline
+    extrapolates cubically, which diverges).
     """
 
     name = "tabulated"
@@ -89,38 +110,84 @@ class TabulatedEngine:
     def __init__(self, zs_t, ks_t, p_t, p_nl_t=None):
         self.zs_t = np.asarray(zs_t, dtype=np.float64)
         self.ks_t = np.asarray(ks_t, dtype=np.float64)
+        self.lkt = np.log(self.ks_t)
         self.logp_t = np.log(np.asarray(p_t, dtype=np.float64))
         self.logp_nl_t = (np.log(np.asarray(p_nl_t, dtype=np.float64))
                           if p_nl_t is not None else None)
+        # Catmull-Rom node slopes (np.gradient: 2nd-order central,
+        # one-sided at the edges) -- host-side statics
+        self._slopes = {id(self.logp_t): self._make_slopes(self.logp_t)}
+        if self.logp_nl_t is not None:
+            self._slopes[id(self.logp_nl_t)] = self._make_slopes(
+                self.logp_nl_t)
+
+    def _make_slopes(self, tab):
+        mk = np.gradient(tab, self.lkt, axis=1)
+        if self.zs_t.size > 1:
+            mz = np.gradient(tab, self.zs_t, axis=0)
+            mzk = np.gradient(mz, self.lkt, axis=1)
+        else:
+            mz = np.zeros_like(tab)
+            mzk = np.zeros_like(tab)
+        return mk, mz, mzk
+
+    @staticmethod
+    def _hermite_axis(y, m, x_nodes, iq, tq, h, inside):
+        """Hermite along the LAST axis of y (slopes m) at intervals iq,
+        fraction tq, width h; linear from the clamped interval's left node
+        outside the node range."""
+        y0 = y[..., iq]
+        y1 = y[..., iq + 1]
+        m0 = m[..., iq]
+        m1 = m[..., iq + 1]
+        h00, h10, h01, h11 = _hermite_weights(tq)
+        val = h00 * y0 + h10 * h * m0 + h01 * y1 + h11 * h * m1
+        lin = jnp.where(tq < 0.5, y0 + tq * h * m0,
+                        y1 + (tq - 1.0) * h * m1)
+        return jnp.where(inside, val, lin)
 
     def _interp(self, logp_t, zs, ks):
         zs = jnp.atleast_1d(jnp.asarray(zs))
         lks = jnp.log(jnp.asarray(ks))
         zt = jnp.asarray(self.zs_t)
-        lkt = jnp.asarray(np.log(self.ks_t))
+        lkt = jnp.asarray(self.lkt)
         tab = jnp.asarray(logp_t)
+        mk_t, mz_t, mzk_t = (jnp.asarray(a) for a in
+                             self._slopes[id(logp_t)])
 
-        # indices along z
-        iz = jnp.clip(jnp.searchsorted(zt, zs) - 1, 0, zt.size - 2)
-        tz = jnp.where(zt.size > 1,
-                       (zs - zt[iz]) / (zt[iz + 1] - zt[iz] + 1e-300), 0.0)
-        # indices along ln k (linear extrapolation both ends = power law in P)
+        # ---- pass 1: cubic Hermite along ln k (values and z-slopes) ----
         ik = jnp.clip(jnp.searchsorted(lkt, lks) - 1, 0, lkt.size - 2)
-        tk = (lks - lkt[ik]) / (lkt[ik + 1] - lkt[ik])
+        hk = lkt[ik + 1] - lkt[ik]
+        tk = (lks - lkt[ik]) / hk
+        in_k = (lks >= lkt[0]) & (lks <= lkt[-1])
+        val_k = self._hermite_axis(tab, mk_t, lkt, ik, tk, hk, in_k)
+        if zt.size == 1:
+            return jnp.exp(jnp.broadcast_to(val_k[0], (zs.size, lks.size)))
+        mz_k = self._hermite_axis(mz_t, mzk_t, lkt, ik, tk, hk, in_k)
 
-        p00 = tab[iz[:, None], ik[None, :]]
-        p01 = tab[iz[:, None], ik[None, :] + 1]
-        p10 = tab[iz[:, None] + 1, ik[None, :]]
-        p11 = tab[iz[:, None] + 1, ik[None, :] + 1]
-        pz0 = p00 * (1 - tk)[None, :] + p01 * tk[None, :]
-        pz1 = p10 * (1 - tk)[None, :] + p11 * tk[None, :]
-        return jnp.exp(pz0 * (1 - tz)[:, None] + pz1 * tz[:, None])
+        # ---- pass 2: cubic Hermite along z ----
+        iz = jnp.clip(jnp.searchsorted(zt, zs) - 1, 0, zt.size - 2)
+        hz = zt[iz + 1] - zt[iz]
+        tz = (zs - zt[iz]) / hz
+        in_z = (zs >= zt[0]) & (zs <= zt[-1])
+        y0 = val_k[iz]
+        y1 = val_k[iz + 1]
+        m0 = mz_k[iz]
+        m1 = mz_k[iz + 1]
+        h00, h10, h01, h11 = (w[:, None] for w in _hermite_weights(tz))
+        out = (h00 * y0 + h10 * hz[:, None] * m0
+               + h01 * y1 + h11 * hz[:, None] * m1)
+        lin = jnp.where(tz[:, None] < 0.5,
+                        y0 + (tz * hz)[:, None] * m0,
+                        y1 + ((tz - 1.0) * hz)[:, None] * m1)
+        return jnp.exp(jnp.where(in_z[:, None], out, lin))
 
-    def plin(self, bg, zs, ks, accuracy: str = "medium"):
+    def plin(self, bg, zs, ks, accuracy: str = "medium",
+             growth_mode: str = "closed"):
         if accuracy == "high":
             return bg.as8**2 * self._interp(self.logp_t, zs, ks)
         if accuracy == "low":
-            return plin_approx(bg, zs, ks)
+            return plin_approx(bg, zs, ks, growth_mode=growth_mode)
         # 'medium': EH shape, table normalization at knorm (ref :353-374)
         knorm = 1e-4
         ks = jnp.asarray(ks)
@@ -130,7 +197,9 @@ class TabulatedEngine:
         plin = (pnorm / tnorm) * (tk**2 * ks**bg.ns)[None, :]
         return bg.as8**2 * plin
 
-    def pzk_grid(self, bg, zs, ks, nonlinear: bool = False):
+    def pzk_grid(self, bg, zs, ks, nonlinear: bool = False,
+                 growth_mode: str = "closed"):
+        del growth_mode  # table carries its own growth
         tab = self.logp_nl_t if nonlinear else self.logp_t
         if tab is None:
             raise ValueError("No nonlinear table provided")

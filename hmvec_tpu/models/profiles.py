@@ -141,7 +141,8 @@ def _exp_split_f32(arg64):
     the f32 part (f, |f| <= 1/2) carry only ~3e-8 absolute error.  2^f is
     a pure-FMA polynomial (the TPU exp2 intrinsic is ~5e-6) and 2^n is
     built bit-exactly: (n+127)<<23 is the f32 encoding of 2^n for n in
-    [-126, 127], zero below (true result subnormal).
+    [-126, 127], zero below (true result subnormal), inf above (f32
+    overflow: arg > ~88.7).
     """
     e = arg64 * _INV_LN2
     n = jnp.round(e)
@@ -149,7 +150,8 @@ def _exp_split_f32(arg64):
     n_i = n.astype(jnp.int32)
     pow2 = jax.lax.bitcast_convert_type(
         (jnp.clip(n_i, -126, 127) + 127) << 23, jnp.float32)
-    return jnp.where(n_i < -126, 0.0, _exp2_poly_f32(f) * pow2)
+    out = jnp.where(n_i < -126, 0.0, _exp2_poly_f32(f) * pow2)
+    return jnp.where(n_i > 127, jnp.float32(jnp.inf), out)
 
 
 def _softplus_f32(a64):

@@ -18,11 +18,13 @@ monotone over the (log-spaced) targets of a tile, the kernel only loops
 over the chunk window [min(i0)//128, (max(i0)+1)//128] actually touched --
 typically 2-4 of the ~17 chunks.
 
-f64 exactness: Mosaic has no f64, so the caller splits u into the
+f64 accuracy: Mosaic has no f64, so the caller splits u into the
 double-single pair (hi = f32(u), lo = f32(u - hi)); the kernel selects all
 four (u0/u1 x hi/lo) components with EXACT {0,1} masks (sums hit exactly
 one nonzero term, so f32 accumulation is exact), and the caller reassembles
-hi + lo in f64 -- bit-identical to the XLA two-gather path.
+hi + lo in f64.  The hi/lo pair keeps ~49 of the 53 mantissa bits of an
+IEEE f64, so the reassembly agrees with the XLA two-gather path to ~1e-15
+relative (far inside the 2e-8 f64 gate) rather than bit-identically.
 """
 
 from __future__ import annotations

@@ -226,8 +226,9 @@ def _pair_lerp_tpu(u, i0, frac):
 
     XLA's elementwise dynamic gather costs ~25 ns/element on this TPU
     (~230 ms on the config-2 grid; tools/microbench_resample.py), so the
-    primal runs the mask-reduction kernel instead -- bit-identical f64
-    (exact hi/lo split + one-hot selection).  Differentiation falls back
+    primal runs the mask-reduction kernel instead -- ~1e-15-relative f64
+    (49-bit double-single pairs + exact one-hot selection).
+    Differentiation falls back
     to the gather form via the custom_jvp below (tangents are linear in
     u/frac, so reverse mode transposes them to scatters automatically).
     """

@@ -32,6 +32,7 @@ from ..models import linear_power as lpm
 from ..models import mass_function as mfm
 from ..models import profiles as prof
 from ..models import limber as limb
+from ..pipeline import _growth_mode_from
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "m") -> Mesh:
@@ -84,12 +85,14 @@ def make_sharded_pmm_fn(zs, ks, ms, mesh: Mesh, axis_name: str = "m",
         zsj = jnp.asarray(zs)
         ksj = jnp.asarray(ks)
         msj = jnp.asarray(ms)
+        gm = _growth_mode_from(overrides, "auto")
         if accuracy == "low":
-            pzk = lpm.plin_approx(bg, zsj, ksj)
+            pzk = lpm.plin_approx(bg, zsj, ksj, growth_mode=gm)
         else:
-            pzk = engine.pzk_grid(bg, zsj, ksj)
+            pzk = engine.pzk_grid(bg, zsj, ksj, growth_mode=gm)
         ks_s2 = lpm.sigma2_k_grid(p)
-        spzk = engine.plin(bg, zsj, ks_s2, accuracy=accuracy)
+        spzk = engine.plin(bg, zsj, ks_s2, accuracy=accuracy,
+                           growth_mode=gm)
         rho_m0 = bgmod.rho_matter_z(bg, 0.0)
         R = mfm.R_from_M(msj, rho_m0, delta=1.0)
         sigma2 = lpm.sigma2_R(bg, R, zsj, spzk, ks_s2, p["Wkr_taylor_switch"])
@@ -215,12 +218,14 @@ def make_sharded_galaxy_electron_fn(zs, ks, ms, ngal, mesh: Mesh,
         zsj = jnp.asarray(zs)
         ksj = jnp.asarray(ks)
         msj = jnp.asarray(ms)
+        gm = _growth_mode_from(overrides, "auto")
         if accuracy == "low":
-            pzk = lpm.plin_approx(bg, zsj, ksj)
+            pzk = lpm.plin_approx(bg, zsj, ksj, growth_mode=gm)
         else:
-            pzk = engine.pzk_grid(bg, zsj, ksj)
+            pzk = engine.pzk_grid(bg, zsj, ksj, growth_mode=gm)
         ks_s2 = lpm.sigma2_k_grid(p)
-        spzk = engine.plin(bg, zsj, ks_s2, accuracy=accuracy)
+        spzk = engine.plin(bg, zsj, ks_s2, accuracy=accuracy,
+                           growth_mode=gm)
         rho_m0 = bgmod.rho_matter_z(bg, 0.0)
         R = mfm.R_from_M(msj, rho_m0, delta=1.0)
         sigma2 = lpm.sigma2_R(bg, R, zsj, spzk, ks_s2, p["Wkr_taylor_switch"])
@@ -356,7 +361,8 @@ def make_sharded_ksz_survey_fn(num_bins: int, mesh: Mesh,
     transform, HOD ngal solve, Pgg/Pge, Nvv, SNR) for its share of the
     redshift bins; a single psum closes the total SNR^2 over ICI.  The
     mesh size must divide num_bins.  Same call signature as
-    pipeline.make_ksz_survey_fn (bs=None only).
+    pipeline.make_ksz_survey_fn, including per-bin ``bs`` galaxy-bias
+    overrides (sharded along the bin axis like the other bin inputs).
     """
     from ..pipeline import make_ksz_survey_fn
 
@@ -364,26 +370,30 @@ def make_sharded_ksz_survey_fn(num_bins: int, mesh: Mesh,
     assert num_bins % nd == 0, "mesh size must divide num_bins"
     inner = make_ksz_survey_fn(num_bins // nd, jit=False, **survey_kwargs)
 
-    def fn(overrides, zcents, vols_gpc3, ngals, Cls):
+    def fn(overrides, zcents, vols_gpc3, ngals, Cls, bs=None):
         zcents = jnp.asarray(zcents, dtype=jnp.float64)
         vols = jnp.asarray(vols_gpc3, dtype=jnp.float64)
         ngs = jnp.asarray(ngals, dtype=jnp.float64)
         Clsj = jnp.asarray(Cls, dtype=jnp.float64)
+        # sentinel <= 0 = "use the HOD-derived bias" (pipeline.one_bin)
+        bs_arr = (jnp.full(zcents.shape, -1.0) if bs is None
+                  else jnp.asarray(bs, dtype=jnp.float64))
 
         # check_vma off: the HOD bisection carry starts replicated and
         # becomes device-varying inside the loop, which the varying-axis
         # checker rejects; the 8-device equivalence test pins correctness
         @functools.partial(shard_map, mesh=mesh,
                            in_specs=(P(axis_name), P(axis_name),
-                                     P(axis_name), P(None)),
+                                     P(axis_name), P(None), P(axis_name)),
                            out_specs=(P(), P(axis_name), P(axis_name)),
                            check_vma=False)
-        def _local(zc_l, v_l, n_l, cls_r):
-            _, snrs_l, bg_l = inner(overrides, zc_l, v_l, n_l, cls_r)
+        def _local(zc_l, v_l, n_l, cls_r, bs_l):
+            _, snrs_l, bg_l = inner(overrides, zc_l, v_l, n_l, cls_r,
+                                    bs=bs_l)
             tot2 = jax.lax.psum(jnp.sum(snrs_l**2), axis_name)
             return tot2, snrs_l, bg_l
 
-        tot2, snrs, bgals = _local(zcents, vols, ngs, Clsj)
+        tot2, snrs, bgals = _local(zcents, vols, ngs, Clsj, bs_arr)
         return jnp.sqrt(tot2), snrs, bgals
 
     return fn

@@ -24,8 +24,32 @@ from .models import power as pwr
 from .models import limber as limb
 
 
+def _growth_mode_from(overrides, setting: str) -> str:
+    """Resolve the growth-factor mode at trace time.
+
+    'auto': no w0/wa override -> the LCDM-exact closed form; a concrete
+    non-LCDM value -> the integrated growing mode
+    (background.growth_table); a TRACED w0/wa -> 'ode' as well, because a
+    traced value may be swept or differentiated (a Fisher derivative in
+    w0/wa at the LCDM fiducial still needs the ODE -- the closed form's
+    dD/dw0 is identically zero).  Pass 'closed'/'ode' to force; 'closed'
+    is the right explicit choice when tracing w0/wa pinned at exactly
+    (-1, 0) without differentiating them (e.g. the LCDM bench)."""
+    if setting != "auto":
+        return setting
+    o = overrides or {}
+    for key, fid in (("w0", -1.0), ("wa", 0.0)):
+        if key in o:
+            v = o[key]
+            if isinstance(v, jax.core.Tracer):
+                return "ode"
+            if float(np.asarray(v)) != fid:
+                return "ode"
+    return "closed"
+
+
 def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
-            fast_nfw: bool = False):
+            fast_nfw: bool = False, growth_mode: str = "closed"):
     """Shared staged computation: background through mass function + NFW.
 
     fast_nfw: replace the f64 Si/Ci analytic NFW stage (the largest single
@@ -39,13 +63,14 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
 
     # C1: linear power on the target grid
     if accuracy == "low":
-        pzk = lpm.plin_approx(bg, zsj, ksj)
+        pzk = lpm.plin_approx(bg, zsj, ksj, growth_mode=growth_mode)
     else:
-        pzk = engine.pzk_grid(bg, zsj, ksj)
+        pzk = engine.pzk_grid(bg, zsj, ksj, growth_mode=growth_mode)
 
     # C2: sigma^2 -> mass function
     ks_s2 = lpm.sigma2_k_grid(p)
-    spzk = engine.plin(bg, zsj, ks_s2, accuracy=accuracy)
+    spzk = engine.plin(bg, zsj, ks_s2, accuracy=accuracy,
+                       growth_mode=growth_mode)
     rho_m0 = bgmod.rho_matter_z(bg, 0.0)
     R = mfm.R_from_M(msj, rho_m0, delta=1.0)
     sigma2 = lpm.sigma2_R(bg, R, zsj, spzk, ks_s2, p["Wkr_taylor_switch"])
@@ -70,7 +95,8 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
 
 def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
                 mdef: str = "vir", accuracy: str = "medium",
-                engine=None, jit: bool = True, fast: bool = False):
+                engine=None, jit: bool = True, fast: bool = False,
+                growth: str = "auto"):
     """Build params -> Pmm(1h+2h) on a static (zs, ks, ms) grid.
 
     The returned function takes a dict of cosmological parameter overrides
@@ -92,7 +118,7 @@ def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
         p = {**defaults, **(overrides or {})}
         _, pzk, nzm, bh, rho_m0, uk = _stages(
             p, zs, ks, ms, mass_function, mdef, accuracy, engine,
-            fast_nfw=fast)
+            fast_nfw=fast, growth_mode=_growth_mode_from(overrides, growth))
         tr = pwr.MatterTracer(uk=uk)
         return pwr.power_total(tr, tr, nzm, bh, ms, ks, pzk, rho_m0,
                                p["kstar_damping"])
@@ -103,7 +129,8 @@ def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
 def make_lensing_cls_fn(zs, ks, ms, ells, zsource: float = 1100.0,
                         mass_function: str = "sheth-torman",
                         mdef: str = "vir", accuracy: str = "medium",
-                        engine=None, jit: bool = True, fast: bool = False):
+                        engine=None, jit: bool = True, fast: bool = False,
+                        growth: str = "auto"):
     """Build params -> (C_kk, Pmm): halo-model lensing convergence spectrum
     (BASELINE config 4 semantics, reference cosmology.py:563-568).
 
@@ -119,7 +146,7 @@ def make_lensing_cls_fn(zs, ks, ms, ells, zsource: float = 1100.0,
         p = {**defaults, **(overrides or {})}
         bg, pzk, nzm, bh, rho_m0, uk = _stages(
             p, zs, ks, ms, mass_function, mdef, accuracy, engine,
-            fast_nfw=fast)
+            fast_nfw=fast, growth_mode=_growth_mode_from(overrides, growth))
         tr = pwr.MatterTracer(uk=uk)
         pmm = pwr.power_total(tr, tr, nzm, bh, ms, ks, pzk, rho_m0,
                               p["kstar_damping"])
@@ -133,7 +160,8 @@ def make_lensing_cls_fn(zs, ks, ms, ells, zsource: float = 1100.0,
 def make_electron_fn(zs, ks, ms, family: str = "AGN", nxs: int = None,
                      xmax: int = None, mass_function: str = "sheth-torman",
                      mdef: str = "vir", accuracy: str = "medium",
-                     engine=None, jit: bool = True, fast: bool = False):
+                     engine=None, jit: bool = True, fast: bool = False,
+                     growth: str = "auto"):
     """params -> (Pee, Pme): Battaglia electron spectra, one XLA program
     (BASELINE config 2: numeric profile transform + cross spectra)."""
     from .params import battaglia_defaults
@@ -152,7 +180,7 @@ def make_electron_fn(zs, ks, ms, family: str = "AGN", nxs: int = None,
         p = {**defaults, **(overrides or {})}
         bg, pzk, nzm, bh, rho_m0, uk_nfw = _stages(
             p, zs, ks, ms, mass_function, mdef, accuracy, engine,
-            fast_nfw=fast)
+            fast_nfw=fast, growth_mode=_growth_mode_from(overrides, growth))
         if nxs is None:
             nxs_l = p["electron_density_profile_integral_numxs"]
         else:
@@ -197,7 +225,8 @@ def make_electron_fn(zs, ks, ms, family: str = "AGN", nxs: int = None,
 
 def make_hod_fn(zs, ks, ms, ngal, mass_function: str = "sheth-torman",
                 mdef: str = "vir", accuracy: str = "medium", engine=None,
-                jit: bool = True, fast: bool = False):
+                jit: bool = True, fast: bool = False,
+                growth: str = "auto"):
     """params -> (Pgg, Pgm): HOD galaxy spectra incl. the iterative
     ngal->mthresh solve, one XLA program (BASELINE config 3).
 
@@ -217,7 +246,7 @@ def make_hod_fn(zs, ks, ms, ngal, mass_function: str = "sheth-torman",
         p = {**defaults, **(overrides or {})}
         bg, pzk, nzm, bh, rho_m0, uk = _stages(
             p, zs, ks, ms, mass_function, mdef, accuracy, engine,
-            fast_nfw=fast)
+            fast_nfw=fast, growth_mode=_growth_mode_from(overrides, growth))
         hp = {k: p[k] for k in p if k.startswith("hod_")}
         grid = build_hod(zs, ms, nzm, bh, hp, ngal=jnp.asarray(ngal))
         tg = pwr.HODTracer(Nc=grid.Nc, Ns=grid.Ns, NsNsm1=grid.NsNsm1,
@@ -234,14 +263,13 @@ def make_hod_fn(zs, ks, ms, ngal, mass_function: str = "sheth-torman",
 
 
 def make_ksz_snr_fn(z: float, volume_gpc3: float, ngal_mpc3: float,
-                    lmax_cls: int = 10000,
                     kL_max: float = 0.1, num_kL_bins: int = 100,
                     kS_min: float = 0.1, kS_max: float = 10.0,
                     num_kS_bins: int = 101, num_mu_bins: int = 102,
                     ms=None, family: str = "AGN", nxs: int = 4096,
                     xmax: float = 20.0, mass_function: str = "sheth-torman",
                     mdef: str = "vir", accuracy: str = "medium",
-                    engine=None, jit: bool = True):
+                    engine=None, jit: bool = True, growth: str = "auto"):
     """The full kSZ forecasting pipeline as ONE XLA program:
     params, Cls -> (snr, Nvv(mu,kL), vrec).
 
@@ -274,8 +302,10 @@ def make_ksz_snr_fn(z: float, volume_gpc3: float, ngal_mpc3: float,
 
     def fn(overrides, Cls):
         p = {**defaults, **(overrides or {})}
+        gm = _growth_mode_from(overrides, growth)
         bg, pzk, nzm, bh, rho_m0, uk = _stages(
-            p, zs, ks, ms, mass_function, mdef, accuracy, engine)
+            p, zs, ks, ms, mass_function, mdef, accuracy, engine,
+            growth_mode=gm)
         zsj = jnp.asarray(zs)
         msj = jnp.asarray(ms)
         ksj = jnp.asarray(ks)
@@ -318,8 +348,9 @@ def make_ksz_snr_fn(z: float, volume_gpc3: float, ngal_mpc3: float,
 
         # large-scale velocity spectra
         kLs_j = jnp.asarray(kLs)
-        plin_L = engine.plin(bg, zsj, kLs_j, accuracy=accuracy)
-        f = bgmod.growth_rate_f(bg, zsj)
+        plin_L = engine.plin(bg, zsj, kLs_j, accuracy=accuracy,
+                             growth_mode=gm)
+        f = bgmod.growth_rate_f(bg, zsj, mode=gm)
         a = 1.0 / (1.0 + zsj)
         H = bgmod.h_of_z(bg, zsj)
         d2vs = (f * a * H)[:, None] / kLs_j[None, :]
@@ -350,7 +381,7 @@ def make_ksz_snr_fn(z: float, volume_gpc3: float, ngal_mpc3: float,
     return jax.jit(fn) if jit else fn
 
 
-def make_ksz_survey_fn(num_bins: int, lmax_cls: int = 10000,
+def make_ksz_survey_fn(num_bins: int,
                        kL_max: float = 0.1, num_kL_bins: int = 100,
                        kS_min: float = 0.1, kS_max: float = 10.0,
                        num_kS_bins: int = 101, num_mu_bins: int = 102,
@@ -358,7 +389,7 @@ def make_ksz_survey_fn(num_bins: int, lmax_cls: int = 10000,
                        xmax: float = 20.0,
                        mass_function: str = "sheth-torman",
                        mdef: str = "vir", accuracy: str = "medium",
-                       engine=None, jit: bool = True):
+                       engine=None, jit: bool = True, growth: str = "auto"):
     """Survey-level kSZ forecast as ONE vmapped XLA program.
 
     Returns fn(overrides, zcents (B,), vols_gpc3 (B,), ngals (B,), Cls) ->
@@ -385,15 +416,17 @@ def make_ksz_survey_fn(num_bins: int, lmax_cls: int = 10000,
     engine = engine or lpm.EHEngine()
     fit = dict(battaglia_defaults[family])
 
-    def one_bin(p, bg, z, vol_gpc3, ngal, Cls, b_ov):
+    def one_bin(p, bg, z, vol_gpc3, ngal, Cls, b_ov, gm="closed"):
         zs1 = jnp.reshape(z, (1,))
         msj = jnp.asarray(ms)
         ksj = jnp.asarray(ks)
 
         pzk = engine.plin(bg, zs1, ksj,
-                          accuracy="low" if accuracy == "low" else "medium")
+                          accuracy="low" if accuracy == "low" else "medium",
+                          growth_mode=gm)
         ks_s2 = lpm.sigma2_k_grid(p)
-        spzk = engine.plin(bg, zs1, ks_s2, accuracy=accuracy)
+        spzk = engine.plin(bg, zs1, ks_s2, accuracy=accuracy,
+                           growth_mode=gm)
         rho_m0 = bgmod.rho_matter_z(bg, 0.0)
         R = mfm.R_from_M(msj, rho_m0, delta=1.0)
         sigma2 = lpm.sigma2_R(bg, R, zs1, spzk, ks_s2,
@@ -442,8 +475,9 @@ def make_ksz_survey_fn(num_bins: int, lmax_cls: int = 10000,
         kLs = jnp.exp(jnp.linspace(jnp.log(kmin), np.log(kL_max),
                                    num_kL_bins))
         plin_L = engine.plin(bg, zs1, kLs,
-                             accuracy="low" if accuracy == "low" else "medium")
-        f = bgmod.growth_rate_f(bg, zs1)
+                             accuracy="low" if accuracy == "low" else "medium",
+                             growth_mode=gm)
+        f = bgmod.growth_rate_f(bg, zs1, mode=gm)
         a = 1.0 / (1.0 + zs1)
         H = bgmod.h_of_z(bg, zs1)
         d2vs = (f * a * H)[:, None] / kLs[None, :]
@@ -477,9 +511,10 @@ def make_ksz_survey_fn(num_bins: int, lmax_cls: int = 10000,
             bs_arr = jnp.full(zcents.shape, -1.0)
         else:
             bs_arr = jnp.asarray(bs)
+        gm = _growth_mode_from(overrides, growth)
         snrs, bgals = jax.vmap(
             lambda z, v, n, b: one_bin(p, bg, z, v, n, jnp.asarray(Cls),
-                                       b))(
+                                       b, gm))(
             zcents, jnp.asarray(vols_gpc3), jnp.asarray(ngals), bs_arr)
         return jnp.sqrt(jnp.sum(snrs**2)), snrs, bgals
 

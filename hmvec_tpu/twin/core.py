@@ -119,10 +119,48 @@ class TwinCosmology:
         return self.rho_matter_z(z) / self.rho_critical_z(z)
 
     # ---- growth ----
+    def _is_lcdm(self):
+        return self.w0 == -1.0 and self.wa == 0.0
+
+    def _growth_ode_sol(self):
+        """Growing-mode D(a) for general (w0, wa): scipy solve_ivp on
+        D'' + (3/a + E'/E) D' = (3/2) (omm0 a^-3 / E^2) D / a^2, integrated
+        in a (an independent formulation from the jax side's RK4 in ln a of
+        g = D/a; models/background.py growth_table).  Same reduced
+        background as Heath: matter + curvature + DE, no radiation."""
+        if getattr(self, "_growth_sol", None) is not None:
+            return self._growth_sol
+        from scipy.integrate import solve_ivp
+        omm, omk, oml = self.omm0, self.omk0, self.oml0
+        w0, wa = self.w0, self.wa
+
+        def rhs(a, y):
+            D, Dp = y
+            fde = a ** (-3.0 * (1.0 + w0 + wa)) * np.exp(-3.0 * wa * (1.0 - a))
+            e2 = omm * a**-3 + omk * a**-2 + oml * fde
+            de2 = (-3.0 * omm * a**-4 - 2.0 * omk * a**-3
+                   + oml * fde * (-3.0 * (1.0 + w0 + wa) / a + 3.0 * wa))
+            hh = 0.5 * de2 / e2          # E'/E
+            om_a = omm * a**-3 / e2
+            return [Dp, -(3.0 / a + hh) * Dp + 1.5 * om_a * D / a**2]
+
+        a0 = 1e-4
+        sol = solve_ivp(rhs, (a0, 1.0), [a0, 1.0], rtol=1e-11, atol=1e-14,
+                        dense_output=True, method="RK45")
+        assert sol.success
+        self._growth_sol = sol
+        return sol
+
     def growth_unnormalized(self, a):
         a = np.asarray(a, dtype=np.float64)
-        x3 = ((self.oml0 / self.omm0) ** (1.0 / 3.0) * a) ** 3
-        return np.sqrt(1.0 + x3) * hyp2f1(5.0 / 6.0, 1.5, 11.0 / 6.0, -x3) * a
+        if self._is_lcdm():
+            x3 = ((self.oml0 / self.omm0) ** (1.0 / 3.0) * a) ** 3
+            return np.sqrt(1.0 + x3) * hyp2f1(5.0 / 6.0, 1.5, 11.0 / 6.0, -x3) * a
+        sol = self._growth_ode_sol()
+        flat = np.ravel(a)
+        D = sol.sol(np.clip(flat, 1e-4, 1.0))[0]
+        D = np.where(flat < 1e-4, flat * (float(sol.sol(1e-4)[0]) / 1e-4), D)
+        return D.reshape(np.shape(a)) if np.ndim(a) else float(D[0])
 
     def d_growth(self, a, norm="anorm"):
         d1 = self.growth_unnormalized(1.0)
@@ -130,9 +168,14 @@ class TwinCosmology:
         return val if norm == "z0norm" else val * d1
 
     def growth_rate_f(self, z):
-        """dlnD/dlna, closed form: the 2F1 derivative identity."""
+        """dlnD/dlna: closed-form 2F1 derivative identity (LCDM), or
+        a D'/D from the ODE solution (w0/wa)."""
         z = np.atleast_1d(np.asarray(z, dtype=np.float64))
         a = 1.0 / (1.0 + z)
+        if not self._is_lcdm():
+            sol = self._growth_ode_sol()
+            D, Dp = sol.sol(np.clip(a, 1e-4, 1.0))
+            return a * Dp / D
         x3 = ((self.oml0 / self.omm0) ** (1.0 / 3.0) * a) ** 3
         F = hyp2f1(5.0 / 6.0, 1.5, 11.0 / 6.0, -x3)
         dF = (5.0 / 6.0 * 1.5 / (11.0 / 6.0)) * hyp2f1(11.0 / 6.0, 2.5, 17.0 / 6.0, -x3)

@@ -1,0 +1,207 @@
+"""Independent numpy/scipy oracle for HMcode-2016 (Mead et al 2015,
+arXiv:1505.07833; 2016 updates, arXiv:1602.02154) -- the reference's
+default nonlinear model ('mead', hmvec/cosmology.py:174).
+
+Written against the papers independently of models/hmcode.py: explicit
+per-(z,m) loops, scipy ``sici`` for the NFW window, scipy ``brentq`` for
+the nonlinear-scale and Bullock formation-redshift roots, and the
+Sheth-Tormen normalization computed by adaptive quadrature instead of the
+Gamma-function closed form.  Shares only the *quadrature spec* with the
+jax side (trapz-in-lnk on geomspace(1e-4, 1e3, 1536); trapz-in-lnM on
+geomspace(1e6, 1e18, 256); fixed-point root tolerances), per the
+twin-lockstep rule in DEVNOTES.md.
+
+Model equations implemented (HMcode-2016 parameter set):
+
+  Dv(z)    = 418 Om(z)^-0.352
+  dc(z)    = (1.59 + 0.0314 ln sigma8(z)) (1 + 0.0123 log10 Om(z))
+  eta      = (0.98 - 0.12 A) - 0.3 sigma8(z)
+  k*       = 0.584 / sigma_v(z)
+  f_damp   = clip(0.0095 (sigma_v100 h)^1.37, 1e-3, 0.99)
+  alpha    = 3.24 * 1.85^neff,  3 + neff = -dln sigma^2/dln R at sigma=1
+  c(M,z)   = A (1+z_f)/(1+z),  g(z_f) sigma(0.01 M, 0) = dc(z), c >= A
+  D2_1h    = [k^3/2pi^2 int dnu g(nu) (M/rho) u(nu^eta k|M)^2]
+             * (k/k*)^4 / (1 + (k/k*)^4)
+  D2_2h    = D2_lin [1 - f tanh^2(k sigma_v / sqrt(f))]
+  D2       = (D2_2h^alpha + D2_1h^alpha)^(1/alpha)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.integrate import quad
+from scipy.optimize import brentq
+from scipy.special import sici
+
+# Shared quadrature spec (DEVNOTES "keep twin and jax in lockstep"):
+_KG = np.geomspace(1e-4, 1e3, 1536)
+_LNKG = np.log(_KG)
+_MS = np.geomspace(1e6, 1e18, 256)
+_LNMS = np.log(_MS)
+
+_ST_Q = 0.707
+_ST_P = 0.3
+
+
+def _st_norm():
+    """1 / int_0^inf (1 + (q nu^2)^-p) exp(-q nu^2 / 2) dnu, by adaptive
+    quadrature (independent of the Gamma-function closed form)."""
+    val, _ = quad(lambda nu: (1.0 + (_ST_Q * nu**2) ** -_ST_P)
+                  * np.exp(-_ST_Q * nu**2 / 2.0), 0.0, np.inf)
+    return 1.0 / val
+
+
+_ST_A = _st_norm()
+
+
+def _g_st(nu):
+    qnu2 = _ST_Q * nu**2
+    return _ST_A * (1.0 + qnu2 ** -_ST_P) * np.exp(-qnu2 / 2.0)
+
+
+def _W(x):
+    """Top-hat window 3 (sin x - x cos x) / x^3, series below 1e-2."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.empty_like(x)
+    small = np.abs(x) < 1e-2
+    xs = x[small]
+    out[small] = 1.0 - xs**2 / 10.0 + xs**4 / 280.0
+    xb = x[~small]
+    out[~small] = 3.0 * (np.sin(xb) - xb * np.cos(xb)) / xb**3
+    return out
+
+
+def _xWprime(x):
+    """x dW/dx = 3 sin(x)/x - 9 (sin x - x cos x)/x^3, series below 1e-2."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.empty_like(x)
+    small = np.abs(x) < 1e-2
+    xs = x[small]
+    out[small] = -xs**2 / 5.0 + xs**4 / 70.0
+    xb = x[~small]
+    out[~small] = 3.0 * np.sin(xb) / xb - 9.0 * (np.sin(xb) - xb * np.cos(xb)) / xb**3
+    return out
+
+
+def _sigma2_of_R(d2k, R):
+    """(sigma^2(R), dsigma^2/dlnR) from Delta^2(k) on the _KG grid."""
+    x = _KG * R
+    W = _W(x)
+    s2 = np.trapz(d2k * W**2, _LNKG)
+    ds2 = np.trapz(d2k * 2.0 * W * _xWprime(x), _LNKG)
+    return s2, ds2
+
+
+def _sigma_v2(d2k, R):
+    W2 = _W(_KG * R) ** 2
+    return np.trapz(d2k * W2 / _KG**2, _LNKG) / 3.0
+
+
+def _u_nfw(x, c):
+    """Truncated-NFW Fourier window via scipy Si/Ci.
+
+    u(x) = [cos x (Ci((1+c)x) - Ci(x)) + sin x (Si((1+c)x) - Si(x))
+            - sin(c x)/((1+c) x)] / (ln(1+c) - c/(1+c)),  x = k r_s.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    si1, ci1 = sici(x)
+    si2, ci2 = sici((1.0 + c) * x)
+    num = (np.cos(x) * (ci2 - ci1) + np.sin(x) * (si2 - si1)
+           - np.sin(c * x) / ((1.0 + c) * x))
+    return num / (np.log(1.0 + c) - c / (1.0 + c))
+
+
+def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13):
+    """HMcode-2016 nonlinear P(k,z) for a TwinCosmology ``tc``.
+
+    zs: (nz,), ks: (nk,).  Returns (nz, nk).  Explicit loops throughout.
+    """
+    zs = np.atleast_1d(np.asarray(zs, dtype=np.float64))
+    ks = np.asarray(ks, dtype=np.float64)
+    h = tc.h
+
+    plin_g = tc.plin(zs, _KG)                       # (nz, nkg)
+    plin_t = tc.plin(zs, ks)                        # (nz, nk)
+    sigma8_0 = float(np.sqrt(tc.sigma2_R([8.0 / h], [0.0])[0, 0]))
+    rho_m0 = float(tc.rho_matter_z(0.0))
+    rl = (3.0 * _MS / (4.0 * np.pi * rho_m0)) ** (1.0 / 3.0)
+
+    out = np.empty((zs.size, ks.size))
+    for iz, z in enumerate(zs):
+        a = 1.0 / (1.0 + z)
+        gz = float(tc.d_growth(a, norm="z0norm"))
+        om = float(tc.omz(z))
+        d2k = plin_g[iz] * _KG**3 / (2.0 * np.pi**2)
+
+        sigma8_z = sigma8_0 * gz
+        dc = (1.59 + 0.0314 * np.log(sigma8_z)) * (1.0 + 0.0123 * np.log10(om))
+        Dv = 418.0 * om ** -0.352
+        eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
+
+        sv = np.sqrt(_sigma_v2(d2k, 0.0))
+        sv100 = np.sqrt(_sigma_v2(d2k, 100.0 / h))
+        fdamp = float(np.clip(0.0095 * (sv100 * h) ** 1.37, 1e-3, 0.99))
+        kstar = 0.584 / sv
+
+        # nonlinear scale: sigma(R) = 1 (sigma^2 decreasing in R)
+        lr_nl = brentq(lambda lr: _sigma2_of_R(d2k, np.exp(lr))[0] - 1.0,
+                       np.log(1e-4), np.log(1e3), xtol=1e-13)
+        s2_nl, ds2_nl = _sigma2_of_R(d2k, np.exp(lr_nl))
+        neff = -3.0 - ds2_nl / s2_nl
+        alpha = 3.24 * 1.85**neff
+
+        # per-mass variance, slope, nu
+        sig = np.empty(_MS.size)
+        dlns2 = np.empty(_MS.size)
+        for im in range(_MS.size):
+            s2, ds2 = _sigma2_of_R(d2k, rl[im])
+            sig[im] = np.sqrt(s2)
+            dlns2[im] = ds2 / s2
+        nu = dc / sig
+        dnu_dlnm = -(nu / 6.0) * dlns2
+
+        # Bullock z_f: g(z_f) sigma(0.01 M, 0) = dc;  c = A (1+z_f)/(1+z)
+        sig0 = sig / gz
+        lnsig0 = np.log(sig0)
+        c_arr = np.empty(_MS.size)
+        for im in range(_MS.size):
+            # sigma(0.01 M, 0): interp/extrapolate ln sigma0 in ln M
+            lnm_f = _LNMS[im] + np.log(0.01)
+            s0_fm = np.exp(np.interp(lnm_f, _LNMS, lnsig0)) \
+                if lnm_f >= _LNMS[0] else np.exp(
+                    lnsig0[0] + (lnsig0[1] - lnsig0[0])
+                    / (_LNMS[1] - _LNMS[0]) * (lnm_f - _LNMS[0]))
+            rhs = dc / s0_fm
+            gdiff = lambda zf: float(tc.d_growth(1.0 / (1.0 + zf),
+                                                 norm="z0norm")) - rhs
+            if gdiff(0.0) <= 0.0:       # rhs >= g(0)=1: no z_f >= 0
+                zf = 0.0
+            elif gdiff(100.0) >= 0.0:   # rhs below g(100): ceiling
+                zf = 100.0
+            else:
+                zf = brentq(gdiff, 0.0, 100.0, xtol=1e-12)
+            c_arr[im] = max(A_bary * (1.0 + zf) / (1.0 + z), A_bary)
+
+        rv = rl / Dv ** (1.0 / 3.0)
+        rs = rv / c_arr
+
+        # one-halo term
+        integ = np.empty((_MS.size, ks.size))
+        for im in range(_MS.size):
+            x = nu[im] ** eta * ks * rs[im]
+            u = _u_nfw(x, c_arr[im])
+            integ[im] = (_g_st(nu[im]) * dnu_dlnm[im]
+                         * _MS[im] / rho_m0) * u * u
+        p1h = np.trapz(integ, _LNMS, axis=0)
+        d2_1h = p1h * ks**3 / (2.0 * np.pi**2)
+        ky = ks / kstar
+        d2_1h = d2_1h * ky**4 / (1.0 + ky**4)
+
+        # two-halo term
+        d2_lin = plin_t[iz] * ks**3 / (2.0 * np.pi**2)
+        d2_2h = d2_lin * (1.0 - fdamp * np.tanh(
+            ks * sv / np.sqrt(fdamp)) ** 2)
+
+        d2 = (d2_2h**alpha + d2_1h**alpha) ** (1.0 / alpha)
+        out[iz] = d2 * (2.0 * np.pi**2) / ks**3
+    return out

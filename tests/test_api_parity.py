@@ -81,3 +81,46 @@ def test_baryon_suppression_ballpark():
     sel = (ks > 1) & (ks < 10)
     assert np.all(ratio[0, sel] < 1.0)
     assert np.all(ratio[0, sel] > 0.6)
+
+
+def test_pmm_linear_nonlinear_wrappers():
+    """P_mm_linear / P_mm_nonlinear (reference cosmology.py:104-108 --
+    `pass` stubs there, implemented here), round-3 API sweep."""
+    from hmvec_tpu.models.cosmology import Cosmology
+    from hmvec_tpu.models.hmcode import hmcode_power
+    from hmvec_tpu.models.halofit import halofit_power
+
+    c = Cosmology()
+    zs = np.array([0.0, 1.0])
+    ks = np.geomspace(1e-3, 5.0, 32)
+    np.testing.assert_allclose(np.asarray(c.P_mm_linear(zs, ks)),
+                               np.asarray(c.P_lin(ks, zs)), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(c.P_mm_nonlinear(ks, zs)),
+        np.asarray(hmcode_power(c, zs, ks)), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(c.P_mm_nonlinear(ks, zs, halofit_version="takahashi")),
+        np.asarray(halofit_power(c, zs, ks)), rtol=1e-10)
+    assert c.halofit is None  # restored after the temporary dispatch
+
+
+def test_d_growth_exact_alias():
+    """D_growth(exact=True) / D_growth_exact_arbitrary_norm route through
+    the ODE growing mode (reference cosmology.py:288-294 alias)."""
+    from hmvec_tpu.models.cosmology import Cosmology
+
+    c = Cosmology()
+    a = np.array([0.25, 0.5, 1.0])
+    d_exact = np.asarray(c.D_growth(a, exact=True))
+    d_closed = np.asarray(c.D_growth(a))
+    np.testing.assert_allclose(d_exact, d_closed, rtol=1e-7)  # LCDM limit
+    d_arb = np.asarray(c.D_growth_exact_arbitrary_norm(a))
+    np.testing.assert_allclose(d_arb / d_arb[-1],
+                               np.asarray(c.D_growth(a, type="z0norm")),
+                               rtol=1e-7)
+
+    cw = Cosmology({"w0": -0.8})
+    assert cw.growth_mode == "ode"
+    dw = np.asarray(cw.D_growth(a, type="z0norm"))
+    assert np.max(np.abs(dw / np.asarray(c.D_growth(a, type="z0norm"))
+                         - 1.0)) > 1e-3

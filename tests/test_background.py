@@ -111,3 +111,78 @@ def test_plin_grad():
 
     g = jax.jit(jax.grad(loss))(jnp.asarray(params["omch2"]))
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+# ---- round 3: integrated growing mode for general (w0, wa) ----
+
+def test_growth_ode_matches_closed_form_lcdm():
+    """The RK4/Hermite growth table must reproduce the Heath/2F1 closed
+    form in the LCDM limit (same reduced background by construction)."""
+    bg = _bg()
+    tab = bgm.growth_table(bg)
+    a = np.geomspace(2e-4, 1.0, 60)
+    d_ode, f_ode = bgm.growth_eval(tab, a)
+    np.testing.assert_allclose(np.asarray(d_ode),
+                               np.asarray(bgm.growth_unnormalized(bg, a)),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(f_ode),
+                               np.asarray(bgm.growth_rate_f(bg, 1.0 / a - 1.0)),
+                               rtol=1e-6)
+
+
+def test_growth_ode_matches_scipy_twin_wcdm():
+    """w0/wa growing mode vs the twin's independent scipy solve_ivp
+    formulation (integrated in a, not ln a)."""
+    pars = {"w0": -0.85, "wa": 0.4}
+    bg = bgm.background(merge_params(pars))
+    tw = TwinCosmology(pars)
+    tab = bgm.growth_table(bg)
+    a = np.geomspace(2e-4, 1.0, 40)
+    d_ode, f_ode = bgm.growth_eval(tab, a)
+    np.testing.assert_allclose(np.asarray(d_ode), tw.growth_unnormalized(a),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(f_ode),
+                               tw.growth_rate_f(1.0 / a - 1.0), rtol=1e-6)
+    # d_growth/growth_rate_f dispatch through mode="ode"
+    np.testing.assert_allclose(
+        np.asarray(bgm.d_growth(bg, a, norm="anorm", mode="ode")),
+        tw.d_growth(a, norm="anorm"), rtol=1e-7)
+
+
+def test_growth_ode_below_table_and_grad():
+    bg = _bg()
+    tab = bgm.growth_table(bg)
+    # below the table start the pure matter-domination extension D = a*C
+    d_lo, f_lo = bgm.growth_eval(tab, np.array([1e-5, 5e-5]))
+    np.testing.assert_allclose(np.asarray(f_lo), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_lo[1] / d_lo[0]), 5.0,
+                               rtol=1e-12)
+    # differentiable w.r.t. w0 and the derivative is nonzero
+    g = jax.grad(lambda w0: bgm.growth_eval(
+        bgm.growth_table(bg._replace(w0=w0)), 0.5)[0])(jnp.asarray(-1.0))
+    assert np.isfinite(float(g)) and abs(float(g)) > 1e-3
+
+
+def test_growth_mode_for():
+    assert bgm.growth_mode_for(merge_params()) == "closed"
+    assert bgm.growth_mode_for(merge_params({"w0": -0.9})) == "ode"
+    assert bgm.growth_mode_for(merge_params({"wa": 0.1})) == "ode"
+
+
+def test_pipeline_growth_auto_dispatch():
+    """make_pmm_fn 'auto': concrete w0/wa overrides select the ODE path
+    and match the twin; the Fisher derivative in w0 at the LCDM fiducial
+    is nonzero (traced override -> ODE)."""
+    from hmvec_tpu.pipeline import make_pmm_fn, fisher_jacobian
+    from hmvec_tpu.twin.halo import TwinHaloModel
+
+    zs = np.linspace(0.1, 2.0, 3)
+    ks = np.geomspace(1e-3, 10, 24)
+    ms = np.geomspace(1e11, 1e16, 24)
+    fn = make_pmm_fn(zs, ks, ms)
+    pw = np.asarray(fn({"w0": jnp.asarray(-0.9), "wa": jnp.asarray(0.2)}))
+    tw = TwinHaloModel(zs, ks, ms, params={"w0": -0.9, "wa": 0.2})
+    np.testing.assert_allclose(pw, tw.get_power("nfw"), rtol=1e-6)
+    jac = fisher_jacobian(make_pmm_fn(zs, ks, ms, jit=False),
+                          {"w0": -1.0}, ("w0",))
+    assert float(np.max(np.abs(np.asarray(jac)))) > 0.0

@@ -1,10 +1,17 @@
-"""HMcode-2016 ('mead') nonlinear power: structural/property tests.
+"""HMcode-2016 ('mead') nonlinear power tests.
 
-No CAMB exists in this environment, so these pin the model's *structure*
-(linear limit, nonlinear boost, feedback direction, Takahashi agreement
-envelope, jit/grad) plus a self-generated golden regression value; see the
-provenance note in models/hmcode.py.
+Round 3: the jax implementation is pinned against an INDEPENDENT
+explicit-loop numpy oracle (twin/hmcode.py -- scipy sici/brentq/quad, its
+own window functions and ST normalization, written against the Mead
+2015/2016 papers separately from models/hmcode.py), plus two externally
+sourced quantitative anchors (the Mead-2015 Table-2 eta0 value, and the
+A=2.32 feedback suppression vs the reference's digitized OWLS curve).
+The golden is a regression guard regenerated after the round-3
+concentration fixes (ADVICE.md: Bullock z_f condition, sigma(0.01 M)
+interpolation).
 """
+
+import os
 
 import numpy as np
 import jax
@@ -28,6 +35,45 @@ def pnl_grid(cosmo):
     return zs, ks, np.asarray(hmcode_power(cosmo, zs, ks))
 
 
+def test_twin_oracle_parity(cosmo, pnl_grid):
+    """jax vs the independent numpy twin (LCDM, two feedback amplitudes).
+
+    The twin shares only the quadrature spec (grids, trapz-in-ln); its
+    windows, Si/Ci, root finds, and ST normalization are independent
+    implementations -- a transcription slip on either side breaks this."""
+    from hmvec_tpu.twin.core import TwinCosmology
+    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
+
+    zs = np.array([0.0, 1.0, 2.0])
+    ks = np.geomspace(1e-3, 30.0, 64)
+    tc = TwinCosmology()
+    for A in (3.13, 2.3):
+        pj = np.asarray(hmcode_power(cosmo, zs, ks, A_bary=A))
+        pt = hmcode_nonlinear_twin(tc, zs, ks, A_bary=A)
+        assert np.max(np.abs(pj / pt - 1.0)) < 1e-8, A
+
+
+def test_twin_oracle_parity_wcdm():
+    """w0/wa: jax ODE growth (background.growth_table) vs the twin's
+    scipy solve_ivp growth -- fully independent formulations."""
+    from hmvec_tpu.twin.core import TwinCosmology
+    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
+
+    zs = np.array([0.0, 1.0])
+    ks = np.geomspace(1e-3, 30.0, 48)
+    pars = {"w0": -0.9, "wa": 0.3}
+    pj = np.asarray(hmcode_power(Cosmology(pars), zs, ks))
+    pt = hmcode_nonlinear_twin(TwinCosmology(pars), zs, ks)
+    assert np.max(np.abs(pj / pt - 1.0)) < 1e-6
+
+
+def test_eta0_matches_mead2015_table2():
+    """External anchor: the 2016 tied relation eta0 = 0.98 - 0.12 A at the
+    DMONLY amplitude A = 3.13 must recover the independently fitted
+    Mead-2015 Table-2 value eta0 = 0.603."""
+    assert abs((0.98 - 0.12 * 3.13) - 0.603) < 2e-3
+
+
 def test_linear_limit_and_boost(cosmo, pnl_grid):
     zs, ks, pnl = pnl_grid
     plin = np.asarray(cosmo.P_lin(ks, zs))
@@ -42,17 +88,18 @@ def test_linear_limit_and_boost(cosmo, pnl_grid):
 
 
 def test_agreement_with_takahashi(cosmo, pnl_grid):
-    """HMcode and Takahashi-2012 are independent fits to simulations; they
-    agree at the O(10%) level for k <~ 1 and O(50%) out to k ~ 10
-    (Mead 2015 fig. 2 comparisons)."""
+    """HMcode and Takahashi-2012 are independent fits to simulations; with
+    the round-3 concentration fixes they track each other to ~14% for
+    k < 1 and ~13%/+12% out to k ~ 10 at z <= 2 (measured 0.860-0.996 and
+    0.871-1.112; envelope padded)."""
     zs, ks, pnl = pnl_grid
     ptak = np.asarray(halofit_power(cosmo, zs, ks))
     sel_mid = (ks > 0.03) & (ks < 1.0)
     r = (pnl / ptak)[:, sel_mid]
-    assert r.max() < 1.25 and r.min() > 0.80, (r.min(), r.max())
+    assert r.max() < 1.10 and r.min() > 0.82, (r.min(), r.max())
     sel_hi = (ks >= 1.0) & (ks < 10.0)
     rh = (pnl / ptak)[:, sel_hi]
-    assert rh.max() < 1.7 and rh.min() > 0.55, (rh.min(), rh.max())
+    assert rh.max() < 1.30 and rh.min() > 0.80, (rh.min(), rh.max())
 
 
 def test_feedback_knob_direction(cosmo):
@@ -66,6 +113,32 @@ def test_feedback_knob_direction(cosmo):
     supp = (p_fb / p_dm)[:, i5]
     assert np.all(supp < 0.9) and np.all(supp > 0.4)
     assert np.allclose((p_fb / p_dm)[:, 0], 1.0, atol=1e-3)
+
+
+SCHNEIDER_DIR = "/root/reference/hmvec/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(SCHNEIDER_DIR),
+                    reason="reference data not available")
+def test_feedback_suppression_vs_owls_curve(cosmo):
+    """External anchor: A = 2.32 is Mead-2015's fitted amplitude for the
+    OWLS AGN simulation; the suppression P(A=2.32)/P(A=3.13) must track
+    the digitized OWLS suppression curve shipped by the reference
+    (hmvec/data/schneider_owls.csv, used visually in bin/tests.py:539-547).
+    Measured max |diff| 0.042 over 0.3 < k/h < 8 (the 2016 one-parameter
+    eta0-tied model, not the 2015 two-parameter fit); envelope 0.08."""
+    from hmvec_tpu.params import merge_params
+
+    h = merge_params()["H0"] / 100.0
+    kh, owls = np.loadtxt(os.path.join(SCHNEIDER_DIR, "schneider_owls.csv"),
+                          delimiter=",", unpack=True)
+    ks = np.geomspace(0.05, 30.0, 120)
+    z0 = np.array([0.0])
+    p_dm = np.asarray(hmcode_power(cosmo, z0, ks, A_bary=3.13))[0]
+    p_fb = np.asarray(hmcode_power(cosmo, z0, ks, A_bary=2.32))[0]
+    r_at = np.interp(kh * h, ks, p_fb / p_dm)
+    sel = (kh > 0.3) & (kh < 8.0)
+    assert np.max(np.abs(r_at - owls)[sel]) < 0.08
 
 
 def test_amplitude_scaling(cosmo):
@@ -117,18 +190,19 @@ def test_jit_and_grad(cosmo):
 
 
 def test_golden_regression(cosmo):
-    """Self-generated golden values (regression guard, not external truth)."""
+    """Regression guard (regenerated after the round-3 ADVICE fixes; the
+    twin-parity tests above are the correctness oracle)."""
     ks = np.array([0.1, 1.0, 10.0])
     pnl = np.asarray(hmcode_power(cosmo, np.array([0.0]), ks))[0]
-    golden = np.array([1.227140839321e+04, 9.475194951900e+02,
-                       1.857015624000e+01])
+    golden = np.array([1.227075709722e+04, 9.098805675666e+02,
+                       1.577775171753e+01])
     assert np.allclose(pnl, golden, rtol=5e-4), pnl
 
 
-def test_hmcode_wcdm_smoke():
-    """w0/wa cosmologies: background terms exact, growth keeps the LCDM
-    closed form (documented deviation, MIGRATION.md #7) -- results must
-    stay finite and deviate from LCDM in the right direction."""
+def test_hmcode_wcdm_direction():
+    """w0/wa cosmologies use the integrated growing mode (round 3; the
+    former LCDM-closed-form deviation is gone -- see
+    test_twin_oracle_parity_wcdm for the accuracy pin)."""
     ks = np.geomspace(1e-3, 10.0, 48)
     zs = np.array([0.0, 1.0])
     p_l = np.asarray(hmcode_power(Cosmology(), zs, ks))

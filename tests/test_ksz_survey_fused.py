@@ -100,3 +100,11 @@ def test_sharded_survey_matches_single_device():
     np.testing.assert_allclose(float(t2), float(t1), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=1e-10)
+
+    # per-bin galaxy-bias overrides (round 3): sharded along the bin axis
+    bs = np.linspace(1.5, 2.5, 8)
+    _, s1b, _ = single({}, zc, vols, ngals, Cls, bs=bs)
+    _, s2b, _ = sharded({}, zc, vols, ngals, Cls, bs=bs)
+    np.testing.assert_allclose(np.asarray(s2b), np.asarray(s1b),
+                               rtol=1e-10)
+    assert not np.allclose(np.asarray(s1b), np.asarray(s1))
