@@ -163,10 +163,18 @@ def main():
           file=sys.stderr)
 
     if on_tpu:
-        fn1x = make_pmm_fn(zs, ks, ms, growth="closed")
+        # the "exact tier" fast path: v3 double-single Pallas NFW kernel,
+        # gated at 1e-7 (VERDICT r2 item 3: <=55 ms at <=1e-7)
+        fn1x = make_pmm_fn(zs, ks, ms, growth="closed", fast="exact")
         t1x = _timeit(fn1x, overrides, iters=iters)
         all_ok &= _emit("config1_f64_exact", t1x, tw1,
-                        _relerr(np.asarray(fn1x(overrides)), p_twin))
+                        _relerr(np.asarray(fn1x(overrides)), p_twin),
+                        gate=1e-7)
+        # the unchanged all-f64 build (the 2e-8 capability is retained)
+        fn1f = make_pmm_fn(zs, ks, ms, growth="closed")
+        t1f = _timeit(fn1f, overrides, iters=iters)
+        all_ok &= _emit("config1_f64_full", t1f, tw1,
+                        _relerr(np.asarray(fn1f(overrides)), p_twin))
 
     # ---- config 2: Battaglia electron Pee + Pme ----
     nxs, xmax = (512, 20) if smoke else (4096, 20)   # pow2 sampling: fast transform path on TPU

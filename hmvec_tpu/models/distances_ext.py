@@ -154,8 +154,9 @@ def cmb_lensing_limber(cosmo, lmax, nonlinear=False, nz: int = 100,
         # honors the cosmo.halofit version ('mead' -> HMcode, else Takahashi)
         pk_of = lambda kq: cosmo._get_matter_power(zs, kq, nonlinear=True)
     else:
-        pk_of = lambda kq: cosmo.engine.plin(bg, zs, kq,
-                                             accuracy=cosmo.accuracy)
+        pk_of = lambda kq: cosmo.engine.plin(
+            bg, zs, kq, accuracy=cosmo.accuracy,
+            growth_mode=getattr(cosmo, "growth_mode", "closed"))
 
     # evaluate P at the per-(l, chi) curve via a dense log table + lerp
     ktab = jnp.geomspace(1e-4, kmax, 2048)

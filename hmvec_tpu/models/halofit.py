@@ -122,7 +122,9 @@ def halofit_power(cosmo, zs, ks):
     zs = jnp.atleast_1d(jnp.asarray(zs))
 
     def plin_fn(kq):
-        return cosmo.engine.plin(bg, zs, kq, accuracy=cosmo.accuracy)
+        return cosmo.engine.plin(bg, zs, kq, accuracy=cosmo.accuracy,
+                                 growth_mode=getattr(cosmo, "growth_mode",
+                                                     "closed"))
 
     omz = bgmod.omz(bg, zs)
     # Omega_de(z) (1+w(z)) with the w0-wa parametrization

@@ -173,6 +173,56 @@ def _sine_dft_mixed32(y, step, chunks: int):
     return out.reshape(*batch, nk) * step
 
 
+@functools.lru_cache(maxsize=8)
+def _sine_matrix_scaled(n: int, nk: int, step: float):
+    """S'[j, i] = sin(2 pi i j / n) * step / kt_i with kt_i = i * dkt,
+    dkt = 2 pi / (n * step): the DFT matmul then directly produces
+    u(kt) = -Im[rfft] * step / kt with ZERO per-element normalization ops
+    on the (batch, nk) output grid (the round-2 config-2 profile: ~20 ms
+    of f64 ukt/kts normalization materialization, DEVNOTES.md).  Column 0
+    (kt = 0) is zeroed -- that entry is never sampled by the resample."""
+    j = np.arange(n)[:, None]
+    i = np.arange(nk)[None, :]
+    phase = 2.0 * np.pi * ((j * i) % n) / n
+    s = np.sin(phase)
+    kt = np.arange(nk) * (2.0 * np.pi / (n * step))
+    with np.errstate(divide="ignore"):
+        col = np.where(kt == 0, 0.0, step / np.where(kt == 0, 1.0, kt))
+    return s * col[None, :]
+
+
+def _sine_dft_mixed32_scaled(y, step: float, chunks: int = 4):
+    """f32-input double-single MXU sine DFT with step/kt folded into the
+    static matrix: returns u(kt) = sine_dft(y, step)/kt directly (column 0
+    = 0).  2 f32 MXU matmuls per N-chunk, f64 chunk accumulation -- the
+    ONLY f64 full-grid work left is the 2C-1 chunk adds."""
+    n = y.shape[-1]
+    nk = n // 2 + 1
+    nc = -(-n // chunks)
+    pad = nc * chunks - n
+    if pad:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
+    s64 = _sine_matrix_scaled(n, nk, float(step))
+    if pad:
+        s64 = np.pad(s64, [(0, pad), (0, 0)])
+    sh = jnp.asarray(s64.astype(np.float32)).reshape(chunks, nc, nk)
+    sl = jnp.asarray((s64 - s64.astype(np.float32)).astype(np.float32)
+                     ).reshape(chunks, nc, nk)
+
+    batch = y.shape[:-1]
+    yb = y.reshape(-1, chunks, nc).astype(jnp.float32)
+
+    def mm(a, b):  # (B, C, nc) x (C, nc, nk) -> (C, B, nk)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    out = (mm(yb, sh).astype(jnp.float64)
+           + mm(yb, sl).astype(jnp.float64)).sum(axis=0)
+    return out.reshape(*batch, nk)
+
+
 def uk_fft(rhofunc, rvir, dr: float = 0.001, rmax: float = 100):
     """Standalone validator: u(k) of a radial profile by sine transform
     (reference fft.py:8-19 semantics)."""
@@ -328,11 +378,23 @@ def generic_profile_fft(rhofunc_x, cmaxs, rss, zs, ks, xmax, nxs,
     else:
         mnorm = jnp.ones(rhos.shape[:-1], dtype=jnp.float64)
 
-    ukt = sine_dft(integrand * xs_s[None, None, :], step, method=method)
+    y = integrand * xs_s[None, None, :]
+    scales = rss * (1.0 + jnp.asarray(zs))[:, None]
+    if (method == "auto" and y.dtype == jnp.float32
+            and jax.default_backend() != "cpu"):
+        # TPU f32-sampling fast path: step/kt folded into the static sine
+        # matrix and the mass norm deferred past the resample (it is a
+        # per-(z,m) scalar, so it commutes with the kt-axis lerp exactly)
+        # -- no per-element f64 normalization on the (z,m,nkt) grid at all
+        # (round-2 profile: that chain cost ~20 ms, DEVNOTES.md).
+        uk_over_kt = _sine_dft_mixed32_scaled(y, step)
+        uk_res = resample_uniform_source(uk_over_kt, dkt, scales, ks)
+        return jnp.asarray(ks), uk_res * (1.0 / mnorm)[..., None]
+
+    ukt = sine_dft(y, step, method=method)
     kts = jnp.arange(ukt.shape[-1], dtype=jnp.float64) * dkt
     # u(kt) = ukt / kt / mnorm ; kt=0 entry is junk but never sampled
     uk = (ukt.astype(jnp.float64)
           / jnp.where(kts == 0, 1.0, kts)[None, None, :] / mnorm[..., None])
 
-    scales = rss * (1.0 + jnp.asarray(zs))[:, None]
     return jnp.asarray(ks), resample_uniform_source(uk, dkt, scales, ks)

@@ -77,7 +77,10 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
     nzm, bh = mfm.mass_function_grid(sigma2, zsj, msj, rho_m0,
                                      mass_function, p)
 
-    # C3: NFW profile
+    # C3: NFW profile.  fast_nfw: False = emulated-f64 XLA Si/Ci;
+    # True = the v2 f32 Pallas kernel (~1e-6 on u); "exact" = the v3
+    # double-single Pallas kernel (~1e-7 on u at Pallas speed -- the
+    # f64-exact-build fast path, VERDICT round-2 item 3).
     omz = bgmod.omz(bg, zsj)
     rhocritz = bgmod.rho_critical_z(bg, zsj)
     rhomz = bgmod.rho_matter_z(bg, zsj)
@@ -86,8 +89,12 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
     rss = rvirs / cs
     if (fast_nfw and jax.default_backend() != "cpu"
             and jax.config.jax_enable_x64):
-        from .ops.pallas_kernels import nfw_uk_fast
-        uk = nfw_uk_fast(ksj, zsj, cs, rss)
+        if fast_nfw == "exact":
+            from .ops.pallas_kernels import nfw_uk_fast_ds
+            uk = nfw_uk_fast_ds(ksj, zsj, cs, rss)
+        else:
+            from .ops.pallas_kernels import nfw_uk_fast
+            uk = nfw_uk_fast(ksj, zsj, cs, rss)
     else:
         uk = prof.nfw_uk_analytic(ksj, zsj, cs, rss)
     return bg, pzk, nzm, bh, rho_m0, uk

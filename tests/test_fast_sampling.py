@@ -94,3 +94,45 @@ def test_intrinsic_free_poly_kernels():
     es = np.asarray(_exp_split_f32(a), np.float64)
     er = np.exp(np.asarray(a))
     assert np.max(np.abs(es - er) / er) < 3e-7
+
+
+def test_scaled_mixed32_dft_matches_normalized_chain():
+    """The step/kt-folded sine matrix (round-3 config-2 path,
+    _sine_dft_mixed32_scaled) equals sine_dft(y, step)/kt to the mixed32
+    accuracy class, with column 0 zeroed."""
+    import jax.numpy as jnp
+    from hmvec_tpu.ops.sine_transform import (sine_dft,
+                                              _sine_dft_mixed32_scaled)
+
+    rng = np.random.default_rng(3)
+    n = 512
+    y = (rng.random((6, n)) * np.exp(-np.linspace(0, 5, n))[None, :]
+         ).astype(np.float32)
+    step = 20.0 / n
+    dkt = 2 * np.pi / (n * step)
+    ref = np.asarray(sine_dft(jnp.asarray(y, dtype=jnp.float64), step,
+                              method="matmul"))
+    kts = np.arange(n // 2 + 1) * dkt
+    ref_over = ref / np.where(kts == 0, 1.0, kts)
+    got = np.asarray(_sine_dft_mixed32_scaled(jnp.asarray(y), step))
+    assert np.all(got[:, 0] == 0.0)
+    peak = np.abs(ref_over).max(axis=-1, keepdims=True)
+    assert (np.abs(got[:, 1:] - ref_over[:, 1:]) / peak).max() < 2e-6
+
+
+def test_deferred_mass_norm_commutes_with_resample():
+    """1/mnorm is a per-(z,m) scalar: applying it after the kt-axis lerp
+    (the round-3 fast path) is exact up to f64 rounding."""
+    import jax.numpy as jnp
+    from hmvec_tpu.ops.sine_transform import resample_uniform_source
+
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.random((3, 4, 129)))
+    mnorm = jnp.asarray(1.0 + rng.random((3, 4)))
+    scales = jnp.asarray(0.5 + rng.random((3, 4)))
+    ks = jnp.asarray(np.geomspace(1e-2, 40.0, 50))
+    a = resample_uniform_source(u / mnorm[..., None], 0.3, scales, ks,
+                                method="gather")
+    b = resample_uniform_source(u, 0.3, scales, ks, method="gather") \
+        * (1.0 / mnorm)[..., None]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-15)

@@ -44,3 +44,47 @@ def test_pallas_large_phase():
     exact = np.asarray(nfw_uk_analytic(ks, zs, cs, rss))
     fast = np.asarray(nfw_uk_fast(ks, zs, cs, rss, interpret=True))
     assert np.max(np.abs(fast - exact)) < 5e-6
+
+
+def test_v3_ds_math_accuracy_vs_f64():
+    """The v3 double-single NFW math (the f64-exact-build fast path,
+    pallas_kernels._nfw_uk_ds_math) vs the exact f64 Si/Ci profile:
+    <= 2e-7 worst-case absolute on u over an adversarial (c, r_s, k)
+    sweep (measured 9.5e-8; the v2 kernel is ~1.4e-6 on the same sweep).
+    Runs the pure-jnp math on CPU -- the Pallas tile calls the identical
+    function."""
+    import jax
+    import jax.numpy as jnp
+    from hmvec_tpu.ops.pallas_kernels import _nfw_uk_ds_math
+    from hmvec_tpu.ops.sine_transform import _split_hi_lo
+    from hmvec_tpu.models.profiles import nfw_uk_analytic
+
+    rng = np.random.default_rng(0)
+    nz, nm, nk = 4, 48, 201
+    zs = np.linspace(0.1, 3.0, nz)
+    cs = rng.uniform(1.2, 30.0, (nz, nm))
+    rss = rng.uniform(0.003, 3.0, (nz, nm))
+    ks = np.geomspace(1e-4, 100.0, nk)
+    u64 = np.asarray(nfw_uk_analytic(jnp.asarray(ks), jnp.asarray(zs),
+                                     jnp.asarray(cs), jnp.asarray(rss)))
+
+    scales = jnp.asarray((rss * (1.0 + zs[:, None])).reshape(-1))
+    cs64 = jnp.asarray(cs.reshape(-1))
+    ln1pc = jnp.log1p(cs64)
+    mc = ln1pc - cs64 / (1.0 + cs64)
+
+    def pb(v):
+        h, l = _split_hi_lo(v)
+        return h[:, None], l[:, None]
+
+    def pk(v):
+        h, l = _split_hi_lo(v)
+        return h[None, :], l[None, :]
+
+    ksj = jnp.asarray(ks)
+    args = (*pb(scales), *pb((1.0 + cs64) * scales), *pb(ln1pc),
+            *pb(1.0 / mc), *pb(jnp.log(scales)),
+            *pb(cs64 / (1.0 + cs64)), *pk(ksj), *pk(jnp.log(ksj)))
+    with jax.enable_x64(False):
+        u3 = np.asarray(_nfw_uk_ds_math(*args)).reshape(nz, nm, nk)
+    assert np.abs(u3 - u64).max() < 2e-7

@@ -63,3 +63,18 @@ def test_sharded_batched_rejects_indivisible_batch():
     bf = make_sharded_batched_fn(fn, ("omch2",), make_mesh(8))
     with pytest.raises(AssertionError, match="mesh size 8 must divide"):
         bf(np.full((4, 1), 0.12))
+
+
+def test_sharded_pmm_wcdm_ode_growth():
+    """The m-axis-sharded Pmm under a w0/wa override routes through the
+    ODE growth table inside shard_map and matches the unsharded pipeline
+    (round-3: traced/concrete w0 overrides select growth_mode='ode')."""
+    import jax.numpy as jnp
+    from hmvec_tpu.parallel.sharding import make_sharded_pmm_fn
+    from hmvec_tpu.pipeline import make_pmm_fn
+
+    mesh = make_mesh(8)
+    ov = {"w0": jnp.asarray(-0.9), "wa": jnp.asarray(0.2)}
+    p_sh = np.asarray(jax.jit(make_sharded_pmm_fn(ZS, KS, MS, mesh))(ov))
+    p_un = np.asarray(make_pmm_fn(ZS, KS, MS)(ov))
+    np.testing.assert_allclose(p_sh, p_un, rtol=1e-10)
