@@ -380,7 +380,7 @@ def _sincos_series_ds(xh, xl):
     assembly)."""
     n = jnp.round(xh * _TWO_OVER_PI)
     r0 = xh - n * _PI2_CW_HI                  # exact (short hi word)
-    p1, e1 = _two_prod(n, _PI2_CW_MID)
+    p1, e1 = _two_prod(n, jnp.full_like(n, _PI2_CW_MID))
     rh, re = _two_sum(r0, -p1)
     rl = re - e1 - n * _PI2_CW_LO + xl
     h = rh + rl
@@ -444,7 +444,7 @@ def _sincos_ds_pair(xh, xl):
     remains)."""
     n = jnp.round(xh * _INV_TWO_PI)
     r0 = xh - n * _TWO_PI_HI                  # exact (see _sincos_ds)
-    p1, e1 = _two_prod(n, _TWO_PI_MID)
+    p1, e1 = _two_prod(n, jnp.full_like(n, _TWO_PI_MID))
     rh, re = _two_sum(r0, -p1)
     rl = re - e1 - n * _TWO_PI_LO + xl
     s = jnp.sin(rh)

@@ -74,6 +74,34 @@ def _select_pair_kernel(uh_ref, ul_ref, i0_ref,
     o1l_ref[:] = a1l
 
 
+def _select_pair_kernel_f32(uh_ref, i0_ref, o0_ref, o1_ref):
+    """f32-only variant: half the mask MACs of the hi/lo kernel (used by
+    the mixed32 fast path, whose ~1e-7-class accuracy budget does not
+    need the double-single selection)."""
+    i0 = i0_ref[:]
+    rb, tk = i0.shape
+    cmin = jnp.min(i0) // _LANE
+    cmax = (jnp.max(i0) + 1) // _LANE
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (rb, tk, _LANE), 2)
+    i0b = i0[:, :, None]
+
+    def body(c, accs):
+        a0, a1 = accs
+        base = pl.multiple_of(c * _LANE, _LANE)
+        jj = jlane + base
+        m0 = (jj == i0b).astype(jnp.float32)
+        m1 = (jj == i0b + 1).astype(jnp.float32)
+        uh = uh_ref[:, pl.ds(base, _LANE)][:, None, :]
+        a0 = a0 + jnp.sum(m0 * uh, axis=-1)
+        a1 = a1 + jnp.sum(m1 * uh, axis=-1)
+        return a0, a1
+
+    z = jnp.zeros((rb, tk), jnp.float32)
+    a0, a1 = jax.lax.fori_loop(cmin, cmax + 1, body, (z, z))
+    o0_ref[:] = a0
+    o1_ref[:] = a1
+
+
 def _round_up(x, m):
     return -(-x // m) * m
 
@@ -97,14 +125,11 @@ def select_pairs(u, i0, interpret: bool = False):
     nktp = _round_up(nkt + 1, _LANE)
 
     f64_in = uf.dtype == jnp.float64
+    uh = uf.astype(jnp.float32)
     if f64_in:
-        uh = uf.astype(jnp.float32)
         ul = (uf - uh.astype(jnp.float64)).astype(jnp.float32)
-    else:
-        uh = uf.astype(jnp.float32)
-        ul = jnp.zeros_like(uh)
+        ul = jnp.pad(ul, ((0, Bp - B), (0, nktp - nkt)))
     uh = jnp.pad(uh, ((0, Bp - B), (0, nktp - nkt)))
-    ul = jnp.pad(ul, ((0, Bp - B), (0, nktp - nkt)))
     i0p = jnp.pad(i0f, ((0, Bp - B), (0, nkp - nk)))
 
     grid = (Bp // _RB, nkp // _TK)
@@ -115,14 +140,24 @@ def select_pairs(u, i0, interpret: bool = False):
                              memory_space=pltpu.VMEM)
 
     with jax.enable_x64(False):
-        o0h, o0l, o1h, o1l = pl.pallas_call(
-            _select_pair_kernel,
-            out_shape=(out_sd, out_sd, out_sd, out_sd),
-            grid=grid,
-            in_specs=[row_spec, row_spec, tile_spec],
-            out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
-            interpret=interpret,
-        )(uh, ul, i0p)
+        if f64_in:
+            o0h, o0l, o1h, o1l = pl.pallas_call(
+                _select_pair_kernel,
+                out_shape=(out_sd, out_sd, out_sd, out_sd),
+                grid=grid,
+                in_specs=[row_spec, row_spec, tile_spec],
+                out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
+                interpret=interpret,
+            )(uh, ul, i0p)
+        else:
+            o0h, o1h = pl.pallas_call(
+                _select_pair_kernel_f32,
+                out_shape=(out_sd, out_sd),
+                grid=grid,
+                in_specs=[row_spec, tile_spec],
+                out_specs=(tile_spec, tile_spec),
+                interpret=interpret,
+            )(uh, i0p)
 
     if f64_in:
         u0 = o0h.astype(jnp.float64) + o0l.astype(jnp.float64)

@@ -174,13 +174,18 @@ def _sine_dft_mixed32(y, step, chunks: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _sine_matrix_scaled(n: int, nk: int, step: float):
+def _sine_matrix_scaled(n: int, nk: int, step: float,
+                        mass_col: bool = False):
     """S'[j, i] = sin(2 pi i j / n) * step / kt_i with kt_i = i * dkt,
     dkt = 2 pi / (n * step): the DFT matmul then directly produces
     u(kt) = -Im[rfft] * step / kt with ZERO per-element normalization ops
     on the (batch, nk) output grid (the round-2 config-2 profile: ~20 ms
     of f64 ukt/kts normalization materialization, DEVNOTES.md).  Column 0
-    (kt = 0) is zeroed -- that entry is never sampled by the resample."""
+    (kt = 0) is zeroed -- that entry is never sampled by the resample --
+    OR, with mass_col, repurposed as the trapz mass-norm weights
+    x_j dx_j (so the SAME matmul emits mnorm = trapz(y x, x) for free:
+    the DFT input is y = rho theta x, and trapz(rho theta x^2) is a dot
+    of y with x_j w_j)."""
     j = np.arange(n)[:, None]
     i = np.arange(nk)[None, :]
     phase = 2.0 * np.pi * ((j * i) % n) / n
@@ -188,21 +193,33 @@ def _sine_matrix_scaled(n: int, nk: int, step: float):
     kt = np.arange(nk) * (2.0 * np.pi / (n * step))
     with np.errstate(divide="ignore"):
         col = np.where(kt == 0, 0.0, step / np.where(kt == 0, 1.0, kt))
-    return s * col[None, :]
+    out = s * col[None, :]
+    if mass_col:
+        # the sample grid is xs = linspace(0, xmax, n+1)[1:], so the true
+        # spacing is dx = step * n/(n-1) (step is the reference's
+        # extent/N quirk); trapz weights (dx/2, dx, ..., dx, dx/2)
+        dx = step * n / (n - 1.0)
+        w = np.full(n, dx)
+        w[0] *= 0.5
+        w[-1] *= 0.5
+        out[:, 0] = (np.arange(n) + 1.0) * dx * w
+    return out
 
 
-def _sine_dft_mixed32_scaled(y, step: float, chunks: int = 4):
+def _sine_dft_mixed32_scaled(y, step: float, chunks: int = 4,
+                             mass_col: bool = False):
     """f32-input double-single MXU sine DFT with step/kt folded into the
     static matrix: returns u(kt) = sine_dft(y, step)/kt directly (column 0
-    = 0).  2 f32 MXU matmuls per N-chunk, f64 chunk accumulation -- the
-    ONLY f64 full-grid work left is the 2C-1 chunk adds."""
+    = 0, or the mass norm when mass_col).  2 f32 MXU matmuls per N-chunk,
+    f64 chunk accumulation -- the ONLY f64 full-grid work left is the
+    2C-1 chunk adds."""
     n = y.shape[-1]
     nk = n // 2 + 1
     nc = -(-n // chunks)
     pad = nc * chunks - n
     if pad:
         y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
-    s64 = _sine_matrix_scaled(n, nk, float(step))
+    s64 = _sine_matrix_scaled(n, nk, float(step), mass_col)
     if pad:
         s64 = np.pad(s64, [(0, pad), (0, 0)])
     sh = jnp.asarray(s64.astype(np.float32)).reshape(chunks, nc, nk)
@@ -369,6 +386,24 @@ def generic_profile_fft(rhofunc_x, cmaxs, rss, zs, ks, xmax, nxs,
     theta = (xs[None, None, :] <= cmaxs[..., None]).astype(rhos.dtype)
     integrand = theta * rhos
     xs_s = xs.astype(rhos.dtype)
+    y = integrand * xs_s[None, None, :]
+    scales = rss * (1.0 + jnp.asarray(zs))[:, None]
+    if (method == "auto" and y.dtype == jnp.float32
+            and jax.default_backend() != "cpu"):
+        # TPU f32-sampling fast path: step/kt folded into the static sine
+        # matrix, the mass norm emitted by the SAME matmul (column 0) and
+        # deferred past the resample (a per-(z,m) scalar commutes with
+        # the kt-axis lerp exactly), and the pair selection run in pure
+        # f32 -- no per-element f64 work on the (z,m,nkt) grid at all
+        # (round-2 profile: that chain cost ~20 ms, DEVNOTES.md).
+        uk_over_kt = _sine_dft_mixed32_scaled(y, step,
+                                              mass_col=do_mass_norm)
+        uk_res = resample_uniform_source(uk_over_kt.astype(jnp.float32),
+                                         dkt, scales, ks)
+        if do_mass_norm:
+            return jnp.asarray(ks), uk_res / uk_over_kt[..., 0:1]
+        return jnp.asarray(ks), uk_res.astype(jnp.float64)
+
     if do_mass_norm:
         dx = jnp.diff(xs_s)
         prof = integrand * xs_s[None, None, :] ** 2
@@ -377,19 +412,6 @@ def generic_profile_fft(rhofunc_x, cmaxs, rss, zs, ks, xmax, nxs,
                         axis=-1, dtype=jnp.float64).astype(jnp.float64)
     else:
         mnorm = jnp.ones(rhos.shape[:-1], dtype=jnp.float64)
-
-    y = integrand * xs_s[None, None, :]
-    scales = rss * (1.0 + jnp.asarray(zs))[:, None]
-    if (method == "auto" and y.dtype == jnp.float32
-            and jax.default_backend() != "cpu"):
-        # TPU f32-sampling fast path: step/kt folded into the static sine
-        # matrix and the mass norm deferred past the resample (it is a
-        # per-(z,m) scalar, so it commutes with the kt-axis lerp exactly)
-        # -- no per-element f64 normalization on the (z,m,nkt) grid at all
-        # (round-2 profile: that chain cost ~20 ms, DEVNOTES.md).
-        uk_over_kt = _sine_dft_mixed32_scaled(y, step)
-        uk_res = resample_uniform_source(uk_over_kt, dkt, scales, ks)
-        return jnp.asarray(ks), uk_res * (1.0 / mnorm)[..., None]
 
     ukt = sine_dft(y, step, method=method)
     kts = jnp.arange(ukt.shape[-1], dtype=jnp.float64) * dkt

@@ -23,3 +23,25 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/hmvec_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--quick", action="store_true", default=False,
+        help="skip the tests marked 'slow' (the heaviest end-to-end "
+             "compiles); the default profile runs everything")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heaviest end-to-end tests (skipped by --quick)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--quick"):
+        skip = pytest.mark.skip(reason="--quick profile")
+        for item in items:
+            if "slow" in item.keywords:
+                item.add_marker(skip)

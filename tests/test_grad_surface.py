@@ -13,8 +13,8 @@ from hmvec_tpu.pipeline import (make_pmm_fn, make_lensing_cls_fn,
                                 make_ksz_snr_fn)
 
 ZS = np.array([0.4, 1.1])
-KS = np.geomspace(1e-3, 10, 36)
-MS = np.geomspace(1e11, 1e16, 24)
+KS = np.geomspace(1e-3, 10, 24)
+MS = np.geomspace(1e11, 1e16, 16)
 FID = {"omch2": 0.1198, "ombh2": 0.02225, "H0": 67.3, "ns": 0.9645,
        "As": 2.2e-9, "w0": -1.0, "wa": 0.0}
 
@@ -49,7 +49,7 @@ def test_ckk_grads_all_params():
 
 
 def test_electron_grads_all_params():
-    fn = make_electron_fn(ZS, KS, MS, nxs=256, xmax=10, jit=False)
+    fn = make_electron_fn(ZS, KS, MS, nxs=128, xmax=10, jit=False)
     _grad_ok(lambda ov: jnp.sum(fn(ov)[0]))
 
 
@@ -59,8 +59,8 @@ def test_hod_grads_all_params():
 
 
 def test_ksz_snr_grad_all_params():
-    fn = make_ksz_snr_fn(0.55, 10.0, 1e-4, ms=MS, num_kL_bins=12,
-                         num_kS_bins=13, num_mu_bins=8, nxs=256, xmax=10,
+    fn = make_ksz_snr_fn(0.55, 10.0, 1e-4, ms=MS, num_kL_bins=8,
+                         num_kS_bins=9, num_mu_bins=6, nxs=128, xmax=10,
                          jit=False)
     Cls = 1e-5 * np.ones(10000)
 

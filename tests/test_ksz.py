@@ -34,9 +34,9 @@ def test_get_interpolated_cls():
 
 @pytest.fixture(scope="module")
 def fksz():
-    return kszmod.kSZ([0.5], [10.0], [1e-4], num_kL_bins=20, num_kS_bins=21,
-                      num_mu_bins=12, ms=np.geomspace(1e10, 1e16, 60),
-                      electron_profile_nxs=500, electron_profile_xmax=10)
+    return kszmod.kSZ([0.5], [10.0], [1e-4], num_kL_bins=8, num_kS_bins=9,
+                      num_mu_bins=6, ms=np.geomspace(1e10, 1e16, 32),
+                      electron_profile_nxs=256, electron_profile_xmax=10)
 
 
 def test_ksz_constructor_spectra(fksz):
@@ -63,10 +63,10 @@ def test_nvv_finite_positive(fksz):
 def test_ksz_snr_runs():
     Cls = 1e-5 * np.ones(10000)
     snr, _ = kszmod.get_ksz_snr(10.0, 0.5, 1e-4, Cls,
-                                num_kL_bins=20, num_kS_bins=21,
-                                num_mu_bins=12,
-                                ms=np.geomspace(1e10, 1e16, 60),
-                                electron_profile_nxs=500,
+                                num_kL_bins=8, num_kS_bins=9,
+                                num_mu_bins=6,
+                                ms=np.geomspace(1e10, 1e16, 32),
+                                electron_profile_nxs=256,
                                 electron_profile_xmax=10)
     assert np.isfinite(float(snr))
     assert float(snr) > 0
@@ -82,8 +82,8 @@ def test_pge_err(fksz):
 
 def test_photoz_damping():
     pksz = kszmod.kSZ([0.5], [10.0], [1e-4], num_kL_bins=10, num_kS_bins=11,
-                      num_mu_bins=8, ms=np.geomspace(1e10, 1e16, 40),
-                      electron_profile_nxs=300, electron_profile_xmax=10,
+                      num_mu_bins=8, ms=np.geomspace(1e10, 1e16, 24),
+                      electron_profile_nxs=128, electron_profile_xmax=10,
                       sigz=0.05)
     W = np.asarray(pksz.Wphoto(0))
     assert W.shape == (8, 10)
@@ -95,8 +95,8 @@ def test_photoz_damping():
 def test_ksz_auto_squeezed_runs():
     ells = np.array([100.0, 1000.0, 3000.0])
     pksz, cl, spec = kszmod.get_ksz_auto_squeezed(
-        ells, 10.0, [0.5, 1.0], 1e-4, bgs=None, num_k_bins=40, num_mu_bins=8,
-        ms=np.geomspace(1e10, 1e16, 40), electron_profile_nxs=300,
+        ells, 10.0, [0.5, 1.0], 1e-4, bgs=None, num_k_bins=24, num_mu_bins=6,
+        ms=np.geomspace(1e10, 1e16, 24), electron_profile_nxs=128,
         electron_profile_xmax=10)
     cl = np.asarray(cl)
     assert cl.shape == (3,)

@@ -6,8 +6,8 @@ import pytest
 from hmvec_tpu.models.ksz import kSZ
 from hmvec_tpu.twin.ksz import TwinKSZ
 
-CFG = dict(num_kL_bins=24, num_kS_bins=25, num_mu_bins=10,
-           electron_profile_nxs=512, electron_profile_xmax=10)
+CFG = dict(num_kL_bins=10, num_kS_bins=11, num_mu_bins=6,
+           electron_profile_nxs=256, electron_profile_xmax=10)
 MS = np.geomspace(1e10, 1e16, 80)
 
 

@@ -3,16 +3,26 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from hmvec_tpu.pipeline import make_ksz_survey_fn, make_ksz_snr_fn
 
-MS = np.geomspace(1e10, 1e16, 60)
-CFG = dict(num_kL_bins=20, num_kS_bins=21, num_mu_bins=12, nxs=512,
+# tiny grids: every assertion here is program-equivalence (identical math
+# through different orchestrations) or finiteness -- grid size is
+# irrelevant to what is being tested, and compile time IS the suite's
+# wall time (round-3 shrink, VERDICT r2 item 8)
+MS = np.geomspace(1e10, 1e16, 32)
+CFG = dict(num_kL_bins=8, num_kS_bins=9, num_mu_bins=6, nxs=256,
            xmax=10, ms=MS)
 
 
-def test_survey_matches_single_bin():
-    fn = make_ksz_survey_fn(2, **CFG)
+@pytest.fixture(scope="module")
+def survey_fn():
+    return make_ksz_survey_fn(2, **CFG)
+
+
+def test_survey_matches_single_bin(survey_fn):
+    fn = survey_fn
     Cls = 1e-5 * np.ones(10000)
     zc = np.array([0.45, 0.7])
     vols = np.array([8.0, 12.0])
@@ -26,9 +36,9 @@ def test_survey_matches_single_bin():
                                rtol=1e-12)
 
 
-def test_survey_rebinning_without_recompile():
+def test_survey_rebinning_without_recompile(survey_fn):
     """Traced bin parameters: the same compiled program serves any binning."""
-    fn = make_ksz_survey_fn(2, **CFG)
+    fn = survey_fn
     Cls = 1e-5 * np.ones(10000)
     t1, _, _ = fn({}, np.array([0.4, 0.6]), np.array([5.0, 9.0]),
                np.array([1e-4, 1e-4]), Cls)
@@ -61,8 +71,8 @@ def test_reference_shaped_api_matches_per_bin_class_path():
     dndz = np.exp(-((zs - 0.6) ** 2) / 0.02)
     Cls = 1e-5 * np.ones(10000)
     zedges = [0.4, 0.6, 0.8]
-    kw = dict(ms=MS, num_kL_bins=20, num_kS_bins=21, num_mu_bins=12,
-              electron_profile_nxs=512, electron_profile_xmax=10)
+    kw = dict(ms=MS, num_kL_bins=8, num_kS_bins=9, num_mu_bins=6,
+              electron_profile_nxs=256, electron_profile_xmax=10)
     vols, ngals, zcents, bgs, snrs, tot = get_ksz_snr_survey(
         zs, dndz, zedges=zedges, Cls=Cls, fsky=0.3, Ngals=1e6, **kw)
     # eager per-bin loop (the old implementation)
@@ -84,8 +94,8 @@ def test_sharded_survey_matches_single_device():
     from hmvec_tpu.parallel.sharding import make_mesh, make_sharded_ksz_survey_fn
     from hmvec_tpu.pipeline import make_ksz_survey_fn
 
-    cfg = dict(num_kL_bins=10, num_kS_bins=11, num_mu_bins=8,
-               ms=np.geomspace(1e10, 1e16, 40), nxs=256, xmax=10)
+    cfg = dict(num_kL_bins=6, num_kS_bins=7, num_mu_bins=6,
+               ms=np.geomspace(1e10, 1e16, 24), nxs=128, xmax=10)
     zc = np.linspace(0.3, 1.0, 8)
     vols = np.linspace(5.0, 12.0, 8)
     ngals = np.full(8, 1e-4)

@@ -58,8 +58,8 @@ def test_electron_pipeline_grad():
     from hmvec_tpu.pipeline import make_electron_fn
     zs = np.array([0.5, 1.0])
     ks = np.geomspace(1e-3, 10, 40)
-    ms = np.geomspace(1e11, 1e16, 30)
-    fn = make_electron_fn(zs, ks, ms, nxs=256, xmax=10, jit=False)
+    ms = np.geomspace(1e11, 1e16, 16)
+    fn = make_electron_fn(zs, ks, ms, nxs=128, xmax=10, jit=False)
 
     def loss(omch2):
         pee, pme = fn({"omch2": omch2})
