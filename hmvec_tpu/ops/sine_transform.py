@@ -207,12 +207,13 @@ def _sine_matrix_scaled(n: int, nk: int, step: float,
 
 
 def _sine_dft_mixed32_scaled(y, step: float, chunks: int = 4,
-                             mass_col: bool = False):
+                             mass_col: bool = False, acc_dtype=None):
     """f32-input double-single MXU sine DFT with step/kt folded into the
     static matrix: returns u(kt) = sine_dft(y, step)/kt directly (column 0
-    = 0, or the mass norm when mass_col).  2 f32 MXU matmuls per N-chunk,
-    f64 chunk accumulation -- the ONLY f64 full-grid work left is the
-    2C-1 chunk adds."""
+    = 0, or the mass norm when mass_col).  2 f32 MXU matmuls per N-chunk;
+    cross-chunk accumulation in ``acc_dtype`` (default f64 -- chunk
+    partials of an oscillatory sum can cancel; pass jnp.float32 to trade
+    ~1e-7-class accuracy for dropping the last f64 full-grid work)."""
     n = y.shape[-1]
     nk = n // 2 + 1
     nc = -(-n // chunks)
@@ -235,8 +236,8 @@ def _sine_dft_mixed32_scaled(y, step: float, chunks: int = 4,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
-    out = (mm(yb, sh).astype(jnp.float64)
-           + mm(yb, sl).astype(jnp.float64)).sum(axis=0)
+    acc = acc_dtype or jnp.float64
+    out = (mm(yb, sh).astype(acc) + mm(yb, sl).astype(acc)).sum(axis=0)
     return out.reshape(*batch, nk)
 
 
@@ -396,13 +397,20 @@ def generic_profile_fft(rhofunc_x, cmaxs, rss, zs, ks, xmax, nxs,
         # the kt-axis lerp exactly), and the pair selection run in pure
         # f32 -- no per-element f64 work on the (z,m,nkt) grid at all
         # (round-2 profile: that chain cost ~20 ms, DEVNOTES.md).
+        # f32 cross-chunk accumulation: measured 2.6 ms vs 9.9 ms for the
+        # f64-accumulated variant at BETTER accuracy (1.4e-7 vs 2.2e-7
+        # rel-to-peak -- the chunk-add error sits below the in-chunk f32
+        # floor), so the fast path now has NO f64 full-grid work at all
         uk_over_kt = _sine_dft_mixed32_scaled(y, step,
-                                              mass_col=do_mass_norm)
-        uk_res = resample_uniform_source(uk_over_kt.astype(jnp.float32),
-                                         dkt, scales, ks)
+                                              mass_col=do_mass_norm,
+                                              acc_dtype=jnp.float32)
+        uk_res = resample_uniform_source(uk_over_kt, dkt, scales, ks)
         if do_mass_norm:
-            return jnp.asarray(ks), uk_res / uk_over_kt[..., 0:1]
-        return jnp.asarray(ks), uk_res.astype(jnp.float64)
+            # reciprocal-multiply: one div per (z,m) row instead of 4M
+            out = uk_res * (1.0 / uk_over_kt[..., 0:1])
+        else:
+            out = uk_res
+        return jnp.asarray(ks), out.astype(jnp.float64)
 
     if do_mass_norm:
         dx = jnp.diff(xs_s)
