@@ -5,6 +5,7 @@ Catches NaN-grad regressions like the inf-Cls where-branch bug fixed in
 round 1 (models/ksz.py Nvv_core_integral)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -48,6 +49,7 @@ def test_ckk_grads_all_params():
     _grad_ok(lambda ov: jnp.sum(fn(ov)[0]))
 
 
+@pytest.mark.slow
 def test_electron_grads_all_params():
     fn = make_electron_fn(ZS, KS, MS, nxs=128, xmax=10, jit=False)
     _grad_ok(lambda ov: jnp.sum(fn(ov)[0]))
@@ -58,6 +60,7 @@ def test_hod_grads_all_params():
     _grad_ok(lambda ov: jnp.sum(fn(ov)[0]))
 
 
+@pytest.mark.slow
 def test_ksz_snr_grad_all_params():
     fn = make_ksz_snr_fn(0.55, 10.0, 1e-4, ms=MS, num_kL_bins=8,
                          num_kS_bins=9, num_mu_bins=6, nxs=128, xmax=10,

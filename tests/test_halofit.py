@@ -1,6 +1,7 @@
 """Halofit (Takahashi 2012) property tests: engine-free nonlinear power."""
 
 import numpy as np
+import pytest
 
 from hmvec_tpu.models.cosmology import Cosmology
 from hmvec_tpu.models.halofit import halofit_power
@@ -55,6 +56,7 @@ def test_halomodel_with_halofit():
     assert np.all(ratio > 0.4) and np.all(ratio < 2.5)
 
 
+@pytest.mark.slow
 def test_halofit_vs_independent_quad_oracle():
     """jax halofit (static 1536-pt trapz grid + fixed-count bisection) vs
     the twin oracle (scipy adaptive quad + brentq): agreement proves the
@@ -69,7 +71,7 @@ def test_halofit_vs_independent_quad_oracle():
     # 8 points still span 4.5 decades; the oracle is adaptive scipy quad
     # per (z, k) at ~0.5 s/point on this 1-CPU host, so the point count
     # IS the test's wall time
-    ks = np.geomspace(1e-3, 30.0, 8)
+    ks = np.geomspace(1e-3, 30.0, 6)
     pj = np.asarray(halofit_power(c, zs, ks))
     pt = twin_halofit_power(tw, zs, ks)
     np.testing.assert_allclose(pj, pt, rtol=1e-6)

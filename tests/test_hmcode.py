@@ -179,7 +179,7 @@ def test_jit_and_grad(cosmo):
         # num_iter=20: enough for finite-grad structure, 3x less to compile
         pnl = hmcode_nonlinear(bg, zs, ks, plin_g, plin,
                                jnp.asarray(0.8484), A_bary=a_bary,
-                               num_iter=20)
+                               num_iter=12)
         return jnp.sum(jnp.log(pnl))
 
     f = jax.jit(total)

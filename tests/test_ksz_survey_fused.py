@@ -48,6 +48,7 @@ def test_survey_rebinning_without_recompile(survey_fn):
     assert float(t1) != float(t2)
 
 
+@pytest.mark.slow
 def test_survey_grad():
     fn = make_ksz_survey_fn(2, jit=False, **CFG)
     Cls = 1e-5 * np.ones(10000)
@@ -88,6 +89,7 @@ def test_reference_shaped_api_matches_per_bin_class_path():
     np.testing.assert_allclose(float(snrs_b[0]), float(s_b0), rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_sharded_survey_matches_single_device():
     """Bins sharded over the 8-device mesh == the single-device vmapped
     survey program (one psum closes the total SNR)."""

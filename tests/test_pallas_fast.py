@@ -88,3 +88,42 @@ def test_v3_ds_math_accuracy_vs_f64():
     with jax.enable_x64(False):
         u3 = np.asarray(_nfw_uk_ds_math(*args)).reshape(nz, nm, nk)
     assert np.abs(u3 - u64).max() < 2e-7
+
+
+def test_v3_ds_math_large_phases():
+    """Quadrant Cody-Waite reduction at extreme phases: x up to ~4e4
+    (k_max * s2_max for adversarial grids) keeps n * PI2_HI exact
+    (n <= 2^15 times an 8-bit hi word)."""
+    import jax
+    import jax.numpy as jnp
+    from hmvec_tpu.ops.pallas_kernels import _nfw_uk_ds_math
+    from hmvec_tpu.ops.sine_transform import _split_hi_lo
+    from hmvec_tpu.models.profiles import nfw_uk_analytic
+
+    zs = np.array([0.0])
+    cs = np.array([[25.0, 30.0]])
+    rss = np.array([[8.0, 12.0]])       # scales up to 12, s2 up to 372
+    ks = np.geomspace(10.0, 100.0, 64)  # phases up to ~3.7e4
+    u64 = np.asarray(nfw_uk_analytic(jnp.asarray(ks), jnp.asarray(zs),
+                                     jnp.asarray(cs), jnp.asarray(rss)))
+    scales = jnp.asarray((rss * (1.0 + zs[:, None])).reshape(-1))
+    cs64 = jnp.asarray(cs.reshape(-1))
+    ln1pc = jnp.log1p(cs64)
+    mc = ln1pc - cs64 / (1.0 + cs64)
+
+    def pb(v):
+        h, l = _split_hi_lo(v)
+        return h[:, None], l[:, None]
+
+    def pk(v):
+        h, l = _split_hi_lo(v)
+        return h[None, :], l[None, :]
+
+    ksj = jnp.asarray(ks)
+    args = (*pb(scales), *pb((1.0 + cs64) * scales), *pb(ln1pc),
+            *pb(1.0 / mc), *pb(jnp.log(scales)),
+            *pb(cs64 / (1.0 + cs64)), *pk(ksj), *pk(jnp.log(ksj)))
+    with jax.enable_x64(False):
+        u3 = np.asarray(_nfw_uk_ds_math(*args)).reshape(1, 2, ks.size)
+    # u ~ 1e-4-1e-3 at these phases; absolute agreement is what matters
+    assert np.abs(u3 - u64).max() < 2e-7

@@ -1,6 +1,7 @@
 """Fused pipeline + sharding tests (8 virtual CPU devices, see conftest)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +33,7 @@ def test_pipeline_grad():
     assert np.isfinite(float(g)) and float(g) != 0.0
 
 
+@pytest.mark.slow
 def test_fisher_jacobian():
     # smaller grid than the module default: the jacobian program compiles
     # the whole pipeline twice (fwd tangents), which dominated suite time

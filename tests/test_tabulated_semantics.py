@@ -157,3 +157,23 @@ def test_medium_tier_normalizes_to_table():
                                 accuracy="medium"))
     p_hi = np.asarray(eng.plin(bg, zq, np.array([2e-4]), accuracy="high"))
     np.testing.assert_allclose(p_med, p_hi, rtol=2e-3)
+
+
+def test_two_point_z_table():
+    """nz=2 tables: np.gradient falls back to one-sided slopes; the
+    interpolation must stay finite and reduce to linear-in-z of ln P."""
+    tc = TwinCosmology()
+    zs_t = np.array([0.0, 2.0])
+    ks_t = np.geomspace(1e-4, 50.0, 200)
+    eng = TabulatedEngine(zs_t, ks_t, tc.plin(zs_t, ks_t))
+    bg = bgmod.background(merge_params())
+    p = np.asarray(eng.plin(bg, np.array([0.5, 1.7]), ks_t[5:150:7],
+                            accuracy="high"))
+    assert np.all(np.isfinite(p)) and np.all(p > 0)
+    truth = tc.plin(np.array([0.5, 1.7]), ks_t[5:150:7])
+    # linear-in-z of ln P over dz=2 leaves the growth curvature:
+    # measured ~9% (k-independent) -- the same reduced-order caveat the
+    # reference documents for < 4 z points (utils.py docstring)
+    dev = np.abs(p / truth - 1.0)
+    assert np.max(dev) < 0.15
+    assert np.ptp(dev, axis=1).max() < 1e-10   # pure z-interp error
