@@ -55,83 +55,107 @@ def _mass_integral(integrand, ms):
     for this (z,m,k)x(m) contraction shape.
     """
     w = _mass_weights(ms)
+    if integrand.dtype == jnp.float32:
+        # fast-assembly mode: native-f32 multiply + tree-wise sum (the
+        # trapz terms are same-signed, so the reduction error is
+        # ~log2(nm) ulps ~ 5e-7 of the result -- inside the fast tier's
+        # 1e-5 gate), returned as f64 on the small (z,k) grid
+        return ((integrand * w[None, :, None].astype(jnp.float32))
+                .sum(axis=-2).astype(jnp.float64))
     return (integrand * w[None, :, None]).sum(axis=-2)
 
 
-def _hod_square_term(t: HODTracer):
+def _cast(x, dt):
+    return x if dt is None else x.astype(dt)
+
+
+def _hod_square_term(t: HODTracer, dt=None):
     """(2 uc us <NcNs> + <Ns(Ns-1)> us^2)/ngal^2 (hmvec.py:477-479)."""
-    uc = 1.0 if t.uc is None else t.uc
-    return ((2.0 * uc * t.us * t.NcNs[..., None]
-             + t.NsNsm1[..., None] * t.us**2)
-            / t.ngal[..., None, None] ** 2)
+    uc = 1.0 if t.uc is None else _cast(t.uc, dt)
+    us = _cast(t.us, dt)
+    return ((2.0 * uc * us * _cast(t.NcNs, dt)[..., None]
+             + _cast(t.NsNsm1, dt)[..., None] * us**2)
+            / _cast(t.ngal, dt)[..., None, None] ** 2)
 
 
-def _hod_term(t: HODTracer, lowklim=False):
+def _hod_term(t: HODTracer, lowklim=False, dt=None):
     """(uc <Nc> + us <Ns>)/ngal (hmvec.py:481-486)."""
-    uc = 1.0 if t.uc is None else t.uc
-    us = t.us
+    uc = 1.0 if t.uc is None else _cast(t.uc, dt)
+    us = _cast(t.us, dt)
     if lowklim:
         uc, us = 1.0, 1.0
-    return (uc * t.Nc[..., None] + us * t.Ns[..., None]) / t.ngal[..., None, None]
+    return ((uc * _cast(t.Nc, dt)[..., None]
+             + us * _cast(t.Ns, dt)[..., None])
+            / _cast(t.ngal, dt)[..., None, None])
 
 
-def _matter_term(t: MatterTracer, ms, rho_matter0, lowklim=False):
-    """m u(k)/rho_m0 (hmvec.py:488-492)."""
-    uk = 1.0 if lowklim else t.uk
-    return jnp.asarray(ms)[None, :, None] * uk / rho_matter0
-
-
-def _pressure_term(t: PressureTracer, lowklim=False):
+def _matter_term(t: MatterTracer, ms, rho_matter0, lowklim=False, dt=None):
+    """m u(k)/rho_m0 (hmvec.py:488-492; the m/rho factor is formed in f64
+    and cast once, so fast-assembly keeps the f64 ratio accuracy)."""
+    fac = jnp.asarray(ms)[None, :, None] / rho_matter0
     if lowklim:
-        return jnp.broadcast_to(t.pk[:, :, :1], t.pk.shape)
-    return t.pk
+        return _cast(fac, dt)
+    return _cast(fac, dt) * _cast(t.uk, dt)
 
 
-def _term(tracer, ms, rho_matter0, lowklim=False):
+def _pressure_term(t: PressureTracer, lowklim=False, dt=None):
+    if lowklim:
+        return jnp.broadcast_to(_cast(t.pk, dt)[:, :, :1], t.pk.shape)
+    return _cast(t.pk, dt)
+
+
+def _term(tracer, ms, rho_matter0, lowklim=False, dt=None):
     if isinstance(tracer, HODTracer):
-        return _hod_term(tracer, lowklim)
+        return _hod_term(tracer, lowklim, dt)
     if isinstance(tracer, MatterTracer):
-        return _matter_term(tracer, ms, rho_matter0, lowklim)
+        return _matter_term(tracer, ms, rho_matter0, lowklim, dt)
     if isinstance(tracer, PressureTracer):
-        return _pressure_term(tracer, lowklim)
+        return _pressure_term(tracer, lowklim, dt)
     raise TypeError(type(tracer))
 
 
 def power_1halo(tracer1, tracer2, nzm, ms, ks, rho_matter0,
-                kstar_damping=0.01):
-    """P_1h(z,k) (reference: hmvec.py:504-526)."""
+                kstar_damping=0.01, fast_assembly=False):
+    """P_1h(z,k) (reference: hmvec.py:504-526).
+
+    fast_assembly: run the (z,m,k)-scale products and the m-reduction in
+    native f32 (the TPU fast tier; ~2e-7-class relative, inside the 1e-5
+    gate) -- the exact tier keeps the emulated-f64 assembly."""
+    dt = jnp.float32 if fast_assembly else None
     if isinstance(tracer1, HODTracer) and isinstance(tracer2, HODTracer):
-        square = _hod_square_term(tracer1)
+        square = _hod_square_term(tracer1, dt)
     elif isinstance(tracer1, PressureTracer) and isinstance(tracer2, PressureTracer):
-        square = _pressure_term(tracer1) ** 2
+        square = _pressure_term(tracer1, dt=dt) ** 2
     else:
-        square = _term(tracer1, ms, rho_matter0) * _term(tracer2, ms, rho_matter0)
-    integral = _mass_integral(nzm[..., None] * square, ms)
+        square = (_term(tracer1, ms, rho_matter0, dt=dt)
+                  * _term(tracer2, ms, rho_matter0, dt=dt))
+    integral = _mass_integral(_cast(nzm, dt)[..., None] * square, ms)
     damping = 1.0 - jnp.exp(-((jnp.asarray(ks) / kstar_damping) ** 2))
     return integral * damping[None, :]
 
 
-def _leg(tracer, nzm, bh, ms, rho_matter0):
+def _leg(tracer, nzm, bh, ms, rho_matter0, dt=None):
     """(integral, consistency, b) for one 2-halo leg (hmvec.py:531-551)."""
-    term = _term(tracer, ms, rho_matter0)
-    weighted = nzm[..., None] * bh[..., None]
+    term = _term(tracer, ms, rho_matter0, dt=dt)
+    weighted = _cast(nzm, dt)[..., None] * _cast(bh, dt)[..., None]
     integral = _mass_integral(weighted * term, ms)
     if isinstance(tracer, PressureTracer):
         # reference sets b = rterm01 = 0 for pressure legs (hmvec.py:545)
         consistency = jnp.zeros_like(integral)
         b = 0.0
     else:
-        term0 = _term(tracer, ms, rho_matter0, lowklim=True)
+        term0 = _term(tracer, ms, rho_matter0, lowklim=True, dt=dt)
         consistency = _mass_integral(weighted * term0, ms)
         b = (tracer.bg[:, None] if isinstance(tracer, HODTracer) else 1.0)
     return integral, consistency, b
 
 
 def power_2halo(tracer1, tracer2, nzm, bh, ms, pzk_lin, rho_matter0,
-                b1_in=None, b2_in=None):
+                b1_in=None, b2_in=None, fast_assembly=False):
     """P_2h(z,k) with the low-k consistency subtraction (hmvec.py:528-572)."""
-    i1, c1, b1 = _leg(tracer1, nzm, bh, ms, rho_matter0)
-    i2, c2, b2 = _leg(tracer2, nzm, bh, ms, rho_matter0)
+    dt = jnp.float32 if fast_assembly else None
+    i1, c1, b1 = _leg(tracer1, nzm, bh, ms, rho_matter0, dt)
+    i2, c2, b2 = _leg(tracer2, nzm, bh, ms, rho_matter0, dt)
     if b1_in is not None:
         b1 = jnp.asarray(b1_in).reshape(-1, 1)
     if b2_in is not None:
@@ -140,10 +164,12 @@ def power_2halo(tracer1, tracer2, nzm, bh, ms, pzk_lin, rho_matter0,
 
 
 def power_total(tracer1, tracer2, nzm, bh, ms, ks, pzk_lin, rho_matter0,
-                kstar_damping=0.01, b1_in=None, b2_in=None):
-    return (power_1halo(tracer1, tracer2, nzm, ms, ks, rho_matter0, kstar_damping)
-            + power_2halo(tracer1, tracer2, nzm, bh, ms, pzk_lin, rho_matter0,
-                          b1_in, b2_in))
+                kstar_damping=0.01, b1_in=None, b2_in=None,
+                fast_assembly=False):
+    return (power_1halo(tracer1, tracer2, nzm, ms, ks, rho_matter0,
+                        kstar_damping, fast_assembly)
+            + power_2halo(tracer1, tracer2, nzm, bh, ms, pzk_lin,
+                          rho_matter0, b1_in, b2_in, fast_assembly))
 
 
 def total_matter_power_spectrum(omch2, ombh2, Pnn, Pne, Pee):

@@ -128,7 +128,8 @@ def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
             fast_nfw=fast, growth_mode=_growth_mode_from(overrides, growth))
         tr = pwr.MatterTracer(uk=uk)
         return pwr.power_total(tr, tr, nzm, bh, ms, ks, pzk, rho_m0,
-                               p["kstar_damping"])
+                               p["kstar_damping"],
+                               fast_assembly=fast is True)
 
     return jax.jit(pmm) if jit else pmm
 
@@ -156,7 +157,8 @@ def make_lensing_cls_fn(zs, ks, ms, ells, zsource: float = 1100.0,
             fast_nfw=fast, growth_mode=_growth_mode_from(overrides, growth))
         tr = pwr.MatterTracer(uk=uk)
         pmm = pwr.power_total(tr, tr, nzm, bh, ms, ks, pzk, rho_m0,
-                              p["kstar_damping"])
+                              p["kstar_damping"],
+                              fast_assembly=fast is True)
         ckk = limb.C_kk(bg, jnp.asarray(ells), jnp.asarray(zs),
                         jnp.asarray(ks), pmm, lzs1=zsource, lzs2=zsource)
         return ckk, pmm
@@ -221,10 +223,11 @@ def make_electron_fn(zs, ks, ms, family: str = "AGN", nxs: int = None,
                                       xmax_l, nxs_l)
         te = pwr.MatterTracer(uk=uk_e)
         tn = pwr.MatterTracer(uk=uk_nfw)
+        fa = fast is True
         pee = pwr.power_total(te, te, nzm, bh, ms, ks, pzk, rho_m0,
-                              p["kstar_damping"])
+                              p["kstar_damping"], fast_assembly=fa)
         pme = pwr.power_total(tn, te, nzm, bh, ms, ks, pzk, rho_m0,
-                              p["kstar_damping"])
+                              p["kstar_damping"], fast_assembly=fa)
         return pee, pme
 
     return jax.jit(fn) if jit else fn
@@ -260,10 +263,11 @@ def make_hod_fn(zs, ks, ms, ngal, mass_function: str = "sheth-torman",
                            NcNs=grid.NcNs, ngal=grid.ngal, bg=grid.bg,
                            us=uk, uc=None)
         tn = pwr.MatterTracer(uk=uk)
+        fa = fast is True
         pgg = pwr.power_total(tg, tg, nzm, bh, ms, ks, pzk, rho_m0,
-                              p["kstar_damping"])
+                              p["kstar_damping"], fast_assembly=fa)
         pgm = pwr.power_total(tg, tn, nzm, bh, ms, ks, pzk, rho_m0,
-                              p["kstar_damping"])
+                              p["kstar_damping"], fast_assembly=fa)
         return pgg, pgm
 
     return jax.jit(fn) if jit else fn

@@ -152,3 +152,32 @@ def test_sine_dft_gaussian_oracle():
     want = np.sqrt(np.pi / 2.0) * kts * np.exp(-(kts**2) / 2.0)
     sel = kts < 8.0
     np.testing.assert_allclose(got[sel], want[sel], atol=0.05)
+
+
+def test_fast_assembly_matches_f64():
+    """fast_assembly=True (the TPU fast tier: native-f32 (z,m,k) products
+    + tree-wise m-reduction) vs the f64 assembly: <= 1e-6 relative incl.
+    the low-k 2-halo consistency cancellation (measured 2.9e-7 max /
+    1.3e-9 at the lowest k)."""
+    import jax.numpy as jnp
+    from hmvec_tpu.pipeline import _stages
+    from hmvec_tpu.models import power as pwr
+    from hmvec_tpu.models import linear_power as lpm
+    from hmvec_tpu.params import merge_params
+
+    zs = np.linspace(0.1, 3.0, 4)
+    ks = np.geomspace(1e-4, 100, 120)
+    ms = np.geomspace(2e10, 1e17, 60)
+    p = merge_params()
+    bg, pzk, nzm, bh, rho_m0, uk = _stages(
+        p, zs, ks, ms, "sheth-torman", "vir", "medium", lpm.EHEngine())
+    t64 = pwr.MatterTracer(uk=uk)
+    t32 = pwr.MatterTracer(uk=uk.astype(jnp.float32))
+    p64 = np.asarray(pwr.power_total(t64, t64, nzm, bh, ms, ks, pzk,
+                                     rho_m0, p["kstar_damping"]))
+    p32 = np.asarray(pwr.power_total(t32, t32, nzm, bh, ms, ks, pzk,
+                                     rho_m0, p["kstar_damping"],
+                                     fast_assembly=True))
+    r = np.abs(p32 / p64 - 1.0)
+    assert r.max() < 1e-6, r.max()
+    assert r[:, 0].max() < 1e-7   # consistency cancellation intact
