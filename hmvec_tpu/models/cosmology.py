@@ -310,23 +310,43 @@ class Cosmology:
         return cmb_lensing_limber(self, lmax, nonlinear=nonlinear)
 
     def get_cmb_cls(self, lmax=3000, lens_potential_accuracy=4,
-                    nonlinear=True):
+                    nonlinear=True, approx=False):
         """Primary CMB power spectra (reference cosmology.py:67-81).
 
-        A Boltzmann hierarchy cannot run in this environment, so the Cls
-        come from a host-supplied table (ctor ``cls_table``; generate it
-        offline with tools/gen_camb_table.py), the same mechanism by which
-        ``pk_table`` stands in for CAMB's matter power.  Returns the
-        CAMB-shaped dict {'total', 'unlensed_scalar', 'lens_potential'}
-        (muK^2, raw_cl, rows 0..lmax), truncated or NaN-padded to lmax+1.
+        Precision tier: a host-supplied table (ctor ``cls_table``;
+        generate it offline with tools/gen_camb_table.py), the same
+        mechanism by which ``pk_table`` stands in for CAMB's matter
+        power.  Returns the CAMB-shaped dict {'total',
+        'unlensed_scalar', 'lens_potential'} (muK^2, raw_cl, rows
+        0..lmax), truncated or NaN-padded to lmax+1.
+
+        Approximation tier (``approx=True``, used only when no table was
+        supplied): the built-in reduced Boltzmann solver
+        (models/boltzlite.py) computes unlensed scalar TT/EE/TE at
+        few-percent accuracy through the damping tail, and the lensing
+        potential comes from the Limber path (``nonlinear`` selects the
+        nonlinear matter power there).  The returned dict then carries
+        ``'unlensed_scalar'`` and ``'lens_potential'`` but NOT
+        ``'total'`` -- no lensed spectra are fabricated -- and an
+        ``'approx': True`` marker.
         """
-        del lens_potential_accuracy, nonlinear  # table is precomputed
+        del lens_potential_accuracy  # table is precomputed / no lensing BB
         if self.cls_table is None:
-            raise NotImplementedError(
-                "Primary CMB Cls need a Boltzmann hierarchy; none exists "
-                "in this environment. Pass cls_table=... to the ctor "
-                "(generate offline with tools/gen_camb_table.py), or use "
-                "cmb_lensing_limber for lensing convergence.")
+            if not approx:
+                raise NotImplementedError(
+                    "Primary CMB Cls need a Boltzmann product; pass "
+                    "cls_table=... to the ctor (generate offline with "
+                    "tools/gen_camb_table.py) for CAMB precision, or call "
+                    "with approx=True for the built-in few-percent "
+                    "boltzlite solver (models/boltzlite.py).")
+            from . import boltzlite
+            unl = boltzlite.compute_cls(dict(self.p), lmax=lmax)
+            _, clkk = self.cmb_lensing_limber(lmax, nonlinear=nonlinear)
+            dd = np.zeros((lmax + 1, 3))
+            dd[2:, 0] = np.asarray(clkk) * 4.0 / (2.0 * np.pi)
+            return {"unlensed_scalar": unl, "lens_potential": dd,
+                    "approx": True}
+        del nonlinear
 
         def cut(arr):
             arr = np.asarray(arr, dtype=np.float64)

@@ -1,0 +1,166 @@
+"""boltzlite: engine-free recombination + reduced Boltzmann CMB Cls.
+
+The reference gets all of this from CAMB (cosmology.py:67-81); these
+tests validate the native solver three ways:
+  1. recombination vs an independent scipy `solve_ivp` twin whose
+     dimensional prefactors are DERIVED from scipy.constants
+     (twin/recomb.py) -- catches unit/transcription slips;
+  2. internal consistency (the unevolved energy constraint, conformal
+     age vs the background module, superhorizon curvature conservation);
+  3. external anchors: visibility peak, tau_reio, and the published
+     Planck-2018-class TT/EE/TE acoustic structure at ~10% envelopes
+     (the module's stated accuracy tier is "few percent", unlensed).
+"""
+
+import numpy as np
+import pytest
+
+from hmvec_tpu.params import merge_params
+from hmvec_tpu.models import background as bgmod
+from hmvec_tpu.models import recomb
+
+
+@pytest.fixture(scope="module")
+def bg():
+    return bgmod.background(merge_params())
+
+
+@pytest.fixture(scope="module")
+def rec(bg):
+    return recomb.recombination(bg)
+
+
+def test_recomb_twin_parity(bg, rec):
+    from hmvec_tpu.twin.recomb import twin_recombination
+    tw = twin_recombination(float(bg.H0), float(bg.ombh2),
+                            float(bg.omm0) + float(bg.omnu0),
+                            float(bg.omr0), float(bg.omk0), float(bg.oml0),
+                            float(bg.Yp), float(bg.T_cmb_k))
+    zs = np.exp(-np.asarray(rec.xs)) - 1.0
+    sel = (zs > 0) & (zs < 1700)
+    xe_t = tw["xe_of_z"](zs[sel])
+    rel = np.abs(np.asarray(rec.xe)[sel] - xe_t) / np.abs(xe_t)
+    # fixed-step RK4 (16384 pts) vs adaptive LSODA in z: <= 5e-4
+    assert rel.max() < 5e-4
+    # optical depth at z=30 (reionization plateau): twin vs table
+    tau30 = np.interp(np.log(1 / 31.0), np.asarray(rec.xs),
+                      np.asarray(rec.tau))
+    assert abs(tau30 - tw["tau_reio"]) < 1e-4
+
+
+def test_recomb_external_anchors(rec):
+    """Textbook numbers: visibility peak z*~1090, tau_reio ~0.05 for
+    zre=7.7, freeze-out xe a few e-4."""
+    zs = np.exp(-np.asarray(rec.xs)) - 1.0
+    gv = np.asarray(rec.gvis)
+    hi = zs > 500
+    z_peak = zs[hi][np.argmax(gv[hi])]
+    assert 1070 < z_peak < 1100
+    tau30 = np.interp(np.log(1 / 31.0), np.asarray(rec.xs),
+                      np.asarray(rec.tau))
+    assert 0.04 < tau30 < 0.07
+    i50 = np.argmin(np.abs(zs - 50.0))
+    assert 1.5e-4 < float(np.asarray(rec.xe)[i50]) < 5e-4
+
+
+def test_recomb_eta0_matches_background(bg, rec):
+    """Conformal age from the recomb table's trapezoid integral vs the
+    background module's independent quadrature."""
+    from hmvec_tpu.models.distances_ext import conformal_age
+    eta0_bg = float(conformal_age(bg))
+    assert abs(float(rec.eta0) - eta0_bg) / eta0_bg < 5e-3
+
+
+def test_superhorizon_and_constraint(bg, rec):
+    """Small solve: superhorizon Phi stays O(1) and finite; the unevolved
+    energy constraint holds to ~1e-3 relative for a subhorizon mode."""
+    import jax.numpy as jnp
+    from hmvec_tpu.models import boltzlite as bl
+    ctx = bl.make_ctx(bg, rec)
+    ks = jnp.asarray([1e-4, 0.02])
+    sol = bl.solve_perturbations(ctx, ks, n_a=300, n_b_outer=210,
+                                 n_b_inner=4, n_c_outer=120, n_c_inner=11)
+    st = np.asarray(sol.states)
+    assert np.isfinite(st).all()
+    phi_sh = st[0, :, bl._I_PHI]
+    # radiation-era Phi=1 -> MD plateau ~0.86 -> Lambda decay to ~0.79
+    # of the plateau (~0.68 absolute); never grows
+    assert phi_sh.max() < 1.01 and phi_sh.min() > 0.6
+    # zeta calibration: (5/3) * Phi_MD / Phi_init with the standard
+    # RD->MD drop Phi_MD = 9/10 Phi_RD (neutrino-corrected ~0.86)
+    assert 1.35 < float(sol.zeta_unit) < 1.48
+    # energy constraint residual for k=0.02 at a few stored times
+    xs = np.asarray(sol.xs)
+    for ix in (50, 150, 250):
+        s = sol.states[1, ix]
+        psi, dphi, _, _ = bl._common_metric(ctx, float(xs[ix]), 0.02, s)
+        r = bl.energy_constraint_residual(ctx, float(xs[ix]), 0.02, s, dphi)
+        assert abs(float(r)) < 2e-3 * max(abs(float(s[bl._I_PHI])), 0.1)
+
+
+@pytest.mark.slow
+def test_cls_planck_anchors(bg):
+    """Full chain to lmax=860: the acoustic structure must land on the
+    published Planck-2018-class TT/EE/TE numbers within ~10-12%
+    (few-percent solver + no lensing smoothing + anchor round-off)."""
+    from hmvec_tpu.models import boltzlite as bl
+    cls = bl.compute_cls(lmax=860)
+    ells = np.arange(861, dtype=float)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dl = cls[:, 0] * ells * (ells + 1) / (2 * np.pi)
+        dle = cls[:, 1] * ells * (ells + 1) / (2 * np.pi)
+        dlte = cls[:, 3] * ells * (ells + 1) / (2 * np.pi)
+    assert np.isfinite(cls[2:]).all()
+    # first peak: position and height
+    ipk = 150 + np.argmax(dl[150:300])
+    assert 205 < ipk < 237
+    assert abs(dl[ipk] - 5750.0) / 5750.0 < 0.10
+    # SW plateau
+    assert 800 < dl[10] < 1400
+    # first trough and second peak
+    itr = 330 + np.argmin(dl[330:480])
+    assert 400 < itr < 435
+    assert abs(dl[itr] - 1680.0) / 1680.0 < 0.12
+    ipk2 = 480 + np.argmax(dl[480:620])
+    assert 520 < ipk2 < 555
+    assert abs(dl[ipk2] - 2550.0) / 2550.0 < 0.12
+    # third peak
+    ipk3 = 700 + np.argmax(dl[700:861])
+    assert 790 < ipk3 < 830
+    assert abs(dl[ipk3] - 2500.0) / 2500.0 < 0.12
+    # polarization: EE amplitude at l=400 ~ 22 muK^2; TE sign structure
+    assert abs(dle[400] - 22.0) / 22.0 < 0.3
+    assert dlte[150] < -20.0 and dlte[300] > 60.0
+    # BB identically zero (no tensors, no lensing)
+    assert np.all(cls[:, 2] == 0.0)
+
+
+def test_get_cmb_cls_approx_wiring(monkeypatch):
+    """approx=True returns the labeled dict without a table; the Cls come
+    from boltzlite (stubbed here -- physics is covered by the slow test)
+    and the lens potential from the Limber path."""
+    from hmvec_tpu.models import boltzlite as bl
+    from hmvec_tpu.models.cosmology import Cosmology
+
+    def fake_cls(params, lmax):
+        out = np.zeros((lmax + 1, 4))
+        out[2:, 0] = 1.0
+        return out
+
+    monkeypatch.setattr(bl, "compute_cls", fake_cls)
+    cos = Cosmology()
+    out = cos.get_cmb_cls(lmax=80, approx=True)
+    assert out["approx"] is True
+    assert "total" not in out          # no fabricated lensed spectra
+    assert out["unlensed_scalar"].shape == (81, 4)
+    assert out["lens_potential"].shape == (81, 3)
+    assert np.all(out["lens_potential"][2:, 0] > 0)
+    # conversion round-trip: kk_exact over this lens potential must give
+    # back the Limber C_kk
+    _, clkk = cos.cmb_lensing_limber(80, nonlinear=True)
+    cos2 = Cosmology(cls_table={"cls_lens_potential": out["lens_potential"]})
+    _, clkk_back = cos2.cmb_lensing_kk_exact(lmax=80)
+    np.testing.assert_allclose(clkk_back[2:], np.asarray(clkk), rtol=1e-12)
+    # without approx: still raises, message mentions both tiers
+    with pytest.raises(NotImplementedError, match="boltzlite"):
+        cos.get_cmb_cls(lmax=10)
