@@ -323,12 +323,15 @@ class Cosmology:
         Approximation tier (``approx=True``, used only when no table was
         supplied): the built-in reduced Boltzmann solver
         (models/boltzlite.py) computes unlensed scalar TT/EE/TE at
-        few-percent accuracy through the damping tail, and the lensing
+        few-percent accuracy through the damping tail; the lensing
         potential comes from the Limber path (``nonlinear`` selects the
-        nonlinear matter power there).  The returned dict then carries
-        ``'unlensed_scalar'`` and ``'lens_potential'`` but NOT
-        ``'total'`` -- no lensed spectra are fabricated -- and an
-        ``'approx': True`` marker.
+        nonlinear matter power there); and ``'total'`` is the
+        first-order flat-sky lensing convolution of the two
+        (models/lensed_cls.py) -- peak smoothing and the lensed-BB
+        plateau at percent-to-few-percent accuracy.  The unlensed solve
+        runs with +400 l of headroom so the lensing convolution support
+        is complete at lmax.  The dict carries an ``'approx': True``
+        marker.
         """
         del lens_potential_accuracy  # table is precomputed / no lensing BB
         if self.cls_table is None:
@@ -340,12 +343,21 @@ class Cosmology:
                     "with approx=True for the built-in few-percent "
                     "boltzlite solver (models/boltzlite.py).")
             from . import boltzlite
-            unl = boltzlite.compute_cls(dict(self.p), lmax=lmax)
-            _, clkk = self.cmb_lensing_limber(lmax, nonlinear=nonlinear)
+            from .lensed_cls import lens_cls_flat_sky
+            lpad = lmax + 400
+            unl = boltzlite.compute_cls(dict(self.p), lmax=lpad)
+            _, clkk = self.cmb_lensing_limber(lpad, nonlinear=nonlinear)
+            ells = np.arange(lpad + 1, dtype=np.float64)
+            clpp = np.zeros(lpad + 1)
+            clpp[2:] = (4.0 * np.asarray(clkk)
+                        / (ells[2:] ** 2 * (ells[2:] + 1.0) ** 2))
+            total = lens_cls_flat_sky(unl, clpp, lmax_out=lmax)
             dd = np.zeros((lmax + 1, 3))
-            dd[2:, 0] = np.asarray(clkk) * 4.0 / (2.0 * np.pi)
-            return {"unlensed_scalar": unl, "lens_potential": dd,
-                    "approx": True}
+            dd[2:] = 0.0
+            dd[2:, 0] = (clpp[2:lmax + 1] * (ells[2:lmax + 1]
+                         * (ells[2:lmax + 1] + 1.0)) ** 2 / (2.0 * np.pi))
+            return {"total": total, "unlensed_scalar": unl[:lmax + 1],
+                    "lens_potential": dd, "approx": True}
         del nonlinear
 
         def cut(arr):

@@ -98,13 +98,19 @@ def test_superhorizon_and_constraint(bg, rec):
         assert abs(float(r)) < 2e-3 * max(abs(float(s[bl._I_PHI])), 0.1)
 
 
+@pytest.fixture(scope="module")
+def unl860():
+    """One full-chain unlensed solve shared by the slow anchor tests."""
+    from hmvec_tpu.models import boltzlite as bl
+    return bl.compute_cls(lmax=860)
+
+
 @pytest.mark.slow
-def test_cls_planck_anchors(bg):
+def test_cls_planck_anchors(unl860):
     """Full chain to lmax=860: the acoustic structure must land on the
     published Planck-2018-class TT/EE/TE numbers within ~10-12%
     (few-percent solver + no lensing smoothing + anchor round-off)."""
-    from hmvec_tpu.models import boltzlite as bl
-    cls = bl.compute_cls(lmax=860)
+    cls = unl860
     ells = np.arange(861, dtype=float)
     with np.errstate(invalid="ignore", divide="ignore"):
         dl = cls[:, 0] * ells * (ells + 1) / (2 * np.pi)
@@ -135,6 +141,58 @@ def test_cls_planck_anchors(bg):
     assert np.all(cls[:, 2] == 0.0)
 
 
+def test_lens_cls_zero_potential_is_identity():
+    """With C_phiphi = 0 the flat-sky lensing map must be exact identity
+    (R = 0 and every convolution term vanishes)."""
+    from hmvec_tpu.models.lensed_cls import lens_cls_flat_sky
+    rng = np.random.default_rng(0)
+    lmax = 300
+    cl = np.zeros((lmax + 1, 4))
+    ells = np.arange(2, lmax + 1, dtype=float)
+    cl[2:, 0] = 5000.0 / ells**2
+    cl[2:, 1] = 50.0 / ells**2
+    cl[2:, 3] = (rng.standard_normal(lmax - 1) * 10.0) / ells**2
+    out = lens_cls_flat_sky(cl, np.zeros(lmax + 1))
+    np.testing.assert_allclose(out[:, [0, 1, 3]], cl[:, [0, 1, 3]],
+                               rtol=0, atol=1e-12)
+    assert np.all(out[:, 2] == 0.0)
+
+
+@pytest.mark.slow
+def test_lensed_cls_anchors(bg, unl860):
+    """First-order flat-sky lensing of the solved spectrum: peak
+    smoothing direction/magnitude, trough filling, lensed-BB plateau,
+    and near-conservation of total TT power."""
+    from hmvec_tpu.models.cosmology import Cosmology
+    from hmvec_tpu.models.lensed_cls import lens_cls_flat_sky
+    cos = Cosmology()
+    _, clkk = cos.cmb_lensing_limber(860, nonlinear=True)
+    ells = np.arange(861, dtype=float)
+    clpp = np.zeros(861)
+    clpp[2:] = 4.0 * np.asarray(clkk) / (ells[2:] ** 2 * (ells[2:] + 1) ** 2)
+    # external anchor: Planck-class lensing power, 1e7 [L(L+1)]^2 C/2pi
+    # peaks at ~1.3-1.5 around L ~ 40-80
+    amp60 = 1e7 * (60 * 61) ** 2 * clpp[60] / (2 * np.pi)
+    assert 1.0 < amp60 < 1.8
+    lensed = lens_cls_flat_sky(unl860, clpp, lmax_out=560)
+    tt_u = unl860[:561, 0]
+    tt_l = lensed[:, 0]
+    # peaks smoothed down, troughs filled up (percent-level at these l)
+    assert 0.985 < tt_l[220] / tt_u[220] < 0.9995
+    assert 0.98 < tt_l[537] / tt_u[537] < 0.999
+    assert 1.003 < tt_l[416] / tt_u[416] < 1.03
+    assert tt_l[400:560].min() > 0
+    # EE smoothed at its l=400 peak region
+    assert 0.97 < lensed[400, 1] / unl860[400, 1] < 0.9999
+    # lensed BB plateau ~2e-6 muK^2 (input-truncation at 860 costs some
+    # of the l'>860 EE feed, so allow a generous band)
+    assert 5e-7 < lensed[300, 2] < 4e-6
+    # lensing conserves total TT power to well under 1% over this range
+    p_u = np.sum(ells[2:561] * tt_u[2:])
+    p_l = np.sum(ells[2:561] * tt_l[2:])
+    assert abs(p_l / p_u - 1.0) < 0.01
+
+
 def test_get_cmb_cls_approx_wiring(monkeypatch):
     """approx=True returns the labeled dict without a table; the Cls come
     from boltzlite (stubbed here -- physics is covered by the slow test)
@@ -151,10 +209,14 @@ def test_get_cmb_cls_approx_wiring(monkeypatch):
     cos = Cosmology()
     out = cos.get_cmb_cls(lmax=80, approx=True)
     assert out["approx"] is True
-    assert "total" not in out          # no fabricated lensed spectra
     assert out["unlensed_scalar"].shape == (81, 4)
     assert out["lens_potential"].shape == (81, 3)
     assert np.all(out["lens_potential"][2:, 0] > 0)
+    # 'total' is the flat-sky lensing convolution of the stub spectrum:
+    # right shape, finite, and nonnegative lensed BB from EE=0 stub
+    assert out["total"].shape == (81, 4)
+    assert np.isfinite(out["total"][2:]).all()
+    assert np.all(out["total"][2:, 2] == 0.0)   # EE=0 -> lensed BB=0
     # conversion round-trip: kk_exact over this lens potential must give
     # back the Limber C_kk
     _, clkk = cos.cmb_lensing_limber(80, nonlinear=True)
