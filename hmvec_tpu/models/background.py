@@ -59,6 +59,9 @@ class BackgroundParams(NamedTuple):
     as8: jnp.ndarray
     Yp: jnp.ndarray
     T_cmb_k: jnp.ndarray    # CMB temperature in K (for the transfer function)
+    nnu_m: jnp.ndarray      # number of DEGENERATE massive nu species (EH99);
+    #                         params['num_massive_neutrinos'], same key the
+    #                         reference feeds CAMB (cosmology.py:170-171)
 
 
 def background(params: dict, include_radiation: bool = True) -> BackgroundParams:
@@ -96,6 +99,7 @@ def background(params: dict, include_radiation: bool = True) -> BackgroundParams
         as8=arr(params.get("as8", 1.0)),
         Yp=arr(params.get("Yp", 0.24)),
         T_cmb_k=arr(t_cmb_k),
+        nnu_m=arr(params.get("num_massive_neutrinos", 3)),
     )
 
 

@@ -1,14 +1,24 @@
-"""Halofit nonlinear matter power (Takahashi et al 2012, arXiv:1208.2701).
+"""Halofit nonlinear matter power: Takahashi-2012 and Smith-2003 versions.
 
-The reference obtains nonlinear P(k,z) from CAMB's halofit ('mead' default,
-hmvec/cosmology.py:174, used for nPzk at hmvec.py:102).  No Boltzmann code
-exists in this environment, so this module implements the Takahashi-2012
-revision natively in jnp: engine-free, jit- and grad-compatible, O(nz)
+The reference obtains nonlinear P(k,z) from CAMB's halofit with a
+``halofit_version`` string ('mead' default, hmvec/cosmology.py:174, used
+for nPzk at hmvec.py:102; bin/test_halofit.py:5-23 sweeps versions).  No
+Boltzmann code exists in this environment, so this module implements the
+fits natively in jnp: engine-free, jit- and grad-compatible, O(nz)
 fixed-count bisection for the nonlinear scale plus closed-form spectral
 moments (sigma^2, n_eff, curvature) as weighted reductions on a static
 ln k grid.
 
-Note: 'takahashi' rather than CAMB's 'mead' (HMcode); documented deviation.
+Versions here: 'takahashi' (arXiv:1208.2701, Eqs A4-A13) and 'original'
+(Smith et al 2003, MNRAS 341, 1311, App C with the CAMB-style
+open/Lambda f_i interpolation).  'mead' lives in models/hmcode.py.
+Both fits share the quasi-linear + halo-term structure; only the fitted
+coefficient polynomials in (n_eff, C) and the f_i(Omega) exponents
+differ.  Coefficients transcribed from the published papers; the
+Takahashi set is pinned against an independent scipy-quad twin oracle
+and golden values (tests/test_halofit.py), the Smith set against the
+same twin machinery plus structural anchors (Takahashi>original at
+k ~ 1-10 at z = 0, the published direction of the revision).
 """
 
 from __future__ import annotations

@@ -37,9 +37,11 @@ sici/brentq/quad, its own window functions and ST normalization), pinned
 at <=1e-8 (LCDM) / <=1e-6 (w0/wa) in tests/test_hmcode.py, plus external
 quantitative anchors: the Mead-2015 Table-2 eta0 value recovered by the
 2016 tied relation, and the A=2.32 feedback suppression tracked against
-the reference's digitized OWLS/Horizon-AGN curves.  Massive-neutrino and
-Dolag dark-energy corrections of the 2016 version are omitted (this
-package's linear power is EH98, mnu enters the background only); w0/wa
+the reference's digitized OWLS/Horizon-AGN curves.  Massive neutrinos
+enter through the linear power (EH98 x the EH99 free-streaming ratio,
+transfer.eh99_neutrino_ratio) and the background; HMcode-2016's own
+explicit f_nu terms in the fitted parameters (Mead 2016 sec. 4) and the
+Dolag dark-energy correction are omitted.  w0/wa
 growth uses the integrated growing mode (background.growth_table).
 Verify against CAMB 'mead' before use where sub-percent absolute
 accuracy vs CAMB specifically matters.  Everything is jit- and

@@ -26,14 +26,28 @@ broadcast integrand.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..utils.weights import simpson_weights
 from ..ops.special import Wkr
 from . import background as bgmod
-from .transfer import transfer_eh98
+from .transfer import transfer_eh98, eh99_neutrino_ratio
 
 CSPEED_KMS = 299792.458
+
+
+def _mnu_maybe_active(omnu0) -> bool:
+    """Trace-time decision: does this build need the EH99 neutrino ratio?
+
+    A traced omnu0 (any jitted path taking bg as an argument) may carry
+    mnu > 0 at runtime, so the ratio is compiled in (it gates itself to
+    exactly 1.0 when f_nu <= 1e-7, keeping the mnu = 0 output bit-exact);
+    a concrete zero skips it entirely.
+    """
+    if isinstance(omnu0, jax.core.Tracer):
+        return True
+    return float(np.asarray(omnu0)) > 0.0
 
 
 def plin_approx(bg, zs, ks, kind: str = "eisenhu_osc",
@@ -45,6 +59,11 @@ def plin_approx(bg, zs, ks, kind: str = "eisenhu_osc",
     growth_mode: 'closed' (Heath/2F1, LCDM-exact) or 'ode' (general w0/wa;
     see background.growth_table).  Decide host-side via
     background.growth_mode_for(params).
+
+    Massive neutrinos: when mnu > 0 (or traced), the EH99 free-streaming
+    suppression ratio multiplies the EH98 spectrum (transfer.
+    eh99_neutrino_ratio) -- the engine-free analogue of the reference
+    passing mnu to CAMB (cosmology.py:167); exact pass-through at mnu = 0.
     """
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
@@ -57,7 +76,10 @@ def plin_approx(bg, zs, ks, kind: str = "eisenhu_osc",
     # host-folded constant first, then traced factors: keeps device
     # intermediates mid-range (TPU double-single f64, see background.py)
     pref = bg.As * (8.0 * np.pi**2 * CSPEED_KMS**4 / 25.0) / omh2**2
-    return pref * kfacts[None, :] * dz**2 * tk**2
+    p = pref * kfacts[None, :] * dz**2 * tk**2
+    if _mnu_maybe_active(bg.omnu0):
+        p = p * eh99_neutrino_ratio(bg, ks, dz[:, 0]) ** 2
+    return p
 
 
 class EHEngine:

@@ -102,3 +102,115 @@ def transfer_eh98(bg, ks, kind: str = "eisenhu_osc"):
           * jnp.exp(-((k / s["k_silk"]) ** 1.4))) * jnp.sinc(k * tilde_s / jnp.pi)
 
     return fb * tb + fc * tc
+
+
+# ---------------------------------------------------------------------------
+# Massive neutrinos: Eisenstein & Hu (1999) free-streaming suppression
+# ---------------------------------------------------------------------------
+#
+# The reference gets massive-neutrino physics by passing mnu to CAMB
+# (hmvec/cosmology.py:167); its own engine-free Tk tiers ignore mnu in the
+# transfer shape.  Here the engine-free linear power applies the EH99
+# (ApJ 511, 5; astro-ph/9710252) suppression as a RATIO on top of the EH98
+# oscillatory spectrum:
+#
+#   P_mnu(k, z) = [T99(f_nu, k, z) / T99(f_nu = 0, k, z)]^2 * P_EH98(k, z)
+#
+# where T99 = T_master(k) * D_cbnu(k, z) / D1(z) is the EH99 total-matter
+# transfer (master shape fit x scale-dependent growth).  The ratio -> 1 as
+# f_nu -> 0 (BAO wiggles are kept from EH98; EH99's master fit is
+# wiggle-free) and captures the ~ -8 f_nu small-scale suppression and its
+# redshift dependence.  Equation numbers from the published paper cited
+# inline.
+
+
+def _eh99_tsup(w_m, t27_sq, k, s_mpc, alpha_nu, beta_c):
+    """Suppressed master shape T_sup(k), EH99 eqs (16-20)."""
+    sqa = jnp.sqrt(alpha_nu)
+    gamma_eff = w_m * (sqa + (1.0 - sqa)
+                       / (1.0 + (0.43 * k * s_mpc) ** 4))      # eq (16)
+    q_eff = k * t27_sq / gamma_eff                             # eq (17)
+    L = jnp.log(jnp.e + 1.84 * beta_c * sqa * q_eff)           # eq (19)
+    C = 14.4 + 325.0 / (1.0 + 60.5 * q_eff**1.11)              # eq (20)
+    return L / (L + C * q_eff**2)                              # eq (18)
+
+
+def eh99_neutrino_ratio(bg, ks, d_anorm):
+    """(nz, nk) ratio R with P_mnu = R^2 * P_EH98.
+
+    ``d_anorm``: (nz,) growth normalized to D -> a in matter domination
+    (background.d_growth(..., norm='anorm'); EH99's D1 is (1+z_eq) times
+    this -- we use the package's exact growth instead of the paper's
+    Carroll-Press-Turner fit, consistently in numerator and denominator).
+
+    Grad-safe at f_nu = 0: singular f_nu powers are evaluated at a clamped
+    f_nu and the result is gated to exactly 1.0 below f_nu = 1e-7, so the
+    mnu = 0 limit is bit-exact P_EH98 (and d/dmnu at exactly 0 is 0 --
+    the EH99 fit has an f_nu^0.64 cusp there; differentiate at a nonzero
+    fiducial).
+    """
+    h = bg.H0 / 100.0
+    t27 = T_CMB_TRANSFER_K / 2.7
+    t27_sq = t27 * t27
+    w_b = bg.ombh2
+    w_nu = bg.omnu0 * h**2
+    w_m = bg.omch2 + w_b + w_nu
+    f_nu = w_nu / w_m
+    f_b = w_b / w_m
+    f_c = 1.0 - f_nu - f_b
+    f_cb = f_c + f_b
+    nnu_m = bg.nnu_m
+    f_nu_s = jnp.maximum(f_nu, 1e-8)
+
+    k = jnp.asarray(ks)                                        # Mpc^-1; EH99
+    # works in Mpc^-1 directly (theta^2/Gamma carries the h's)
+
+    z_eq = 2.50e4 * w_m / t27_sq**2                            # eq (1)
+    b1 = 0.313 * w_m**-0.419 * (1.0 + 0.607 * w_m**0.674)
+    b2 = 0.238 * w_m**0.223
+    z_d = (1291.0 * w_m**0.251 / (1.0 + 0.659 * w_m**0.828)
+           * (1.0 + b1 * w_b**b2))                             # eq (2)
+    y_d = (1.0 + z_eq) / (1.0 + z_d)                           # eq (3)
+    s_mpc = (44.5 * jnp.log(9.83 / w_m)
+             / jnp.sqrt(1.0 + 10.0 * w_b**0.75))               # eq (4)
+    q = k * t27_sq / w_m                                       # eq (5)
+
+    def p_of(f):
+        return 0.25 * (5.0 - jnp.sqrt(1.0 + 24.0 * f))         # eq (11)
+
+    def alpha_of(p_c, p_cb, fr):
+        # eq (15); fr = f_c / f_cb
+        return (fr * (5.0 - 2.0 * (p_c + p_cb)) / (5.0 - 4.0 * p_cb)
+                * (1.0 + y_d) ** (p_cb - p_c)
+                * (1.0 + 0.5 * (p_c - p_cb)
+                   * (1.0 + 1.0 / ((3.0 - 4.0 * p_c) * (7.0 - 4.0 * p_cb)))
+                   / (1.0 + y_d)))
+
+    d1 = (1.0 + z_eq) * jnp.asarray(d_anorm)                   # EH99 D1, (nz,)
+
+    # ---- numerator: f_nu > 0 ----
+    p_c = p_of(f_c)
+    p_cb = p_of(f_cb)
+    alpha_nu = alpha_of(p_c, p_cb, f_c / f_cb)
+    beta_c = 1.0 / (1.0 - 0.949 * (f_nu + f_b))                # eq (21)
+    tsup = _eh99_tsup(w_m, t27_sq, k, s_mpc, alpha_nu, beta_c)
+    q_nu = 3.92 * q * jnp.sqrt(nnu_m) / f_nu_s                 # eq (23)
+    Bk = 1.0 + (1.24 * f_nu_s**0.64 * nnu_m ** (0.3 + 0.6 * f_nu)
+                / (q_nu**-1.6 + q_nu**0.8))                    # eq (22)
+    y_fs = (17.2 * f_nu * (1.0 + 0.488 * f_nu_s ** (-7.0 / 6.0))
+            * (nnu_m * q / f_nu_s) ** 2)                       # eq (14)
+    dfs = (d1[:, None] / (1.0 + y_fs[None, :])) ** 0.7
+    p_cb_s = jnp.maximum(p_cb, 1e-9)
+    d_cbnu = ((f_cb ** (0.7 / p_cb_s) + dfs) ** (p_cb / 0.7)
+              * d1[:, None] ** (1.0 - p_cb))                   # eq (13)
+
+    # ---- denominator: same w_m with f_nu = 0 (f_cb0 = 1, p_cb0 = 0,
+    # B0 = 1, D_cbnu0 = D1) ----
+    f_c0 = 1.0 - f_b    # omega_nu folded back into the CDM
+    p_c0 = p_of(f_c0)
+    alpha_nu0 = alpha_of(p_c0, 0.0, f_c0)
+    beta_c0 = 1.0 / (1.0 - 0.949 * f_b)
+    tsup0 = _eh99_tsup(w_m, t27_sq, k, s_mpc, alpha_nu0, beta_c0)
+
+    ratio = (tsup * Bk)[None, :] / tsup0[None, :] * (d_cbnu / d1[:, None])
+    return jnp.where(f_nu > 1e-7, ratio, 1.0)

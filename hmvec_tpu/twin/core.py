@@ -242,6 +242,73 @@ class TwinCosmology:
               * np.exp(-((k / k_silk) ** 1.4))) * np.sinc(k * tilde_s / np.pi)
         return fb * tb + fc * tc
 
+    def eh99_neutrino_ratio(self, ks, d_anorm):
+        """(nz, nk) ratio R with P_mnu = R^2 * P_EH98 -- independent mirror
+        of models/transfer.eh99_neutrino_ratio (EH99, astro-ph/9710252,
+        equation numbers inline)."""
+        h = self.h
+        t27_sq = (2.726 / 2.7) ** 2
+        w_b = self.ombh2
+        w_nu = self.omnu0 * h**2
+        w_m = self.omch2 + w_b + w_nu
+        f_nu = w_nu / w_m
+        if f_nu <= 1e-7:
+            return np.ones((np.atleast_1d(d_anorm).size, np.asarray(ks).size))
+        f_b = w_b / w_m
+        f_c = 1.0 - f_nu - f_b
+        f_cb = f_c + f_b
+        nnu_m = float(self.p.get("num_massive_neutrinos", 3))
+        k = np.asarray(ks, dtype=np.float64)
+
+        z_eq = 2.50e4 * w_m / t27_sq**2                        # eq (1)
+        b1 = 0.313 * w_m**-0.419 * (1.0 + 0.607 * w_m**0.674)
+        b2 = 0.238 * w_m**0.223
+        z_d = (1291.0 * w_m**0.251 / (1.0 + 0.659 * w_m**0.828)
+               * (1.0 + b1 * w_b**b2))                         # eq (2)
+        y_d = (1.0 + z_eq) / (1.0 + z_d)                       # eq (3)
+        s_mpc = (44.5 * np.log(9.83 / w_m)
+                 / np.sqrt(1.0 + 10.0 * w_b**0.75))            # eq (4)
+        q = k * t27_sq / w_m                                   # eq (5)
+
+        p_of = lambda f: 0.25 * (5.0 - np.sqrt(1.0 + 24.0 * f))  # eq (11)
+
+        def alpha_of(p_c, p_cb, fr):                           # eq (15)
+            return (fr * (5.0 - 2.0 * (p_c + p_cb)) / (5.0 - 4.0 * p_cb)
+                    * (1.0 + y_d) ** (p_cb - p_c)
+                    * (1.0 + 0.5 * (p_c - p_cb)
+                       * (1.0 + 1.0 / ((3.0 - 4.0 * p_c)
+                                       * (7.0 - 4.0 * p_cb)))
+                       / (1.0 + y_d)))
+
+        def tsup_of(alpha_nu, beta_c):                         # eqs (16-20)
+            sqa = np.sqrt(alpha_nu)
+            gamma_eff = w_m * (sqa + (1.0 - sqa)
+                               / (1.0 + (0.43 * k * s_mpc) ** 4))
+            q_eff = k * t27_sq / gamma_eff
+            L = np.log(np.e + 1.84 * beta_c * sqa * q_eff)
+            C = 14.4 + 325.0 / (1.0 + 60.5 * q_eff**1.11)
+            return L / (L + C * q_eff**2)
+
+        d1 = (1.0 + z_eq) * np.atleast_1d(np.asarray(d_anorm))
+
+        p_c = p_of(f_c)
+        p_cb = p_of(f_cb)
+        tsup = tsup_of(alpha_of(p_c, p_cb, f_c / f_cb),
+                       1.0 / (1.0 - 0.949 * (f_nu + f_b)))
+        q_nu = 3.92 * q * np.sqrt(nnu_m) / f_nu                # eq (23)
+        Bk = 1.0 + (1.24 * f_nu**0.64 * nnu_m ** (0.3 + 0.6 * f_nu)
+                    / (q_nu**-1.6 + q_nu**0.8))                # eq (22)
+        y_fs = (17.2 * f_nu * (1.0 + 0.488 * f_nu ** (-7.0 / 6.0))
+                * (nnu_m * q / f_nu) ** 2)                     # eq (14)
+        dfs = (d1[:, None] / (1.0 + y_fs[None, :])) ** 0.7
+        d_cbnu = ((f_cb ** (0.7 / p_cb) + dfs) ** (p_cb / 0.7)
+                  * d1[:, None] ** (1.0 - p_cb))               # eq (13)
+
+        f_c0 = 1.0 - f_b
+        tsup0 = tsup_of(alpha_of(p_of(f_c0), 0.0, f_c0),
+                        1.0 / (1.0 - 0.949 * f_b))
+        return (tsup * Bk)[None, :] / tsup0[None, :] * (d_cbnu / d1[:, None])
+
     def plin_approx(self, zs, ks, kind="eisenhu_osc"):
         zs = np.atleast_1d(np.asarray(zs, dtype=np.float64))
         ks = np.asarray(ks, dtype=np.float64)
@@ -250,7 +317,10 @@ class TwinCosmology:
         omh2 = (self.omch2 + self.ombh2) * 100.0**2 + self.omnu0 * self.H0**2
         kfacts = (ks / self.p["pivot_scalar"]) ** (self.ns - 1.0) * ks
         pref = self.As * (8.0 * np.pi**2 * CSPEED_KMS**4 / 25.0) / omh2**2
-        return pref * kfacts[None, :] * dz**2 * tk**2
+        p = pref * kfacts[None, :] * dz**2 * tk**2
+        if self.omnu0 > 0.0:
+            p = p * self.eh99_neutrino_ratio(ks, dz[:, 0]) ** 2
+        return p
 
     def plin(self, zs, ks, accuracy="medium"):
         p = self.plin_approx(zs, ks)
