@@ -226,7 +226,13 @@ class Cosmology:
                 from .hmcode import hmcode_power
                 return hmcode_power(self, zs, ks)
             from .halofit import halofit_power
-            return halofit_power(self, zs, ks)
+            if version in ("original", "smith", "smith03"):
+                return halofit_power(self, zs, ks, version="original")
+            if version == "takahashi":
+                return halofit_power(self, zs, ks)
+            raise ValueError(
+                f"halofit version {version!r}: supported are 'mead' "
+                "(HMcode-2016, default), 'takahashi', 'original'")
         if self.engine.name == "eh":
             return _eh_pzk_j(self.bg, zs, ks, self.growth_mode)
         return self.engine.pzk_grid(self.bg, zs, ks, nonlinear=False,

@@ -53,11 +53,66 @@ def _moments(delta2_lin_g, R):
     return s2, dln1, dln2
 
 
-def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60):
+def _coeffs_takahashi(n, C, omz, omde_w, omde):
+    """Takahashi 2012 Eqs (A6-A13)."""
+    del omde
+    log10_an = (1.5222 + 2.8553 * n + 2.3706 * n**2 + 0.9903 * n**3
+                + 0.2250 * n**4 - 0.6038 * C + 0.1749 * omde_w)
+    log10_bn = (-0.5642 + 0.5864 * n + 0.5716 * n**2 - 1.5474 * C
+                + 0.2279 * omde_w)
+    log10_cn = 0.3698 + 2.0404 * n + 0.8161 * n**2 + 0.5869 * C
+    gamma_n = 0.1971 - 0.0843 * n + 0.8460 * C
+    alpha_n = jnp.abs(6.0835 + 1.3373 * n - 0.1959 * n**2 - 5.5274 * C)
+    beta_n = (2.0379 - 0.7354 * n + 0.3157 * n**2 + 1.2490 * n**3
+              + 0.3980 * n**4 - 0.1682 * C)
+    mu_n = jnp.zeros_like(n)
+    nu_n = 10.0 ** (5.2105 + 3.6902 * n)
+    f1 = omz**-0.0307
+    f2 = omz**-0.0585
+    f3 = omz**0.0743
+    return (10.0**log10_an, 10.0**log10_bn, 10.0**log10_cn, gamma_n,
+            alpha_n, beta_n, mu_n, nu_n, f1, f2, f3)
+
+
+def _coeffs_original(n, C, omz, omde_w, omde):
+    """Smith et al 2003 App C (C9-C16), with the CAMB-style interpolation
+    between the flat-Lambda and open f_i(Omega) fits by the dark-energy
+    share frac = Omega_de / (1 - Omega_m)."""
+    del omde_w
+    an = 10.0 ** (1.4861 + 1.8369 * n + 1.6762 * n**2 + 0.7940 * n**3
+                  + 0.1670 * n**4 - 0.6206 * C)
+    bn = 10.0 ** (0.9463 + 0.9466 * n + 0.3084 * n**2 - 0.9400 * C)
+    cn = 10.0 ** (-0.2807 + 0.6669 * n + 0.3214 * n**2 - 0.0793 * C)
+    gamma_n = 0.8649 + 0.2989 * n + 0.1631 * C
+    alpha_n = 1.3884 + 0.3700 * n - 0.1452 * n**2
+    beta_n = 0.8291 + 0.9854 * n + 0.3401 * n**2
+    mu_n = 10.0 ** (-3.5442 + 0.1908 * n)
+    nu_n = 10.0 ** (0.9589 + 1.2857 * n)
+    # f_i: Lambda fits (C9) vs open fits (C10), blended by the DE share;
+    # the omz ~ 1 (matter-only) limit makes both sets 1 so the guarded
+    # denominator never matters in the output
+    frac = omde / jnp.maximum(1.0 - omz, 1e-8)
+    f1 = frac * omz**-0.0307 + (1.0 - frac) * omz**-0.0732
+    f2 = frac * omz**-0.0585 + (1.0 - frac) * omz**-0.1423
+    f3 = frac * omz**0.0743 + (1.0 - frac) * omz**0.0725
+    return an, bn, cn, gamma_n, alpha_n, beta_n, mu_n, nu_n, f1, f2, f3
+
+
+_COEFFS = {"takahashi": _coeffs_takahashi, "original": _coeffs_original}
+
+
+def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60,
+                      version: str = "takahashi", omde=None):
     """Nonlinear P(k,z) from a callable plin_fn(ks)->(nz,nk).
 
-    omz: Omega_m(z) (nz,); omde_w: Omega_de(z)*(1+w) (nz,).
+    omz: Omega_m(z) (nz,); omde_w: Omega_de(z)*(1+w) (nz,); omde:
+    Omega_de(z) (nz,), needed by 'original' (defaults to 1 - omz, exact
+    for flat w = -1).
     """
+    if version not in _COEFFS:
+        raise ValueError(
+            f"halofit version {version!r}: supported here are "
+            f"{sorted(_COEFFS)} (plus 'mead' via models/hmcode.py)")
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
     kg = jnp.asarray(_KG)
@@ -85,26 +140,10 @@ def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60):
     neff = -3.0 - dln1
     C = -dln2
 
-    n = neff
-    # Takahashi 2012 Eqs (A6-A13)
-    log10_an = (1.5222 + 2.8553 * n + 2.3706 * n**2 + 0.9903 * n**3
-                + 0.2250 * n**4 - 0.6038 * C + 0.1749 * omde_w)
-    log10_bn = (-0.5642 + 0.5864 * n + 0.5716 * n**2 - 1.5474 * C
-                + 0.2279 * omde_w)
-    log10_cn = 0.3698 + 2.0404 * n + 0.8161 * n**2 + 0.5869 * C
-    gamma_n = 0.1971 - 0.0843 * n + 0.8460 * C
-    alpha_n = jnp.abs(6.0835 + 1.3373 * n - 0.1959 * n**2 - 5.5274 * C)
-    beta_n = (2.0379 - 0.7354 * n + 0.3157 * n**2 + 1.2490 * n**3
-              + 0.3980 * n**4 - 0.1682 * C)
-    mu_n = jnp.zeros_like(n)
-    nu_n = 10.0 ** (5.2105 + 3.6902 * n)
-    an = 10.0**log10_an
-    bn = 10.0**log10_bn
-    cn = 10.0**log10_cn
-
-    f1 = omz**-0.0307
-    f2 = omz**-0.0585
-    f3 = omz**0.0743
+    if omde is None:
+        omde = 1.0 - omz
+    (an, bn, cn, gamma_n, alpha_n, beta_n, mu_n, nu_n,
+     f1, f2, f3) = _COEFFS[version](neff, C, omz, omde_w, omde)
 
     plin = plin_fn(ks)                                  # (nz, nk)
     delta2_lin = plin * ks[None, :] ** 3 / (2.0 * jnp.pi**2)
@@ -124,7 +163,7 @@ def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60):
     return delta2_nl * (2.0 * jnp.pi**2) / ks[None, :] ** 3
 
 
-def halofit_power(cosmo, zs, ks):
+def halofit_power(cosmo, zs, ks, version: str = "takahashi"):
     """Nonlinear P(k,z) for a Cosmology instance (engine-free path for
     HaloModel(halofit=...))."""
     from . import background as bgmod
@@ -145,4 +184,5 @@ def halofit_power(cosmo, zs, ks):
     omde = bg.oml0 * de / e2
     wz = bg.w0 + bg.wa * (1.0 - 1.0 / zp1)
     return halofit_nonlinear(plin_fn, zs, jnp.asarray(ks), omz,
-                             omde * (1.0 + wz))
+                             omde * (1.0 + wz), version=version,
+                             omde=omde)

@@ -33,9 +33,9 @@ def _moments_quad(d2lin_of_k, R):
     return s2, dln1, dln2
 
 
-def twin_halofit_power(twin, zs, ks):
+def twin_halofit_power(twin, zs, ks, version="takahashi"):
     """Nonlinear P(k,z) for a TwinCosmology (mirror of
-    models/halofit.halofit_power)."""
+    models/halofit.halofit_power; version 'takahashi' or 'original')."""
     zs = np.atleast_1d(np.asarray(zs, dtype=np.float64))
     ks = np.asarray(ks, dtype=np.float64)
     out = np.zeros((zs.size, ks.size))
@@ -70,22 +70,44 @@ def twin_halofit_power(twin, zs, ks):
         n = -3.0 - dln1
         C = -dln2
 
-        # Takahashi 2012 Eqs (A6-A13)
-        an = 10.0 ** (1.5222 + 2.8553 * n + 2.3706 * n**2 + 0.9903 * n**3
-                      + 0.2250 * n**4 - 0.6038 * C + 0.1749 * omde_w[i])
-        bn = 10.0 ** (-0.5642 + 0.5864 * n + 0.5716 * n**2 - 1.5474 * C
-                      + 0.2279 * omde_w[i])
-        cn = 10.0 ** (0.3698 + 2.0404 * n + 0.8161 * n**2 + 0.5869 * C)
-        gamma_n = 0.1971 - 0.0843 * n + 0.8460 * C
-        alpha_n = abs(6.0835 + 1.3373 * n - 0.1959 * n**2 - 5.5274 * C)
-        beta_n = (2.0379 - 0.7354 * n + 0.3157 * n**2 + 1.2490 * n**3
-                  + 0.3980 * n**4 - 0.1682 * C)
-        mu_n = 0.0
-        nu_n = 10.0 ** (5.2105 + 3.6902 * n)
+        if version == "takahashi":
+            # Takahashi 2012 Eqs (A6-A13)
+            an = 10.0 ** (1.5222 + 2.8553 * n + 2.3706 * n**2
+                          + 0.9903 * n**3
+                          + 0.2250 * n**4 - 0.6038 * C + 0.1749 * omde_w[i])
+            bn = 10.0 ** (-0.5642 + 0.5864 * n + 0.5716 * n**2 - 1.5474 * C
+                          + 0.2279 * omde_w[i])
+            cn = 10.0 ** (0.3698 + 2.0404 * n + 0.8161 * n**2 + 0.5869 * C)
+            gamma_n = 0.1971 - 0.0843 * n + 0.8460 * C
+            alpha_n = abs(6.0835 + 1.3373 * n - 0.1959 * n**2 - 5.5274 * C)
+            beta_n = (2.0379 - 0.7354 * n + 0.3157 * n**2 + 1.2490 * n**3
+                      + 0.3980 * n**4 - 0.1682 * C)
+            mu_n = 0.0
+            nu_n = 10.0 ** (5.2105 + 3.6902 * n)
 
-        f1 = omz[i] ** -0.0307
-        f2 = omz[i] ** -0.0585
-        f3 = omz[i] ** 0.0743
+            f1 = omz[i] ** -0.0307
+            f2 = omz[i] ** -0.0585
+            f3 = omz[i] ** 0.0743
+        elif version == "original":
+            # Smith et al 2003 App C (C9-C16)
+            an = 10.0 ** (1.4861 + 1.8369 * n + 1.6762 * n**2
+                          + 0.7940 * n**3 + 0.1670 * n**4 - 0.6206 * C)
+            bn = 10.0 ** (0.9463 + 0.9466 * n + 0.3084 * n**2 - 0.9400 * C)
+            cn = 10.0 ** (-0.2807 + 0.6669 * n + 0.3214 * n**2 - 0.0793 * C)
+            gamma_n = 0.8649 + 0.2989 * n + 0.1631 * C
+            alpha_n = 1.3884 + 0.3700 * n - 0.1452 * n**2
+            beta_n = 0.8291 + 0.9854 * n + 0.3401 * n**2
+            mu_n = 10.0 ** (-3.5442 + 0.1908 * n)
+            nu_n = 10.0 ** (0.9589 + 1.2857 * n)
+            frac = omde[i] / max(1.0 - omz[i], 1e-8)
+            f1 = (frac * omz[i] ** -0.0307
+                  + (1.0 - frac) * omz[i] ** -0.0732)
+            f2 = (frac * omz[i] ** -0.0585
+                  + (1.0 - frac) * omz[i] ** -0.1423)
+            f3 = (frac * omz[i] ** 0.0743
+                  + (1.0 - frac) * omz[i] ** 0.0725)
+        else:
+            raise ValueError(version)
 
         d2l = d2lin(ks)
         y = ks / ksig

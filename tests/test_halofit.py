@@ -93,3 +93,47 @@ def test_halofit_golden_values():
     pnl = np.asarray(halofit_power(c, np.array([0.0]), ks))[0]
     golden = np.array([12711.52396437, 966.7974998, 14.16102742])
     np.testing.assert_allclose(pnl, golden, rtol=2e-6)
+
+
+def test_halofit_original_version():
+    """Smith-2003 'original' (reference: CAMB halofit_version passthrough,
+    bin/test_halofit.py:5-23 sweeps versions): twin quad-oracle parity and
+    the published direction of the Takahashi revision (T12 predicts MORE
+    power than Smith at nonlinear scales at z = 0, growing with k)."""
+    from hmvec_tpu.twin.core import TwinCosmology
+    from hmvec_tpu.twin.halofit import twin_halofit_power
+
+    c = Cosmology()
+    tw = TwinCosmology()
+    zs = np.array([0.0, 1.0])
+    ks = np.geomspace(1e-3, 30.0, 6)
+    pj = np.asarray(halofit_power(c, zs, ks, version="original"))
+    pt = twin_halofit_power(tw, zs, ks, version="original")
+    np.testing.assert_allclose(pj, pt, rtol=1e-6)
+
+    ks_d = np.geomspace(1e-3, 10.0, 120)
+    p_s = np.asarray(halofit_power(c, np.array([0.0]), ks_d,
+                                   version="original"))[0]
+    p_t = np.asarray(halofit_power(c, np.array([0.0]), ks_d,
+                                   version="takahashi"))[0]
+    plin = np.asarray(c.P_lin(ks_d, np.array([0.0])))[0]
+    # both track linear at large scales
+    np.testing.assert_allclose(p_s[0], plin[0], rtol=2e-2)
+    r = p_t / p_s
+    i1 = np.argmin(np.abs(ks_d - 1.0))
+    i10 = np.argmin(np.abs(ks_d - 10.0))
+    assert 1.05 < r[i1] < 1.6        # T12 Fig 4-ish: ~10-30% more at k~1
+    assert 1.1 < r[i10] < 2.0        # grows toward k~10
+    assert r[i10] > r[i1]
+
+
+def test_halofit_version_dispatch():
+    """Class API routes version strings and rejects unknown ones."""
+    c = Cosmology()
+    ks = np.array([0.5, 5.0])
+    zs = np.array([0.0])
+    p_o = np.asarray(c.P_mm_nonlinear(ks, zs, halofit_version="original"))
+    p_t = np.asarray(c.P_mm_nonlinear(ks, zs, halofit_version="takahashi"))
+    assert np.all(p_o > 0) and not np.allclose(p_o, p_t)
+    with pytest.raises(ValueError):
+        c.P_mm_nonlinear(ks, zs, halofit_version="no-such-version")
