@@ -18,11 +18,21 @@ per-step `where`-select).
 
 Equations follow the standard pedagogical formulation (Ma &
 Bertschinger 1995; Dodelson ch. 4-8; Callin astro-ph/0606683 for the
-x = ln a form and the tight-coupling slip).  Accuracy target: few
-percent in TT through the damping tail (no He recombination dynamics,
-no lensing smoothing unless applied, fixed-step integration) --
-explicitly a labeled approximation tier, NOT a CAMB replacement; the
-table path (ctor ``cls_table``) remains the precision tier.
+x = ln a form and the tight-coupling slip).
+
+Measured accuracy (round 3, vs published Planck-2018-class anchors):
+acoustic-peak POSITIONS to 0.1-0.8% (l = 221/538/817 vs 220.6/537.5/
+810.8); TT acoustic amplitudes sit +4-9% above the (lensed) anchors,
+growing with l; EE(l=400) ~ +2%, TE sign structure and zero-crossings
+correct.  The amplitude excess is numerically CONVERGED -- doubling
+the l-node density, halving the RK4 step, raising the hierarchy cut
+L=8->12, and replacing the coarse->fine source interpolation by direct
+fine-k solves each move the features by <= 0.13% (see DEVNOTES.md,
+"boltzlite convergence study") -- so it is a physics-tier systematic
+(Saha helium, T_b = T_gamma, first-order TC handoff, anchor round-off),
+not an integration artifact.  Explicitly a labeled approximation tier,
+NOT a CAMB replacement; the table path (ctor ``cls_table``) remains
+the precision tier.
 """
 
 from __future__ import annotations

@@ -7,15 +7,19 @@ reference computes recombination itself).  Physics: hydrogen Saha
 equilibrium while x_e > ~0.99, then the Peebles three-level-atom ODE
 (Peebles 1968; Ma & Bertschinger 1995 eq. 68-70) integrated with a
 fixed-step RK4 `lax.scan` in x = ln a, plus a CAMB-style tanh
-reionization.  Helium is treated as neutral by hydrogen recombination
-(true: He recombines at z >~ 1800) and enters only through the
-(1 - Yp) hydrogen fraction and the reionization plateau 1 + f_He.
+reionization.  The Peebles case-B coefficient carries the standard
+RECFAST fudge factor F = 1.14 (Seager, Sasselov & Scott 1999) that
+reproduces the multi-level-atom speed-up of hydrogen recombination.
+Helium enters through coupled Saha equilibrium at early times (both
+ionization stages; He recombination dynamics at z ~ 1800-6000 is
+Saha-accurate to the percent level because He recombines while still
+tightly Thomson-coupled), through the (1 - Yp) hydrogen fraction, and
+through the reionization plateau 1 + f_He.
 
-Accuracy: few-percent in x_e around z ~ 1100 vs RECFAST-class codes
-(no He recombination dynamics, no matter-temperature evolution,
-T_b = T_gamma) -- consistent with the few-percent C_l target of
-boltzlite.  An independent scipy `solve_ivp` twin lives in
-twin/recomb.py.
+Accuracy: ~percent in x_e around z ~ 1100 vs RECFAST-class codes
+(Saha helium, no matter-temperature evolution, T_b = T_gamma) --
+consistent with the few-percent C_l target of boltzlite.  An
+independent scipy `solve_ivp` twin lives in twin/recomb.py.
 """
 
 from __future__ import annotations
@@ -44,6 +48,9 @@ _THERMAL_PREF = 3.019213e21
 # (3 eps0 / hbar c)^3 / (8 pi)^2  [cm^-3] for Lambda_alpha
 _LYA_PREF = 1.40129e16
 _H0_UNIT = 3.2407792700e-20    # (km/s/Mpc) -> 1/s
+_FUDGE = 1.14                  # RECFAST case-B correction (SSS 1999)
+CHI_HE1_EV = 24.587387         # He I  first-ionization energy [eV]
+CHI_HE2_EV = 54.417760         # He II second-ionization energy [eV]
 
 
 class RecombTable(NamedTuple):
@@ -62,7 +69,7 @@ def _peebles_rates(xe, nh_cm3, tb_ev, h_s):
     """dx_e/dx from the Peebles ODE (x = ln a, H in 1/s, n_H in cm^-3)."""
     lnratio = jnp.log(EPS0_EV / tb_ev)
     phi2 = 0.448 * lnratio
-    alpha2 = _ALPHA2_PREF * jnp.sqrt(EPS0_EV / tb_ev) * phi2          # cm^3/s
+    alpha2 = _FUDGE * _ALPHA2_PREF * jnp.sqrt(EPS0_EV / tb_ev) * phi2  # cm^3/s
     therm = _THERMAL_PREF * tb_ev ** 1.5
     beta = alpha2 * therm * jnp.exp(-EPS0_EV / tb_ev)                 # 1/s
     # beta2 = beta * e^{3 eps0/4T} computed directly (avoids overflow)
@@ -75,10 +82,39 @@ def _peebles_rates(xe, nh_cm3, tb_ev, h_s):
 
 
 def _saha_xe(nh_cm3, tb_ev):
-    """Hydrogen Saha x_e: x^2/(1-x) = S, solved stably."""
+    """Hydrogen-only Saha x_e: x^2/(1-x) = S, solved stably."""
     s = _THERMAL_PREF * tb_ev**1.5 * jnp.exp(-EPS0_EV / tb_ev) / nh_cm3
     s = jnp.maximum(s, 1e-30)
     return 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 / s))
+
+
+def _saha_coupled(nh_cm3, tb_ev, f_he, n_iter: int = 40):
+    """Coupled H + He Saha equilibrium sharing one electron bath.
+
+    Solves (x_e = n_e/n_H; y1, y2 = singly/doubly ionized He fractions):
+        x_H x_e / (1 - x_H)       = s1          (chi = 13.6 eV, g-ratio 1)
+        y1  x_e / (1 - y1 - y2)   = s2          (chi = 24.59 eV, g-ratio 4)
+        y2  x_e / y1              = s3          (chi = 54.42 eV, g-ratio 1)
+        x_e = x_H + f_he (y1 + 2 y2)
+    by damped fixed-point iteration (monotone in x_e; ~40 trips converge
+    to f64 roundoff over the whole table range).  Returns (x_e, x_H).
+    """
+    therm = _THERMAL_PREF * tb_ev**1.5 / nh_cm3
+    s1 = jnp.maximum(therm * jnp.exp(-EPS0_EV / tb_ev), 1e-300)
+    s2 = 4.0 * therm * jnp.exp(-jnp.minimum(CHI_HE1_EV / tb_ev, 650.0))
+    s3 = therm * jnp.exp(-jnp.minimum(CHI_HE2_EV / tb_ev, 650.0))
+
+    def body(_, xe):
+        xe = jnp.maximum(xe, 1e-12)
+        xh = s1 / (s1 + xe)
+        y1 = s2 / (xe + s2 * (1.0 + s3 / xe))
+        y2 = y1 * s3 / xe
+        xe_new = xh + f_he * (y1 + 2.0 * y2)
+        return 0.5 * (xe + xe_new)
+
+    xe = jax.lax.fori_loop(0, n_iter, body, jnp.ones_like(s1) + 2.0 * f_he)
+    xe = jnp.maximum(xe, 1e-12)
+    return xe, s1 / (s1 + xe)
 
 
 def _reio_xe(z, zre, f_he, dz=0.5):
@@ -113,12 +149,14 @@ def recombination(bg: bgmod.BackgroundParams, n: int = 16384,
         nh = nh0 * a**-3
         tb = tcmb_ev / a
         hs = h_of_x(x)
-        saha = _saha_xe(nh, tb)
+        _, saha_xh = _saha_coupled(nh, tb, f_he)
         pee = _peebles_rates(xe, nh, tb, hs)
-        # while Saha predicts near-full ionization, pin to Saha (its
-        # d xe/dx is what the ODE would give in equilibrium anyway)
-        use_saha = saha > 0.985
-        return jnp.where(use_saha, 0.0, pee), saha, use_saha
+        # while HYDROGEN Saha predicts near-full ionization, pin to the
+        # coupled Saha solution (its d xe/dx is what the ODE would give
+        # in equilibrium anyway); by the handoff (z ~ 1630) helium is
+        # neutral, so the Peebles branch stays hydrogen-only
+        use_saha = saha_xh > 0.985
+        return jnp.where(use_saha, 0.0, pee), saha_xh, use_saha
 
     def step(xe, x):
         # RK4 on the Peebles branch; hard-assign the Saha value while
@@ -133,9 +171,10 @@ def recombination(bg: bgmod.BackgroundParams, n: int = 16384,
 
     def _saha_next(x):
         a = jnp.exp(x)
-        return _saha_xe(nh0 * a**-3, tcmb_ev / a)
+        xe_tot, _ = _saha_coupled(nh0 * a**-3, tcmb_ev / a, f_he)
+        return xe_tot
 
-    xe0 = jnp.asarray(1.0)
+    xe0 = jnp.asarray(1.0 + 2.0 * f_he)
     _, xe_hist = jax.lax.scan(step, xe0, xs[:-1])
     xe = jnp.concatenate([xe0[None], xe_hist])
 

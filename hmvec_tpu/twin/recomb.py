@@ -1,7 +1,8 @@
 """Independent scipy oracle for the recombination history.
 
-Same physical model as models/recomb.py (hydrogen Saha -> Peebles
-three-level atom, tanh reionization) but an independent implementation:
+Same physical model as models/recomb.py (coupled H+He Saha -> Peebles
+three-level atom with the RECFAST case-B fudge, tanh reionization) but
+an independent implementation:
 integrated in redshift (not ln a) with adaptive `solve_ivp` (not fixed
 RK4), and every dimensional prefactor is DERIVED here from
 scipy.constants rather than hard-coded -- so a unit or transcription
@@ -32,6 +33,9 @@ _ALPHA2_PREF = (64.0 * np.pi / np.sqrt(27.0 * np.pi)
 _THERM = (sc.m_e * sc.k / (2.0 * np.pi * sc.hbar**2)) ** 1.5  # * T^1.5 -> m^-3
 _LYA = (3.0 * _E0_J / (sc.hbar * sc.c)) ** 3 / (8.0 * np.pi) ** 2  # m^-3
 _H0_SI = 1e3 / _MPC_M                     # (km/s/Mpc) -> 1/s
+_FUDGE_B = 1.14                           # RECFAST case-B fudge (SSS 1999)
+_CHI_HE1_J = 24.587387 * sc.e             # He I ionization [J] (NIST)
+_CHI_HE2_J = 54.417760 * sc.e             # He II ionization [J] (NIST)
 
 
 def _e_of_z(z, omm, omr, omk, oml, w0, wa):
@@ -44,6 +48,37 @@ def _e_of_z(z, omm, omr, omk, oml, w0, wa):
 def _saha_xe(nh_m3, t_k):
     s = _THERM * t_k**1.5 * np.exp(-_E0_J / (sc.k * t_k)) / nh_m3
     return 2.0 / (1.0 + np.sqrt(1.0 + 4.0 / max(s, 1e-300)))
+
+
+def _saha_coupled(nh_m3, t_k, f_he):
+    """Coupled H+He Saha: root-solve for x_e = n_e/n_H in [eps, 1+2f_He].
+
+    Independent method from models/recomb.py's damped fixed point: the
+    scalar residual x_e - [x_H(x_e) + f_He (y1 + 2 y2)(x_e)] is bracketed
+    and solved with brentq.  Returns (x_e, x_H).
+    """
+    kt = sc.k * t_k
+    therm = _THERM * t_k**1.5 / nh_m3
+    s1 = max(therm * np.exp(-_E0_J / kt), 1e-300)
+    s2 = 4.0 * therm * np.exp(-min(_CHI_HE1_J / kt, 650.0))
+    s3 = therm * np.exp(-min(_CHI_HE2_J / kt, 650.0))
+
+    def parts(xe):
+        xh = s1 / (s1 + xe)
+        y1 = s2 / (xe + s2 * (1.0 + s3 / xe))
+        y2 = y1 * s3 / xe
+        return xh, y1, y2
+
+    def resid(xe):
+        xh, y1, y2 = parts(xe)
+        return xe - (xh + f_he * (y1 + 2.0 * y2))
+
+    hi = 1.0 + 2.0 * f_he
+    if resid(1e-12) > 0.0:          # fully recombined limit
+        xe = 1e-12
+    else:
+        xe = brentq(resid, 1e-12, hi, xtol=1e-15, rtol=1e-14)
+    return xe, parts(xe)[0]
 
 
 def twin_recombination(H0, ombh2, omm, omr, omk, oml, Yp, T_cmb,
@@ -67,15 +102,17 @@ def twin_recombination(H0, ombh2, omm, omr, omk, oml, Yp, T_cmb,
     def tgas(z):
         return T_cmb * (1.0 + z)
 
-    # Saha handoff: the z where Saha x_e crosses 0.985
-    z_hand = brentq(lambda z: _saha_xe(nh(z), tgas(z)) - 0.985, 900.0, 2500.0)
+    # Saha handoff: the z where the HYDROGEN Saha fraction crosses 0.985
+    z_hand = brentq(
+        lambda z: _saha_coupled(nh(z), tgas(z), f_he)[1] - 0.985,
+        900.0, 2500.0)
 
     def dxe_dz(z, y):
         xe = y[0]
         t_k = tgas(z)
         t_ev_ratio = _E0_J / (sc.k * t_k)
         phi2 = 0.448 * np.log(t_ev_ratio)
-        alpha2 = _ALPHA2_PREF * np.sqrt(t_ev_ratio) * phi2          # m^3/s
+        alpha2 = _FUDGE_B * _ALPHA2_PREF * np.sqrt(t_ev_ratio) * phi2  # m^3/s
         therm = _THERM * t_k**1.5
         beta = alpha2 * therm * np.exp(-t_ev_ratio)
         beta2 = alpha2 * therm * np.exp(-0.25 * t_ev_ratio)
@@ -91,10 +128,12 @@ def twin_recombination(H0, ombh2, omm, omr, omk, oml, Yp, T_cmb,
 
     def xe_of_z(z):
         z = np.asarray(z, dtype=float)
-        xe = np.where(z >= z_hand,
-                      np.vectorize(lambda zz: _saha_xe(nh(zz), tgas(zz)))(
-                          np.maximum(z, z_hand)),
-                      sol.sol(np.minimum(z, z_hand))[0])
+        xe = np.where(
+            z >= z_hand,
+            np.vectorize(
+                lambda zz: _saha_coupled(nh(zz), tgas(zz), f_he)[0])(
+                np.maximum(z, z_hand)),
+            sol.sol(np.minimum(z, z_hand))[0])
         # reionization floor (CAMB-style tanh in y=(1+z)^1.5)
         y = (1.0 + z) ** 1.5
         yre = (1.0 + zre) ** 1.5

@@ -42,6 +42,18 @@ def test_recomb_twin_parity(bg, rec):
     rel = np.abs(np.asarray(rec.xe)[sel] - xe_t) / np.abs(xe_t)
     # fixed-step RK4 (16384 pts) vs adaptive LSODA in z: <= 5e-4
     assert rel.max() < 5e-4
+    # coupled H+He Saha region (both ionization stages): damped fixed
+    # point (jax) vs brentq root (twin)
+    sel_he = (zs > 1700) & (zs < 8000)
+    xe_he = tw["xe_of_z"](zs[sel_he])
+    rel_he = np.abs(np.asarray(rec.xe)[sel_he] - xe_he) / np.abs(xe_he)
+    assert rel_he.max() < 1e-5
+    # the He plateaus actually appear: x_e > 1.1 at z=6000, ~1+f_He at
+    # z=2500, ~1 by z=1750
+    xe_at = lambda z: float(np.asarray(rec.xe)[np.argmin(np.abs(zs - z))])
+    assert 1.10 < xe_at(6000.0) < 1.17
+    assert 1.02 < xe_at(2500.0) < 1.09
+    assert 0.98 < xe_at(1750.0) < 1.01
     # optical depth at z=30 (reionization plateau): twin vs table
     tau30 = np.interp(np.log(1 / 31.0), np.asarray(rec.xs),
                       np.asarray(rec.tau))
