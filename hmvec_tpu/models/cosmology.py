@@ -225,14 +225,19 @@ class Cosmology:
             if version in ("mead", "mead2016", "hmcode"):
                 from .hmcode import hmcode_power
                 return hmcode_power(self, zs, ks)
+            if version == "mead2015":
+                from .hmcode import hmcode_power
+                return hmcode_power(self, zs, ks, version="2015")
             from .halofit import halofit_power
             if version in ("original", "smith", "smith03"):
                 return halofit_power(self, zs, ks, version="original")
-            if version == "takahashi":
-                return halofit_power(self, zs, ks)
+            if version in ("takahashi", "bird", "peacock", "casarini"):
+                return halofit_power(self, zs, ks, version=version)
             raise ValueError(
                 f"halofit version {version!r}: supported are 'mead' "
-                "(HMcode-2016, default), 'takahashi', 'original'")
+                "(HMcode-2016, default), 'mead2015', 'takahashi', "
+                "'original', 'bird', 'peacock', 'casarini' (the "
+                "reference's bin/test_halofit.py sweep)")
         if self.engine.name == "eh":
             return _eh_pzk_j(self.bg, zs, ks, self.growth_mode)
         return self.engine.pzk_grid(self.bg, zs, ks, nonlinear=False,

@@ -1,24 +1,47 @@
-"""Halofit nonlinear matter power: Takahashi-2012 and Smith-2003 versions.
+"""Halofit nonlinear matter power: the CAMB halofit_version family.
 
 The reference obtains nonlinear P(k,z) from CAMB's halofit with a
 ``halofit_version`` string ('mead' default, hmvec/cosmology.py:174, used
-for nPzk at hmvec.py:102; bin/test_halofit.py:5-23 sweeps versions).  No
-Boltzmann code exists in this environment, so this module implements the
-fits natively in jnp: engine-free, jit- and grad-compatible, O(nz)
+for nPzk at hmvec.py:102; bin/test_halofit.py:5 sweeps
+['takahashi','original','bird','peacock','mead','casarini','mead2015']).
+No Boltzmann code exists in this environment, so this module implements
+the fits natively in jnp: engine-free, jit- and grad-compatible, O(nz)
 fixed-count bisection for the nonlinear scale plus closed-form spectral
 moments (sigma^2, n_eff, curvature) as weighted reductions on a static
 ln k grid.
 
-Versions here: 'takahashi' (arXiv:1208.2701, Eqs A4-A13) and 'original'
-(Smith et al 2003, MNRAS 341, 1311, App C with the CAMB-style
-open/Lambda f_i interpolation).  'mead' lives in models/hmcode.py.
-Both fits share the quasi-linear + halo-term structure; only the fitted
-coefficient polynomials in (n_eff, C) and the f_i(Omega) exponents
-differ.  Coefficients transcribed from the published papers; the
-Takahashi set is pinned against an independent scipy-quad twin oracle
-and golden values (tests/test_halofit.py), the Smith set against the
-same twin machinery plus structural anchors (Takahashi>original at
-k ~ 1-10 at z = 0, the published direction of the revision).
+Versions here:
+
+* 'takahashi' (arXiv:1208.2701, Eqs A4-A13), with the CAMB-style
+  massive-neutrino corrections when f_nu > 0 (beta_n += f_nu
+  (1.081 + 0.395 n^2), quasi-linear input boost 26.3 f_nu k_h^2 /
+  (1 + 1.5 k_h^2), one-halo x (1 + 0.977 f_nu)).
+* 'original' (Smith et al 2003, MNRAS 341, 1311, App C with the
+  CAMB-style open/Lambda f_i interpolation).  f_nu terms are not part
+  of the 2003 fit and are ignored (use 'bird' for massive neutrinos).
+* 'bird' (Bird, Viel & Haehnelt 2012, arXiv:1109.4416, App A): the
+  Smith fit with a refitted gamma_n (+0.3159 - 0.0765 n - 0.8350 C)
+  and massive-neutrino terms (beta_n += f_nu (-6.4868 + 1.4373 n^2),
+  quasi-linear boost 47.48 f_nu k_h^2 / (1 + 1.5 k_h^2), one-halo
+  x (1 + f_nu (0.977 - 18.015 (Omega_m0 - 0.3)))).
+* 'peacock' (the roe.ac.uk/~jap/haloes adjustment, as in CAMB): the
+  'original' prediction remapped so the nonlinear excess
+  P_nl - P_lin is scaled by (1 + 2 y^2)/(1 + y^2), y = k_h/10.
+* 'casarini' (PKequal, arXiv:0810.0190 + 1601.07230): 'takahashi'
+  evaluated, per redshift, in the equivalent constant-w cosmology
+  (see casarini_weff) -- identical to 'takahashi' when wa = 0.
+
+'mead' / 'mead2015' live in models/hmcode.py.  All versions share the
+quasi-linear + halo-term structure; only the fitted coefficient
+polynomials in (n_eff, C) and the f_i(Omega) exponents differ.
+Coefficients transcribed from the published papers; the Takahashi set
+is pinned against an independent scipy-quad twin oracle and golden
+values (tests/test_halofit.py), the Smith set against the same twin
+machinery plus structural anchors (Takahashi>original at k ~ 1-10 at
+z = 0, the published direction of the revision); the bird/peacock
+variants are twin-pinned the same way plus limiting-case checks
+(peacock -> original at k << 10 h/Mpc; bird(f_nu=0) differs from
+original only through gamma_n).
 """
 
 from __future__ import annotations
@@ -98,21 +121,43 @@ def _coeffs_original(n, C, omz, omde_w, omde):
     return an, bn, cn, gamma_n, alpha_n, beta_n, mu_n, nu_n, f1, f2, f3
 
 
-_COEFFS = {"takahashi": _coeffs_takahashi, "original": _coeffs_original}
+def _coeffs_bird(n, C, omz, omde_w, omde):
+    """Bird et al 2012 (arXiv:1109.4416 App A): the Smith-2003 fit with
+    the refitted gamma_n of their Eq (A3).  The massive-neutrino terms
+    (beta_n shift, quasi-linear boost, one-halo factor) are applied in
+    halofit_nonlinear since they need f_nu and k."""
+    (an, bn, cn, gamma_n, alpha_n, beta_n, mu_n, nu_n,
+     f1, f2, f3) = _coeffs_original(n, C, omz, omde_w, omde)
+    gamma_n = gamma_n + (0.3159 - 0.0765 * n - 0.8350 * C)
+    return an, bn, cn, gamma_n, alpha_n, beta_n, mu_n, nu_n, f1, f2, f3
+
+
+_COEFFS = {"takahashi": _coeffs_takahashi, "original": _coeffs_original,
+           "bird": _coeffs_bird, "peacock": _coeffs_original}
+
+# quasi-linear massive-neutrino boost coefficient (CAMB convention):
+# plin -> plin * (1 + c * f_nu * k_h^2 / (1 + 1.5 k_h^2)) inside the
+# quasi-linear term only
+_FNU_QL = {"takahashi": 26.3, "bird": 47.48}
 
 
 def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60,
-                      version: str = "takahashi", omde=None):
+                      version: str = "takahashi", omde=None,
+                      fnu=0.0, omm0=None, h: float = 1.0):
     """Nonlinear P(k,z) from a callable plin_fn(ks)->(nz,nk).
 
     omz: Omega_m(z) (nz,); omde_w: Omega_de(z)*(1+w) (nz,); omde:
     Omega_de(z) (nz,), needed by 'original' (defaults to 1 - omz, exact
-    for flat w = -1).
+    for flat w = -1).  fnu: Omega_nu/Omega_m today (massive-neutrino
+    corrections, 'takahashi'/'bird' only); omm0: total Omega_m today
+    (bird's one-halo factor); h: H0/100 (the Bird/Peacock k-dependent
+    factors are fits in k [h/Mpc] while ks here is in 1/Mpc).
     """
     if version not in _COEFFS:
         raise ValueError(
             f"halofit version {version!r}: supported here are "
-            f"{sorted(_COEFFS)} (plus 'mead' via models/hmcode.py)")
+            f"{sorted(_COEFFS)} + 'casarini' via halofit_power "
+            f"(plus 'mead'/'mead2015' via models/hmcode.py)")
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
     kg = jnp.asarray(_KG)
@@ -145,27 +190,98 @@ def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60,
     (an, bn, cn, gamma_n, alpha_n, beta_n, mu_n, nu_n,
      f1, f2, f3) = _COEFFS[version](neff, C, omz, omde_w, omde)
 
+    # massive-neutrino corrections (CAMB halofit conventions; fits in
+    # k_h = k/h [h/Mpc]).  beta shift: Takahashi's refit vs Bird's.
+    kh = ks / h
+    if version == "takahashi":
+        beta_n = beta_n + fnu * (1.081 + 0.395 * neff**2)
+    elif version == "bird":
+        beta_n = beta_n + fnu * (-6.4868 + 1.4373 * neff**2)
+
     plin = plin_fn(ks)                                  # (nz, nk)
     delta2_lin = plin * ks[None, :] ** 3 / (2.0 * jnp.pi**2)
     y = ks[None, :] / ksig[:, None]
     fy = y / 4.0 + y**2 / 8.0
 
     c1 = lambda v: v[:, None]
-    delta2_q = (delta2_lin * ((1.0 + delta2_lin) ** c1(beta_n)
-                              / (1.0 + c1(alpha_n) * delta2_lin))
+    d2_ql = delta2_lin
+    if version in _FNU_QL:
+        d2_ql = delta2_lin * (1.0 + fnu * _FNU_QL[version] * kh[None, :]**2
+                              / (1.0 + 1.5 * kh[None, :]**2))
+    delta2_q = (delta2_lin * ((1.0 + d2_ql) ** c1(beta_n)
+                              / (1.0 + c1(alpha_n) * d2_ql))
                 * jnp.exp(-fy))
     delta2_hp = (c1(an) * y ** (3.0 * c1(f1))
                  / (1.0 + c1(bn) * y ** c1(f2)
                     + (c1(cn) * c1(f3) * y) ** (3.0 - c1(gamma_n))))
     delta2_h = delta2_hp / (1.0 + c1(mu_n) / y + c1(nu_n) / y**2)
+    if version == "takahashi":
+        delta2_h = delta2_h * (1.0 + 0.977 * fnu)
+    elif version == "bird":
+        om0 = omm0 if omm0 is not None else omz[0]
+        delta2_h = delta2_h * (1.0 + fnu * (0.977 - 18.015 * (om0 - 0.3)))
 
     delta2_nl = delta2_q + delta2_h
-    return delta2_nl * (2.0 * jnp.pi**2) / ks[None, :] ** 3
+    pnl = delta2_nl * (2.0 * jnp.pi**2) / ks[None, :] ** 3
+
+    if version == "peacock":
+        # nonlinear excess scaled by (1 + 2y^2)/(1 + y^2), y = k_h/10
+        yp = (kh / 10.0)[None, :]
+        pnl = plin + (pnl - plin) * (1.0 + 2.0 * yp**2) / (1.0 + yp**2)
+    return pnl
+
+
+def casarini_weff(bg, zs, z_dec: float = 1100.0, nq: int = 256,
+                  num_iter: int = 60):
+    """Equivalent constant w per redshift (Casarini et al PKequal).
+
+    For each z, solves for the constant-w cosmology (same densities)
+    whose comoving distance from z to decoupling matches the dynamic
+    (w0, wa) model's -- the spectral-equivalence criterion of
+    arXiv:0810.0190 / 1601.07230 (the sigma8(z) matching half of the
+    criterion is automatic here because the dynamic model's own linear
+    power, with its own growth, feeds halofit directly).  Returns (nz,).
+    Fixed-count bisection in w; both sides share one quadrature grid so
+    grid error cancels in the match.  Exactly w0 when wa = 0.
+    """
+    zs = jnp.atleast_1d(jnp.asarray(zs))
+    t = jnp.linspace(0.0, 1.0, nq)
+    la0 = jnp.log1p(zs)[:, None]                        # (nz, 1)
+    dla = (jnp.log(1.0 + z_dec) - la0)                  # (nz, 1)
+    la = la0 + dla * t[None, :]                         # (nz, nq)
+    zp1 = jnp.exp(la)
+    # trapz in ln(1+z'); dz' = (1+z') dln(1+z')
+    wq = jnp.full((nq,), 1.0).at[0].set(0.5).at[-1].set(0.5)
+    wq = wq[None, :] * (dla / (nq - 1.0))               # (nz, nq)
+    base = (bg.omr0 * zp1**4 + (bg.omm0 + bg.omnu0) * zp1**3
+            + bg.omk0 * zp1**2)
+    de_dyn = bg.oml0 * zp1 ** (3.0 * (1.0 + bg.w0 + bg.wa)) * jnp.exp(
+        -3.0 * bg.wa * (1.0 - 1.0 / zp1))
+    target = jnp.sum(wq * zp1 / jnp.sqrt(base + de_dyn), axis=1)
+
+    def dist(w):                                        # w: (nz,)
+        de = bg.oml0 * zp1 ** (3.0 * (1.0 + w[:, None]))
+        return jnp.sum(wq * zp1 / jnp.sqrt(base + de), axis=1)
+
+    # distance is monotone decreasing in w (larger w -> more DE in the
+    # past -> larger E -> shorter distance)
+    lo = jnp.full((zs.size,), -3.0)
+    hi = jnp.full((zs.size,), -1.0 / 3.0)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) / 2.0
+        too_neg = dist(mid) > target
+        return jnp.where(too_neg, mid, lo), jnp.where(too_neg, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi))
+    return (lo + hi) / 2.0
 
 
 def halofit_power(cosmo, zs, ks, version: str = "takahashi"):
     """Nonlinear P(k,z) for a Cosmology instance (engine-free path for
-    HaloModel(halofit=...))."""
+    HaloModel(halofit=...)).  Versions: 'takahashi', 'original', 'bird',
+    'peacock', 'casarini' (reference bin/test_halofit.py:5)."""
     from . import background as bgmod
     bg = cosmo.bg
     zs = jnp.atleast_1d(jnp.asarray(zs))
@@ -182,7 +298,17 @@ def halofit_power(cosmo, zs, ks, version: str = "takahashi"):
     de = zp1 ** (3.0 * (1.0 + bg.w0 + bg.wa)) * jnp.exp(
         -3.0 * bg.wa * (1.0 - 1.0 / zp1))
     omde = bg.oml0 * de / e2
-    wz = bg.w0 + bg.wa * (1.0 - 1.0 / zp1)
+    if version == "casarini":
+        # takahashi in the per-z equivalent constant-w model: only the
+        # (1 + w) factor in the fitted coefficients changes (the density
+        # history stays the dynamic model's, as in CAMB's PKequal use)
+        wz = casarini_weff(bg, zs)
+        version = "takahashi"
+    else:
+        wz = bg.w0 + bg.wa * (1.0 - 1.0 / zp1)
+    omm0_tot = bg.omm0 + bg.omnu0
+    fnu = bg.omnu0 / omm0_tot
     return halofit_nonlinear(plin_fn, zs, jnp.asarray(ks), omz,
                              omde * (1.0 + wz), version=version,
-                             omde=omde)
+                             omde=omde, fnu=fnu, omm0=omm0_tot,
+                             h=bg.H0 / 100.0)

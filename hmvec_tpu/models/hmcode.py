@@ -131,8 +131,9 @@ def _sigma_v2(delta2_g, R):
 
 
 def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
-                     num_iter: int = 60, growth_mode: str = "closed"):
-    """HMcode-2016 nonlinear P(k,z) from precomputed linear power.
+                     num_iter: int = 60, growth_mode: str = "closed",
+                     version: str = "2016"):
+    """HMcode nonlinear P(k,z) from precomputed linear power.
 
     bg: BackgroundParams; zs: (nz,); ks: (nk,); plin_g: (nz, nkg) linear P
     on the static _KG grid; plin: (nz, nk) on the target ks; sigma8_0:
@@ -140,6 +141,16 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     (general w0/wa; one growth table integrated up front and shared by
     every growth eval incl. the z_f bisection).  Pure jnp, jit/grad-safe;
     callers jit.
+
+    version: '2016' (default; the reference's CAMB 'mead') or '2015'
+    (arXiv:1505.07833 Table 2, the reference's 'mead2015' string):
+    same halo-model machinery with the original fitted parameters --
+    dc without the Omega_m(z) factor, eta0 = 0.603 untied from A,
+    f_damp = 0.188 sigma8(z)^4.29, alpha = 2.93 * 1.77^neff, and the
+    exponential one-halo damping 1 - exp(-(k/k*)^2) that Mead-2016
+    replaced with k^4/(1+k^4).  PROVENANCE: transcribed from the 2015
+    paper like the 2016 set (module docstring); twin-pinned in
+    tests/test_hmcode.py but without an external anchor of its own.
     """
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
@@ -159,15 +170,22 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     gz = growth_z0norm(a)                                # g(0) = 1
     omz = bgmod.omz(bg, zs)
     sigma8_z = sigma8_0 * gz
-    dc = ((1.59 + 0.0314 * jnp.log(sigma8_z))
-          * (1.0 + 0.0123 * jnp.log10(omz)))             # Mead16 table 1
+    if version == "2015":                                # Mead15 table 2
+        dc = 1.59 + 0.0314 * jnp.log(sigma8_z)
+        eta = 0.603 - 0.3 * sigma8_z
+    else:                                                # Mead16 table 1
+        dc = ((1.59 + 0.0314 * jnp.log(sigma8_z))
+              * (1.0 + 0.0123 * jnp.log10(omz)))
+        eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
     Dv = 418.0 * omz ** -0.352
-    eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
 
     sv2 = _sigma_v2(delta2_g, 0.0)                       # (nz,)
     sv = jnp.sqrt(sv2)
-    sv100 = jnp.sqrt(_sigma_v2(delta2_g, 100.0 / h))     # R = 100 Mpc/h
-    fdamp = jnp.clip(0.0095 * (sv100 * h) ** 1.37, 1e-3, 0.99)
+    if version == "2015":
+        fdamp = jnp.clip(0.188 * sigma8_z ** 4.29, 1e-3, 0.99)
+    else:
+        sv100 = jnp.sqrt(_sigma_v2(delta2_g, 100.0 / h))  # R = 100 Mpc/h
+        fdamp = jnp.clip(0.0095 * (sv100 * h) ** 1.37, 1e-3, 0.99)
     kstar = 0.584 / sv
 
     # --- neff at the nonlinear scale (top-hat sigma = 1) ---------------
@@ -184,7 +202,10 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi))
     _, dlns2_nl = _tophat_moments(delta2_g, jnp.exp((lo + hi) / 2.0))
     neff = -3.0 - dlns2_nl
-    alpha = 3.24 * 1.85**neff
+    if version == "2015":
+        alpha = 2.93 * 1.77**neff
+    else:
+        alpha = 3.24 * 1.85**neff
 
     # --- halo ingredients on the internal mass grid --------------------
     rho_m0 = bgmod.rho_matter_z(bg, 0.0)                 # comoving
@@ -235,7 +256,10 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     p1h = jnp.sum(w_int[..., None] * u * u, axis=1)      # (nz, nk)
     d2_1h = p1h * ks[None, :] ** 3 / (2.0 * np.pi**2)
     ky = ks[None, :] / kstar[:, None]
-    d2_1h = d2_1h * ky**4 / (1.0 + ky**4)
+    if version == "2015":
+        d2_1h = d2_1h * -jnp.expm1(-(ky**2))
+    else:
+        d2_1h = d2_1h * ky**4 / (1.0 + ky**4)
 
     # --- two-halo term (damped linear) ----------------------------------
     d2_lin = plin * ks[None, :] ** 3 / (2.0 * np.pi**2)
@@ -250,7 +274,8 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
 
 
 _hmcode_nl_j = jax.jit(hmcode_nonlinear,
-                       static_argnames=("num_iter", "growth_mode"))
+                       static_argnames=("num_iter", "growth_mode",
+                                        "version"))
 
 
 _PLIN_JIT_CACHE: dict = {}
@@ -279,9 +304,10 @@ def _plin_j(engine, accuracy, growth_mode="closed"):
     return fn
 
 
-def hmcode_power(cosmo, zs, ks, A_bary=None):
-    """Nonlinear P(k,z) via HMcode-2016 for a Cosmology instance
-    (HaloModel(halofit='mead') path -- reference cosmology.py:174).
+def hmcode_power(cosmo, zs, ks, A_bary=None, version: str = "2016"):
+    """Nonlinear P(k,z) via HMcode for a Cosmology instance
+    (HaloModel(halofit='mead') path -- reference cosmology.py:174;
+    version '2015' serves the reference's 'mead2015' string).
 
     A_bary: Bullock concentration amplitude, the baryonic-feedback knob
     (Mead 2015 fig. 6; 3.13 = DM-only fit, lower = stronger feedback).
@@ -299,4 +325,4 @@ def hmcode_power(cosmo, zs, ks, A_bary=None):
                                            jnp.asarray([0.0]))[0, 0])
     return _hmcode_nl_j(bg, zs, jnp.asarray(ks), plin_g, plin, sigma8_0,
                         jnp.asarray(A_bary, dtype=jnp.float64),
-                        growth_mode=gm)
+                        growth_mode=gm, version=version)

@@ -35,7 +35,12 @@ def _moments_quad(d2lin_of_k, R):
 
 def twin_halofit_power(twin, zs, ks, version="takahashi"):
     """Nonlinear P(k,z) for a TwinCosmology (mirror of
-    models/halofit.halofit_power; version 'takahashi' or 'original')."""
+    models/halofit.halofit_power; versions 'takahashi', 'original',
+    'bird', 'peacock', with the CAMB-style massive-neutrino terms for
+    takahashi/bird)."""
+    fnu = twin.omnu0 / (twin.omm0 + twin.omnu0)
+    omm0_tot = twin.omm0 + twin.omnu0
+    kh_all = np.asarray(ks, dtype=np.float64) / twin.h
     zs = np.atleast_1d(np.asarray(zs, dtype=np.float64))
     ks = np.asarray(ks, dtype=np.float64)
     out = np.zeros((zs.size, ks.size))
@@ -88,7 +93,7 @@ def twin_halofit_power(twin, zs, ks, version="takahashi"):
             f1 = omz[i] ** -0.0307
             f2 = omz[i] ** -0.0585
             f3 = omz[i] ** 0.0743
-        elif version == "original":
+        elif version in ("original", "bird", "peacock"):
             # Smith et al 2003 App C (C9-C16)
             an = 10.0 ** (1.4861 + 1.8369 * n + 1.6762 * n**2
                           + 0.7940 * n**3 + 0.1670 * n**4 - 0.6206 * C)
@@ -109,13 +114,38 @@ def twin_halofit_power(twin, zs, ks, version="takahashi"):
         else:
             raise ValueError(version)
 
+        # version-specific modifications (Bird et al 2012 App A /
+        # CAMB conventions; k-dependent fits in k_h = k/h)
+        if version == "bird":
+            gamma_n = gamma_n + (0.3159 - 0.0765 * n - 0.8350 * C)
+            beta_n = beta_n + fnu * (-6.4868 + 1.4373 * n**2)
+        elif version == "takahashi":
+            beta_n = beta_n + fnu * (1.081 + 0.395 * n**2)
+
         d2l = d2lin(ks)
+        d2_ql = d2l
+        if version == "bird":
+            d2_ql = d2l * (1.0 + fnu * 47.48 * kh_all**2
+                           / (1.0 + 1.5 * kh_all**2))
+        elif version == "takahashi":
+            d2_ql = d2l * (1.0 + fnu * 26.3 * kh_all**2
+                           / (1.0 + 1.5 * kh_all**2))
         y = ks / ksig
         fy = y / 4.0 + y**2 / 8.0
-        d2q = d2l * ((1.0 + d2l) ** beta_n / (1.0 + alpha_n * d2l)) \
+        d2q = d2l * ((1.0 + d2_ql) ** beta_n / (1.0 + alpha_n * d2_ql)) \
             * np.exp(-fy)
         d2hp = (an * y ** (3.0 * f1)
                 / (1.0 + bn * y**f2 + (cn * f3 * y) ** (3.0 - gamma_n)))
         d2h = d2hp / (1.0 + mu_n / y + nu_n / y**2)
-        out[i] = (d2q + d2h) * (2.0 * np.pi**2) / ks**3
+        if version == "takahashi":
+            d2h = d2h * (1.0 + 0.977 * fnu)
+        elif version == "bird":
+            d2h = d2h * (1.0 + fnu * (0.977 - 18.015 * (omm0_tot - 0.3)))
+        pnl_i = (d2q + d2h) * (2.0 * np.pi**2) / ks**3
+        if version == "peacock":
+            plin_i = d2l * (2.0 * np.pi**2) / ks**3
+            yp = kh_all / 10.0
+            pnl_i = plin_i + (pnl_i - plin_i) * (1.0 + 2.0 * yp**2) \
+                / (1.0 + yp**2)
+        out[i] = pnl_i
     return out

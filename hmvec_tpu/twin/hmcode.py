@@ -111,10 +111,13 @@ def _u_nfw(x, c):
     return num / (np.log(1.0 + c) - c / (1.0 + c))
 
 
-def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13):
-    """HMcode-2016 nonlinear P(k,z) for a TwinCosmology ``tc``.
+def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
+    """HMcode nonlinear P(k,z) for a TwinCosmology ``tc``.
 
     zs: (nz,), ks: (nk,).  Returns (nz, nk).  Explicit loops throughout.
+    version: '2016' (default) or '2015' (Mead 2015 Table-2 parameters:
+    dc without the Omega_m factor, eta0 = 0.603, f = 0.188 sigma8^4.29,
+    alpha = 2.93 * 1.77^neff, exponential one-halo damping).
     """
     zs = np.atleast_1d(np.asarray(zs, dtype=np.float64))
     ks = np.asarray(ks, dtype=np.float64)
@@ -134,13 +137,21 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13):
         d2k = plin_g[iz] * _KG**3 / (2.0 * np.pi**2)
 
         sigma8_z = sigma8_0 * gz
-        dc = (1.59 + 0.0314 * np.log(sigma8_z)) * (1.0 + 0.0123 * np.log10(om))
+        if version == "2015":
+            dc = 1.59 + 0.0314 * np.log(sigma8_z)
+            eta = 0.603 - 0.3 * sigma8_z
+        else:
+            dc = (1.59 + 0.0314 * np.log(sigma8_z)) \
+                * (1.0 + 0.0123 * np.log10(om))
+            eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
         Dv = 418.0 * om ** -0.352
-        eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
 
         sv = np.sqrt(_sigma_v2(d2k, 0.0))
-        sv100 = np.sqrt(_sigma_v2(d2k, 100.0 / h))
-        fdamp = float(np.clip(0.0095 * (sv100 * h) ** 1.37, 1e-3, 0.99))
+        if version == "2015":
+            fdamp = float(np.clip(0.188 * sigma8_z ** 4.29, 1e-3, 0.99))
+        else:
+            sv100 = np.sqrt(_sigma_v2(d2k, 100.0 / h))
+            fdamp = float(np.clip(0.0095 * (sv100 * h) ** 1.37, 1e-3, 0.99))
         kstar = 0.584 / sv
 
         # nonlinear scale: sigma(R) = 1 (sigma^2 decreasing in R)
@@ -148,7 +159,10 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13):
                        np.log(1e-4), np.log(1e3), xtol=1e-13)
         s2_nl, ds2_nl = _sigma2_of_R(d2k, np.exp(lr_nl))
         neff = -3.0 - ds2_nl / s2_nl
-        alpha = 3.24 * 1.85**neff
+        if version == "2015":
+            alpha = 2.93 * 1.77**neff
+        else:
+            alpha = 3.24 * 1.85**neff
 
         # per-mass variance, slope, nu
         sig = np.empty(_MS.size)
@@ -195,7 +209,10 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13):
         p1h = np.trapz(integ, _LNMS, axis=0)
         d2_1h = p1h * ks**3 / (2.0 * np.pi**2)
         ky = ks / kstar
-        d2_1h = d2_1h * ky**4 / (1.0 + ky**4)
+        if version == "2015":
+            d2_1h = d2_1h * -np.expm1(-(ky**2))
+        else:
+            d2_1h = d2_1h * ky**4 / (1.0 + ky**4)
 
         # two-halo term
         d2_lin = plin_t[iz] * ks**3 / (2.0 * np.pi**2)

@@ -128,12 +128,110 @@ def test_halofit_original_version():
 
 
 def test_halofit_version_dispatch():
-    """Class API routes version strings and rejects unknown ones."""
+    """Class API routes every version string of the reference's sweep
+    (bin/test_halofit.py:5) and rejects unknown ones."""
     c = Cosmology()
     ks = np.array([0.5, 5.0])
     zs = np.array([0.0])
-    p_o = np.asarray(c.P_mm_nonlinear(ks, zs, halofit_version="original"))
-    p_t = np.asarray(c.P_mm_nonlinear(ks, zs, halofit_version="takahashi"))
-    assert np.all(p_o > 0) and not np.allclose(p_o, p_t)
+    ps = {v: np.asarray(c.P_mm_nonlinear(ks, zs, halofit_version=v))
+          for v in ("takahashi", "original", "bird", "peacock",
+                    "casarini", "mead", "mead2015")}
+    for v, p in ps.items():
+        assert np.all(np.isfinite(p)) and np.all(p > 0), v
+    assert not np.allclose(ps["original"], ps["takahashi"])
+    assert not np.allclose(ps["bird"], ps["original"])
+    assert not np.allclose(ps["peacock"], ps["original"])
+    assert not np.allclose(ps["mead2015"], ps["mead"])
+    # casarini == takahashi exactly for wa = 0 (PKequal fixed point)
+    np.testing.assert_allclose(ps["casarini"], ps["takahashi"], rtol=1e-12)
     with pytest.raises(ValueError):
         c.P_mm_nonlinear(ks, zs, halofit_version="no-such-version")
+
+
+def test_halofit_peacock_limits():
+    """The Peacock adjustment rescales the nonlinear EXCESS by
+    (1+2y^2)/(1+y^2), y = k_h/10: identical to 'original' at k << 10 h/Mpc
+    and verifiably 1.5x the excess at y = 1."""
+    c = Cosmology()
+    h = float(c.bg.H0) / 100.0
+    zs = np.array([0.0])
+    ks = np.array([1e-3, 3e-3, 10.0 * h])
+    po = np.asarray(halofit_power(c, zs, ks, version="original"))[0]
+    pp = np.asarray(halofit_power(c, zs, ks, version="peacock"))[0]
+    plin = np.asarray(c.P_lin(ks, zs))[0]
+    np.testing.assert_allclose(pp[:2], po[:2], rtol=1e-6)
+    np.testing.assert_allclose((pp[2] - plin[2]) / (po[2] - plin[2]),
+                               1.5, rtol=1e-10)
+
+
+def test_halofit_bird_massive_nu():
+    """Bird-2012: at f_nu = 0 it differs from Smith only through the
+    refitted gamma_n (quasi-linear scales unaffected); with m_nu > 0 the
+    nonlinear suppression shows the published 'spoon' shape (max
+    suppression at k ~ 1, partial recovery in the one-halo regime)."""
+    c0 = Cosmology({"mnu": 0.0})
+    cn = Cosmology({"mnu": 0.3})
+    zs = np.array([0.0])
+    ks = np.geomspace(1e-3, 10.0, 60)
+    b0 = np.asarray(halofit_power(c0, zs, ks, version="bird"))[0]
+    o0 = np.asarray(halofit_power(c0, zs, ks, version="original"))[0]
+    # gamma_n only touches the one-halo term: quasi-linear k unaffected
+    # (up to the ~1e-6 one-halo leakage at k < 0.03)
+    sel = ks < 0.03
+    np.testing.assert_allclose(b0[sel], o0[sel], rtol=1e-5)
+    assert np.max(np.abs(b0 / o0 - 1.0)) > 0.05  # but it is a real refit
+    bn = np.asarray(halofit_power(cn, zs, ks, version="bird"))[0]
+    ratio = bn / b0
+    i1 = np.argmin(np.abs(ks - 1.0))
+    i10 = np.argmin(np.abs(ks - 10.0))
+    assert ratio[i1] < 0.75            # strong suppression at k ~ 1
+    assert ratio[i10] > ratio[i1]      # spoon: recovers toward k ~ 10
+    assert ratio[0] > 0.95             # large scales barely affected
+
+
+def test_casarini_weff():
+    """PKequal equivalent constant w: exact fixed point at wa = 0; for a
+    CPL model it lies between w(0) = w0 and w(inf) = w0 + wa and moves
+    toward the early-time value with z."""
+    from hmvec_tpu.models.halofit import casarini_weff
+
+    c = Cosmology()
+    we = np.asarray(casarini_weff(c.bg, np.array([0.0, 1.0])))
+    np.testing.assert_allclose(we, -1.0, atol=1e-9)
+    cw = Cosmology({"w0": -0.9, "wa": 0.3})
+    zs = np.array([0.0, 0.5, 1.0, 2.0])
+    wew = np.asarray(casarini_weff(cw.bg, zs))
+    assert np.all(wew > -0.9) and np.all(wew < -0.6)
+    assert np.all(np.diff(wew) > 0)   # toward w0+wa with z
+    # and the dispatch differs from plain takahashi once wa != 0
+    ks = np.array([0.5, 5.0])
+    pt = np.asarray(halofit_power(cw, np.array([0.0]), ks,
+                                  version="takahashi"))
+    pc = np.asarray(halofit_power(cw, np.array([0.0]), ks,
+                                  version="casarini"))
+    assert not np.allclose(pt, pc, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_halofit_bird_peacock_twin_parity():
+    """jax bird/peacock (incl. the massive-nu terms) vs the independent
+    scipy-quad/brentq twin: proves the jnp wiring of the new versions,
+    not just the shared constants."""
+    from hmvec_tpu.twin.core import TwinCosmology
+    from hmvec_tpu.twin.halofit import twin_halofit_power
+
+    zs = np.array([0.0])
+    ks = np.geomspace(2e-3, 20.0, 5)
+    c = Cosmology()
+    tw = TwinCosmology()
+    for v in ("bird", "peacock"):
+        pj = np.asarray(halofit_power(c, zs, ks, version=v))
+        pt = twin_halofit_power(tw, zs, ks, version=v)
+        np.testing.assert_allclose(pj, pt, rtol=1e-6, err_msg=v)
+    # massive neutrinos exercise the f_nu terms on both sides
+    cn = Cosmology({"mnu": 0.25})
+    twn = TwinCosmology({"mnu": 0.25})
+    for v in ("bird", "takahashi"):
+        pj = np.asarray(halofit_power(cn, zs, ks, version=v))
+        pt = twin_halofit_power(twn, zs, ks, version=v)
+        np.testing.assert_allclose(pj, pt, rtol=1e-6, err_msg=v)

@@ -67,6 +67,28 @@ def test_twin_oracle_parity_wcdm():
     assert np.max(np.abs(pj / pt - 1.0)) < 1e-6
 
 
+def test_mead2015_version(cosmo):
+    """'mead2015' (reference bin/test_halofit.py:5): twin parity of the
+    2015 parameter set, and its published differences from 2016 -- same
+    linear limit, O(10%)-level shifts at nonlinear k, and the softer
+    exponential one-halo damping leaving MORE relative power just below
+    k* than the 2016 k^4/(1+k^4) cutoff."""
+    from hmvec_tpu.twin.core import TwinCosmology
+    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
+
+    zs = np.array([0.0, 1.0])
+    ks = np.geomspace(1e-3, 30.0, 64)
+    pj = np.asarray(hmcode_power(cosmo, zs, ks, version="2015"))
+    pt = hmcode_nonlinear_twin(TwinCosmology(), zs, ks, version="2015")
+    assert np.max(np.abs(pj / pt - 1.0)) < 1e-8
+
+    p16 = np.asarray(hmcode_power(cosmo, zs, ks))
+    r = pj / p16
+    assert np.max(np.abs(r[:, ks < 3e-3] - 1.0)) < 1e-2   # linear limit
+    assert 0.7 < r.min() and r.max() < 1.4                # bounded revision
+    assert np.max(np.abs(r - 1.0)) > 0.02                 # but a real one
+
+
 def test_eta0_matches_mead2015_table2():
     """External anchor: the 2016 tied relation eta0 = 0.98 - 0.12 A at the
     DMONLY amplitude A = 3.13 must recover the independently fitted
