@@ -400,10 +400,31 @@ def solve_perturbations(ctx: BoltzCtx, ks,
     today (c/H0 ~ 4475 Mpc), giving k_max ~ 2.83/(4475 * dx_c).  The
     default n_c_inner=11 (dx_c ~ 1.2e-3) is stable to k ~ 0.53/Mpc.
     """
+    ks = jnp.asarray(ks)
+    xs, states = _solve_ks(ctx, ks, n_a, n_b_outer, n_b_inner,
+                           n_c_outer, n_c_inner, x0)
+    zeta_unit = _zeta_unit(ctx, n_a, n_b_outer, n_b_inner,
+                           n_c_outer, n_c_inner, x0)
+    return PerturbSolution(ks=ks, xs=xs, states=states, zeta_unit=zeta_unit)
+
+
+def _segment_grid(n_a, n_b_outer, n_b_inner, n_c_outer, n_c_inner, x0):
     xa, xb, xc = -9.2, -5.0, 0.0
     dx_a = (xa - x0) / n_a
     dx_b = (xb - xa) / (n_b_outer * n_b_inner)
     dx_c = (xc - xb) / (n_c_outer * n_c_inner)
+    return xa, xb, dx_a, dx_b, dx_c
+
+
+def _solve_ks(ctx, ks, n_a, n_b_outer, n_b_inner, n_c_outer, n_c_inner,
+              x0):
+    """vmapped hierarchy integration for a batch of k: (xs, states).
+
+    The k axis is embarrassingly parallel -- this is the seam the
+    sharded path (parallel.sharding.sharded_solve_perturbations) maps
+    over the device mesh."""
+    xa, xb, dx_a, dx_b, dx_c = _segment_grid(
+        n_a, n_b_outer, n_b_inner, n_c_outer, n_c_inner, x0)
 
     def one_k(k):
         s = _initial_state(ctx, k, x0)
@@ -415,12 +436,15 @@ def solve_perturbations(ctx: BoltzCtx, ks,
         return jnp.concatenate([xs_b, xs_c]), \
             jnp.concatenate([st_b, st_c], axis=0)
 
-    ks = jnp.asarray(ks)
     xs, states = jax.vmap(one_k)(ks)
-    xs = xs[0]
+    return xs[0], states
 
-    # curvature normalization: a dedicated superhorizon mode evaluated in
-    # matter domination, zeta = (5/3) Phi_MD per unit Phi_init
+
+def _zeta_unit(ctx, n_a, n_b_outer, n_b_inner, n_c_outer, n_c_inner, x0):
+    """Curvature normalization: a dedicated superhorizon mode evaluated
+    in matter domination, zeta = (5/3) Phi_MD per unit Phi_init."""
+    xa, xb, dx_a, dx_b, dx_c = _segment_grid(
+        n_a, n_b_outer, n_b_inner, n_c_outer, n_c_inner, x0)
     k_cal = jnp.asarray(2e-5)
     s = _initial_state(ctx, k_cal, x0)
     s, _, _ = _integrate_segment(ctx, k_cal, s, x0, dx_a, 30, n_a // 30)
@@ -428,8 +452,7 @@ def solve_perturbations(ctx: BoltzCtx, ks,
                                  n_b_outer, n_b_inner)
     n_md = int(round((-2.3 - xb) / dx_c))
     s, _, _ = _integrate_segment(ctx, k_cal, s, xb, dx_c, n_md, 1)
-    zeta_unit = (5.0 / 3.0) * s[_I_PHI]
-    return PerturbSolution(ks=ks, xs=xs, states=states, zeta_unit=zeta_unit)
+    return (5.0 / 3.0) * s[_I_PHI]
 
 
 # --- sources --------------------------------------------------------------
@@ -524,6 +547,28 @@ def _jl_interp(tab_us, tab, u):
 
 # --- C_l assembly ---------------------------------------------------------
 
+def _project_l_rows(tab, ls_arr, pref_e_all, st_wx, se_wx, u_i0, u_w,
+                    u_safe2, late, lmax_late):
+    """Per-l Bessel projection kernel: (th_l, e_l), each (nl, nkf).
+
+    A lax.map over the l rows so only one (nkf, nx) Bessel buffer is
+    live at a time.  Pure in its row inputs (tab, ls_arr, pref_e_all) --
+    this is the seam parallel.sharding.sharded_cls_from_sources shards
+    over the mesh."""
+
+    def _proj_one(args):
+        row, l_val, pref_e = args                         # (nu,), (), ()
+        jl = row[u_i0] * (1.0 - u_w) + row[u_i0 + 1] * u_w   # (nkf, nx)
+        wl_late = jnp.exp(-((l_val / lmax_late) ** 4))
+        wl = (1.0 - late + late * wl_late)[None, :]       # (1, nx)
+        jw = jl * wl
+        th = jnp.sum(st_wx * jw, axis=-1)                 # (nkf,)
+        e = pref_e * jnp.sum(se_wx * (jw / u_safe2), axis=-1)
+        return th, e
+
+    return jax.lax.map(_proj_one, (tab, ls_arr, pref_e_all))
+
+
 def _catmull_rom_k(src, ks_coarse, ks_fine):
     """Tensor Catmull-Rom interpolation of src(k, x) onto a fine k grid."""
     lnk_c = jnp.log(ks_coarse)
@@ -592,17 +637,8 @@ def cls_from_sources(src: SourceTable, bg, ls, ks_fine, lmax_late: float = 60.0)
     st_wx = s_t_f * wx[None, :]
     se_wx = s_e_f * wx[None, :]
 
-    def _proj_one(il):
-        row = tab[il]                                     # (nu,)
-        jl = row[u_i0] * (1.0 - u_w) + row[u_i0 + 1] * u_w   # (nkf, nx)
-        wl_late = jnp.exp(-((ls_arr[il] / lmax_late) ** 4))
-        wl = (1.0 - late + late * wl_late)[None, :]       # (1, nx)
-        jw = jl * wl
-        th = jnp.sum(st_wx * jw, axis=-1)                 # (nkf,)
-        e = pref_e_all[il] * jnp.sum(se_wx * (jw / u_safe2), axis=-1)
-        return th, e
-
-    th_l, e_l = jax.lax.map(_proj_one, jnp.arange(len(ls)))  # (nl, nkf)
+    th_l, e_l = _project_l_rows(tab, ls_arr, pref_e_all, st_wx, se_wx,
+                                u_i0, u_w, u_safe2, late, lmax_late)
 
     # primordial curvature spectrum
     pzeta = (bg.As * (ks_fine / bg.pivot_scalar) ** (bg.ns - 1.0)

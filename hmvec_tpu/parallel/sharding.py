@@ -13,6 +13,13 @@ neighbor-dependent dln sigma/dln m stencil local.
 
 Differentiable end-to-end: jax.grad flows through shard_map/psum, giving a
 multi-chip Fisher step.
+
+Beyond the mass axis: batch cosmologies (data-parallel serving), kSZ
+survey bins, and the Boltzmann-lite solver shard too -- the hierarchy
+integration over k modes and the Bessel projection over l nodes are both
+embarrassingly parallel (sharded_solve_perturbations /
+sharded_cls_from_sources), scaling the engine-free CMB Cls tier across
+the mesh with zero collectives.
 """
 
 from __future__ import annotations
@@ -397,3 +404,112 @@ def make_sharded_ksz_survey_fn(num_bins: int, mesh: Mesh,
         return jnp.sqrt(tot2), snrs, bgals
 
     return fn
+
+
+def sharded_solve_perturbations(ctx, ks, mesh: Mesh, axis_name: str = "k",
+                                **solve_kwargs):
+    """k-sharded Boltzmann-lite hierarchy solve over the device mesh.
+
+    The perturbation integration (models/boltzlite.solve_perturbations)
+    is embarrassingly parallel in k: each device integrates its slice of
+    the k grid through the full RK4 ln-a schedule, the superhorizon
+    zeta calibration runs replicated (one extra mode), and the stitched
+    PerturbSolution is identical to the unsharded one (same programs,
+    same order of operations per mode -- equivalence is exact, tested in
+    tests/test_sharded_full.py).  ks is padded with its last element to
+    a mesh-divisible size and trimmed after.
+
+    solve_kwargs: the solver's static grid counts (n_a, n_b_outer, ...).
+    """
+    from ..models import boltzlite as bl
+
+    ks = np.asarray(ks, dtype=np.float64)
+    nd = mesh.devices.size
+    nk = ks.size
+    pad = (-nk) % nd
+    ks_pad = np.concatenate([ks, np.full((pad,), ks[-1])])
+
+    kw = dict(n_a=1500, n_b_outer=1050, n_b_inner=4,
+              n_c_outer=380, n_c_inner=11, x0=-18.0)
+    kw.update(solve_kwargs)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), P(axis_name)),
+                       out_specs=(P(), P(axis_name)))
+    def _local(ctx_r, ks_l):
+        return bl._solve_ks(ctx_r, ks_l, **kw)
+
+    @jax.jit
+    def run(ctx_r, ks_j):
+        xs, states = _local(ctx_r, ks_j)
+        zeta = bl._zeta_unit(ctx_r, **kw)
+        return xs, states, zeta
+
+    xs, states, zeta = run(ctx, jnp.asarray(ks_pad))
+    return bl.PerturbSolution(ks=jnp.asarray(ks), xs=xs,
+                              states=states[:nk], zeta_unit=zeta)
+
+
+def sharded_cls_from_sources(src, bg, ls, ks_fine, mesh: Mesh,
+                             axis_name: str = "k",
+                             lmax_late: float = 60.0):
+    """l-sharded Bessel projection of LOS sources to C_l.
+
+    The per-l projection integrals are independent: the host-side prep
+    (fine-k source interpolation, Bessel table) mirrors
+    models/boltzlite.cls_from_sources, then the (nl, nu) table rows are
+    padded to a mesh-divisible size and sharded so each device runs its
+    slice of the shared _project_l_rows kernel.  Output matches the
+    unsharded path exactly (same per-l program; tested in
+    tests/test_sharded_full.py).
+    """
+    from ..models import boltzlite as bl
+
+    ls = np.asarray(ls)
+    nd = mesh.devices.size
+    nl = ls.size
+    pad = (-nl) % nd
+    ls_pad = np.concatenate([ls, np.repeat(ls[-1:], pad)])
+
+    ks_fine = jnp.asarray(ks_fine)
+    s_t_f = bl._catmull_rom_k(src.s_t, src.ks, ks_fine)   # (nkf, nx)
+    s_e_f = bl._catmull_rom_k(src.s_e, src.ks, ks_fine)
+    wx = bl._trapz_w(src.xs)
+    umax = float(ks_fine[-1]) * float(src.chi[0]) * 1.02
+    tab_us, tab = bl._jl_table(ls_pad, umax, 0.05)
+    du = tab_us[1] - tab_us[0]
+    nu_tab = tab.shape[1]
+
+    u = ks_fine[:, None] * src.chi[None, :]
+    uf = jnp.clip(u / du, 0.0, nu_tab - 1.001)
+    u_i0 = jnp.floor(uf).astype(jnp.int32)
+    u_w = (uf - u_i0).astype(s_t_f.dtype)
+    u_safe2 = jnp.maximum(u, 1e-6) ** 2
+    ls_arr = jnp.asarray(ls_pad, dtype=s_t_f.dtype)
+    late = (src.xs > -5.0).astype(s_t_f.dtype)
+    pref_e_all = jnp.sqrt((ls_arr + 2) * (ls_arr + 1) * ls_arr
+                          * (ls_arr - 1))
+    st_wx = s_t_f * wx[None, :]
+    se_wx = s_e_f * wx[None, :]
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(axis_name), P(axis_name), P(axis_name),
+                                 P(), P(), P(), P(), P(), P()),
+                       out_specs=(P(axis_name), P(axis_name)))
+    def _local(tab_l, ls_l, pref_l, st_r, se_r, i0_r, w_r, us2_r, late_r):
+        return bl._project_l_rows(tab_l, ls_l, pref_l, st_r, se_r,
+                                  i0_r, w_r, us2_r, late_r, lmax_late)
+
+    th_l, e_l = jax.jit(_local)(tab, ls_arr, pref_e_all, st_wx, se_wx,
+                                u_i0, u_w, u_safe2, late)
+    th_l, e_l = th_l[:nl], e_l[:nl]
+
+    pzeta = (bg.As * (ks_fine / bg.pivot_scalar) ** (bg.ns - 1.0)
+             / src.zeta_unit**2)
+    wk = bl._trapz_w(jnp.log(ks_fine))
+    t0_muk = bg.T_cmb_k * 1e6
+    norm = 4.0 * jnp.pi * t0_muk**2
+    ctt = norm * jnp.einsum("k,lk->l", pzeta * wk, th_l**2)
+    cee = norm * jnp.einsum("k,lk->l", pzeta * wk, e_l**2)
+    cte = norm * jnp.einsum("k,lk->l", pzeta * wk, th_l * e_l)
+    return {"ls": jnp.asarray(ls), "tt": ctt, "ee": cee, "te": cte}

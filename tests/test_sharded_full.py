@@ -78,3 +78,45 @@ def test_sharded_pmm_wcdm_ode_growth():
     p_sh = np.asarray(jax.jit(make_sharded_pmm_fn(ZS, KS, MS, mesh))(ov))
     p_un = np.asarray(make_pmm_fn(ZS, KS, MS)(ov))
     np.testing.assert_allclose(p_sh, p_un, rtol=1e-10)
+
+
+def test_sharded_boltzlite_matches_unsharded():
+    """k-sharded Boltzmann solve + l-sharded Bessel projection == the
+    single-device boltzlite path (tiny stability-respecting grids:
+    dx_c ~ 0.028 keeps explicit RK4 stable to k ~ 0.023/Mpc)."""
+    import jax.numpy as jnp
+    from hmvec_tpu.params import merge_params
+    from hmvec_tpu.models import background as bgmod
+    from hmvec_tpu.models import recomb
+    from hmvec_tpu.models import boltzlite as bl
+    from hmvec_tpu.parallel.sharding import (
+        make_mesh, sharded_solve_perturbations, sharded_cls_from_sources)
+
+    p = merge_params({})
+    bg = bgmod.background(p)
+    rec = recomb.recombination(bg)
+    ctx = bl.make_ctx(bg, rec)
+    kw = dict(n_a=200, n_b_outer=80, n_b_inner=2, n_c_outer=60,
+              n_c_inner=3)
+    ks = np.geomspace(2e-4, 0.02, 10)          # pads 10 -> 16 on 8 devices
+
+    sol = bl.solve_perturbations(ctx, jnp.asarray(ks), **kw)
+    mesh = make_mesh(8, axis_name="k")
+    sol_s = sharded_solve_perturbations(ctx, ks, mesh, **kw)
+    # rtol: CPU XLA vectorizes the RK4 differently for local batch
+    # width 2 vs 10 (fma regrouping) -- last-bits only
+    st, st_s = np.asarray(sol.states), np.asarray(sol_s.states)
+    scale = np.max(np.abs(st), axis=(0, 1), keepdims=True)
+    np.testing.assert_allclose(st_s / scale, st / scale, atol=1e-9)
+    np.testing.assert_allclose(float(sol_s.zeta_unit),
+                               float(sol.zeta_unit), rtol=1e-12)
+
+    src = bl.compute_sources(ctx, sol)
+    ls = np.array([4, 9, 20, 40, 70])          # pads 5 -> 8
+    ks_fine = np.linspace(2e-4, 0.95 * 0.02, 300)
+    cl = bl.cls_from_sources(src, bg, ls, jnp.asarray(ks_fine))
+    cl_s = sharded_cls_from_sources(src, bg, ls, ks_fine, mesh)
+    for key in ("tt", "ee", "te"):
+        np.testing.assert_allclose(np.asarray(cl_s[key]),
+                                   np.asarray(cl[key]), rtol=1e-10,
+                                   err_msg=key)
