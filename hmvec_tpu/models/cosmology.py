@@ -228,6 +228,9 @@ class Cosmology:
             if version == "mead2015":
                 from .hmcode import hmcode_power
                 return hmcode_power(self, zs, ks, version="2015")
+            if version == "mead2020":
+                from .hmcode import hmcode_power
+                return hmcode_power(self, zs, ks, version="2020")
             from .halofit import halofit_power
             if version in ("original", "smith", "smith03"):
                 return halofit_power(self, zs, ks, version="original")
@@ -235,9 +238,10 @@ class Cosmology:
                 return halofit_power(self, zs, ks, version=version)
             raise ValueError(
                 f"halofit version {version!r}: supported are 'mead' "
-                "(HMcode-2016, default), 'mead2015', 'takahashi', "
-                "'original', 'bird', 'peacock', 'casarini' (the "
-                "reference's bin/test_halofit.py sweep)")
+                "(HMcode-2016, default), 'mead2015', 'mead2020', "
+                "'takahashi', 'original', 'bird', 'peacock', 'casarini' "
+                "(the reference's bin/test_halofit.py sweep + CAMB>=1.3's "
+                "default)")
         if self.engine.name == "eh":
             return _eh_pzk_j(self.bg, zs, ks, self.growth_mode)
         return self.engine.pzk_grid(self.bg, zs, ks, nonlinear=False,

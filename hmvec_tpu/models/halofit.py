@@ -31,7 +31,8 @@ Versions here:
   evaluated, per redshift, in the equivalent constant-w cosmology
   (see casarini_weff) -- identical to 'takahashi' when wa = 0.
 
-'mead' / 'mead2015' live in models/hmcode.py.  All versions share the
+'mead' / 'mead2015' / 'mead2020' live in models/hmcode.py.  All
+halofit versions here share the
 quasi-linear + halo-term structure; only the fitted coefficient
 polynomials in (n_eff, C) and the f_i(Omega) exponents differ.
 Coefficients transcribed from the published papers; the Takahashi set

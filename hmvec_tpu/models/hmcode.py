@@ -63,6 +63,27 @@ from . import background as bgmod
 _KG = np.geomspace(1e-4, 1e3, 1536)
 _LNKW = trapz_weights(np.log(_KG))
 
+# static Gaussian-in-lnk smoothing matrix for the HMcode-2020 dewiggle:
+# P_smooth = T * exp(S @ ln(P/T)) with T the EH98 zero-baryon template
+# removes the BAO oscillation (lnk period ~0.05-0.3 over the BAO range)
+# while preserving the broadband -- smoothing the RATIO cancels the
+# sigma^2/2 * curvature bias that smoothing ln P directly would leave,
+# and the construction is exactly invariant to the template's
+# normalization (rows are renormalized, so a constant passes through).
+# One (nkg, nkg) matmul on the static grid.
+_DW_SIGMA = 0.25
+
+
+def _dewiggle_matrix():
+    lnk = np.log(_KG)
+    d = lnk[None, :] - lnk[:, None]
+    S = np.exp(-0.5 * (d / _DW_SIGMA) ** 2)
+    S /= S.sum(axis=1, keepdims=True)
+    return S
+
+
+_DW_S = _dewiggle_matrix()
+
 # internal halo-mass grid (Msun, no h): wide enough that the nu-integral
 # tails are negligible at both ends for 0 <= z <~ 6
 _MS = np.geomspace(1e6, 1e18, 256)
@@ -132,7 +153,7 @@ def _sigma_v2(delta2_g, R):
 
 def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
                      num_iter: int = 60, growth_mode: str = "closed",
-                     version: str = "2016"):
+                     version: str = "2016", plin_ref_g=None):
     """HMcode nonlinear P(k,z) from precomputed linear power.
 
     bg: BackgroundParams; zs: (nz,); ks: (nk,); plin_g: (nz, nkg) linear P
@@ -151,6 +172,27 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     replaced with k^4/(1+k^4).  PROVENANCE: transcribed from the 2015
     paper like the 2016 set (module docstring); twin-pinned in
     tests/test_hmcode.py but without an external anchor of its own.
+
+    version '2020' (Mead et al 2021, arXiv:2009.01858; CAMB >= 1.3's
+    default 'mead2020'): physical spherical-collapse dc/Dv
+    (Nakamura-Suto / Bryan-Norman forms -- a documented stand-in for
+    the Mead-2017 fitting functions, sub-% for LCDM-like backgrounds),
+    concentration amplitude B = 5.196 (A_bary is ignored; no Dolag DE
+    correction -- exactly absent for LCDM), and the Table-2 sigma8(z)
+    scaling laws: eta = 0.1281 s8^-0.3644, k* = 0.05618 s8^-1.013
+    [h/Mpc], alpha = 1.875 * 1.603^neff, and the
+    perturbation-theory-inspired two-halo damping on the DEWIGGLED
+    linear power P_dw [1 - f y^nd/(1+y^nd)], y = k/kd, with
+    f = 0.2696 s8^0.9403, kd = 0.05699 s8^-1.089 [h/Mpc], nd = 2.853;
+    P_dw = smooth + (P - smooth) exp(-k^2 sigma_v^2(z)) with the
+    template-ratio Gaussian smoothing above (requires plin_ref_g, the
+    EH98 zero-baryon template on the _KG grid).  The cold-vs-total
+    spectrum split and the feedback (T_AGN) variant are not
+    implemented: massive neutrinos enter through the EH99-suppressed
+    total power as in '2016' (documented deviation).  PROVENANCE: the
+    five scaling laws and B are memory-transcriptions of Table 2 --
+    twin-pinned and property-tested, no external number available in
+    this offline environment.
     """
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
@@ -173,20 +215,32 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     if version == "2015":                                # Mead15 table 2
         dc = 1.59 + 0.0314 * jnp.log(sigma8_z)
         eta = 0.603 - 0.3 * sigma8_z
+        Dv = 418.0 * omz ** -0.352
+    elif version == "2020":
+        # physical spherical collapse (NS97 / BN98), mean-density Dv
+        dc = (3.0 / 20.0) * (12.0 * jnp.pi) ** (2.0 / 3.0) * (
+            1.0 + 0.012299 * jnp.log10(omz))
+        xbn = omz - 1.0
+        Dv = (18.0 * jnp.pi**2 + 82.0 * xbn - 39.0 * xbn**2) / omz
+        eta = 0.1281 * sigma8_z ** -0.3644
     else:                                                # Mead16 table 1
         dc = ((1.59 + 0.0314 * jnp.log(sigma8_z))
               * (1.0 + 0.0123 * jnp.log10(omz)))
         eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
-    Dv = 418.0 * omz ** -0.352
+        Dv = 418.0 * omz ** -0.352
 
     sv2 = _sigma_v2(delta2_g, 0.0)                       # (nz,)
     sv = jnp.sqrt(sv2)
     if version == "2015":
         fdamp = jnp.clip(0.188 * sigma8_z ** 4.29, 1e-3, 0.99)
+        kstar = 0.584 / sv
+    elif version == "2020":
+        fdamp = jnp.clip(0.2696 * sigma8_z ** 0.9403, 1e-3, 0.99)
+        kstar = 0.05618 * sigma8_z ** -1.013 * h         # table-2, h/Mpc
     else:
         sv100 = jnp.sqrt(_sigma_v2(delta2_g, 100.0 / h))  # R = 100 Mpc/h
         fdamp = jnp.clip(0.0095 * (sv100 * h) ** 1.37, 1e-3, 0.99)
-    kstar = 0.584 / sv
+        kstar = 0.584 / sv
 
     # --- neff at the nonlinear scale (top-hat sigma = 1) ---------------
     lo = jnp.full((zs.size,), jnp.log(1e-4))
@@ -204,6 +258,8 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     neff = -3.0 - dlns2_nl
     if version == "2015":
         alpha = 2.93 * 1.77**neff
+    elif version == "2020":
+        alpha = 1.875 * 1.603**neff
     else:
         alpha = 3.24 * 1.85**neff
 
@@ -241,8 +297,12 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
 
     zlo, zhi = jax.lax.fori_loop(0, num_iter, zbody, (zlo, zhi))
     zf = (zlo + zhi) / 2.0
-    c = A_bary * (1.0 + zf) / (1.0 + zs[:, None])
-    c = jnp.maximum(c, A_bary)       # z_f < z collapses to c = A
+    # concentration amplitude: the feedback knob A in 2015/2016, the
+    # refitted B = 5.196 in 2020 (whose feedback enters via T_AGN, not
+    # implemented -- A_bary deliberately ignored there)
+    c_amp = 5.196 if version == "2020" else A_bary
+    c = c_amp * (1.0 + zf) / (1.0 + zs[:, None])
+    c = jnp.maximum(c, c_amp)        # z_f < z collapses to c = amp
 
     # comoving virial and scale radii from the fitted Dv (mean-density def)
     rv = rl[None, :] / Dv[:, None] ** (1.0 / 3.0)
@@ -262,10 +322,32 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
         d2_1h = d2_1h * ky**4 / (1.0 + ky**4)
 
     # --- two-halo term (damped linear) ----------------------------------
-    d2_lin = plin * ks[None, :] ** 3 / (2.0 * np.pi**2)
-    f = fdamp[:, None]
-    d2_2h = d2_lin * (1.0 - f * jnp.tanh(ks[None, :] * sv[:, None]
-                                         / jnp.sqrt(f)) ** 2)
+    if version == "2020":
+        if plin_ref_g is None:
+            raise ValueError("hmcode version '2020' needs plin_ref_g "
+                             "(EH98 zero-baryon template on the _KG "
+                             "grid) for the dewiggle")
+        # dewiggle on the static grid: template-ratio Gaussian smoothing
+        # then sigma_v^2 damping of the wiggle component (2009.01858
+        # sec. 2; one matmul, exactly template-normalization-invariant)
+        lnr = jnp.log(plin_g / plin_ref_g)               # (nz, nkg)
+        p_sm_g = plin_ref_g * jnp.exp(
+            jnp.einsum("ij,zj->zi", jnp.asarray(_DW_S), lnr))
+        wig_damp = jnp.exp(-(kg**2)[None, :] * sv2[:, None])
+        p_dw_g = p_sm_g + (plin_g - p_sm_g) * wig_damp
+        # transfer the (smooth in lnk) dewiggle ratio to the target ks
+        lnrat_g = jnp.log(p_dw_g / plin_g)
+        lnk_t, lnk_g = jnp.log(ks), jnp.log(kg)
+        rat_t = jax.vmap(lambda r: jnp.interp(lnk_t, lnk_g, r))(lnrat_g)
+        d2_dw = plin * jnp.exp(rat_t) * ks[None, :] ** 3 / (2.0 * np.pi**2)
+        kd = 0.05699 * sigma8_z ** -1.089 * h            # table-2, h/Mpc
+        ynd = (ks[None, :] / kd[:, None]) ** 2.853
+        d2_2h = d2_dw * (1.0 - fdamp[:, None] * ynd / (1.0 + ynd))
+    else:
+        d2_lin = plin * ks[None, :] ** 3 / (2.0 * np.pi**2)
+        f = fdamp[:, None]
+        d2_2h = d2_lin * (1.0 - f * jnp.tanh(ks[None, :] * sv[:, None]
+                                             / jnp.sqrt(f)) ** 2)
 
     # --- quasi-linear smoothing ------------------------------------------
     al = alpha[:, None]
@@ -323,6 +405,14 @@ def hmcode_power(cosmo, zs, ks, A_bary=None, version: str = "2016"):
     plin = plin_fn(bg, zs, jnp.asarray(ks))
     sigma8_0 = jnp.sqrt(cosmo.get_sigma2_R(8.0 / (bg.H0 / 100.0),
                                            jnp.asarray([0.0]))[0, 0])
+    plin_ref_g = None
+    if version == "2020":
+        # EH98 zero-baryon dewiggle template (broadband only; the
+        # construction is invariant to its normalization)
+        from . import linear_power as lpm
+        plin_ref_g = lpm.plin_approx(bg, zs, jnp.asarray(_KG),
+                                     kind="eisenhu", growth_mode=gm)
     return _hmcode_nl_j(bg, zs, jnp.asarray(ks), plin_g, plin, sigma8_0,
                         jnp.asarray(A_bary, dtype=jnp.float64),
-                        growth_mode=gm, version=version)
+                        growth_mode=gm, version=version,
+                        plin_ref_g=plin_ref_g)

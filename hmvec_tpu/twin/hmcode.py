@@ -140,19 +140,30 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
         if version == "2015":
             dc = 1.59 + 0.0314 * np.log(sigma8_z)
             eta = 0.603 - 0.3 * sigma8_z
+            Dv = 418.0 * om ** -0.352
+        elif version == "2020":
+            dc = (3.0 / 20.0) * (12.0 * np.pi) ** (2.0 / 3.0) * (
+                1.0 + 0.012299 * np.log10(om))
+            xbn = om - 1.0
+            Dv = (18.0 * np.pi**2 + 82.0 * xbn - 39.0 * xbn**2) / om
+            eta = 0.1281 * sigma8_z ** -0.3644
         else:
             dc = (1.59 + 0.0314 * np.log(sigma8_z)) \
                 * (1.0 + 0.0123 * np.log10(om))
             eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
-        Dv = 418.0 * om ** -0.352
+            Dv = 418.0 * om ** -0.352
 
         sv = np.sqrt(_sigma_v2(d2k, 0.0))
         if version == "2015":
             fdamp = float(np.clip(0.188 * sigma8_z ** 4.29, 1e-3, 0.99))
+            kstar = 0.584 / sv
+        elif version == "2020":
+            fdamp = float(np.clip(0.2696 * sigma8_z ** 0.9403, 1e-3, 0.99))
+            kstar = 0.05618 * sigma8_z ** -1.013 * h
         else:
             sv100 = np.sqrt(_sigma_v2(d2k, 100.0 / h))
             fdamp = float(np.clip(0.0095 * (sv100 * h) ** 1.37, 1e-3, 0.99))
-        kstar = 0.584 / sv
+            kstar = 0.584 / sv
 
         # nonlinear scale: sigma(R) = 1 (sigma^2 decreasing in R)
         lr_nl = brentq(lambda lr: _sigma2_of_R(d2k, np.exp(lr))[0] - 1.0,
@@ -161,6 +172,8 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
         neff = -3.0 - ds2_nl / s2_nl
         if version == "2015":
             alpha = 2.93 * 1.77**neff
+        elif version == "2020":
+            alpha = 1.875 * 1.603**neff
         else:
             alpha = 3.24 * 1.85**neff
 
@@ -194,7 +207,8 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
                 zf = 100.0
             else:
                 zf = brentq(gdiff, 0.0, 100.0, xtol=1e-12)
-            c_arr[im] = max(A_bary * (1.0 + zf) / (1.0 + z), A_bary)
+            camp = 5.196 if version == "2020" else A_bary
+            c_arr[im] = max(camp * (1.0 + zf) / (1.0 + z), camp)
 
         rv = rl / Dv ** (1.0 / 3.0)
         rs = rv / c_arr
@@ -215,9 +229,30 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
             d2_1h = d2_1h * ky**4 / (1.0 + ky**4)
 
         # two-halo term
-        d2_lin = plin_t[iz] * ks**3 / (2.0 * np.pi**2)
-        d2_2h = d2_lin * (1.0 - fdamp * np.tanh(
-            ks * sv / np.sqrt(fdamp)) ** 2)
+        if version == "2020":
+            # dewiggle: Gaussian smoothing (sigma_lnk = 0.25, rows
+            # renormalized) of ln(P / EH-nowiggle template), explicit
+            # convolution loop; then sigma_v^2 damping of the wiggle
+            pref = tc.plin_approx(np.array([z]), _KG, kind="eisenhu")[0]
+            lnr = np.log(plin_g[iz] / pref)
+            sm = np.empty(_KG.size)
+            for i in range(_KG.size):
+                w = np.exp(-0.5 * ((_LNKG - _LNKG[i]) / 0.25) ** 2)
+                sm[i] = np.dot(w, lnr) / w.sum()
+            p_sm = pref * np.exp(sm)
+            p_dw_g = p_sm + (plin_g[iz] - p_sm) * np.exp(
+                -(_KG**2) * sv**2)
+            rat = np.interp(np.log(ks), _LNKG,
+                            np.log(p_dw_g / plin_g[iz]))
+            p_dw = plin_t[iz] * np.exp(rat)
+            kd = 0.05699 * sigma8_z ** -1.089 * h
+            ynd = (ks / kd) ** 2.853
+            d2_2h = (p_dw * ks**3 / (2.0 * np.pi**2)
+                     * (1.0 - fdamp * ynd / (1.0 + ynd)))
+        else:
+            d2_lin = plin_t[iz] * ks**3 / (2.0 * np.pi**2)
+            d2_2h = d2_lin * (1.0 - fdamp * np.tanh(
+                ks * sv / np.sqrt(fdamp)) ** 2)
 
         d2 = (d2_2h**alpha + d2_1h**alpha) ** (1.0 / alpha)
         out[iz] = d2 * (2.0 * np.pi**2) / ks**3

@@ -135,7 +135,7 @@ def test_halofit_version_dispatch():
     zs = np.array([0.0])
     ps = {v: np.asarray(c.P_mm_nonlinear(ks, zs, halofit_version=v))
           for v in ("takahashi", "original", "bird", "peacock",
-                    "casarini", "mead", "mead2015")}
+                    "casarini", "mead", "mead2015", "mead2020")}
     for v, p in ps.items():
         assert np.all(np.isfinite(p)) and np.all(p > 0), v
     assert not np.allclose(ps["original"], ps["takahashi"])

@@ -89,6 +89,50 @@ def test_mead2015_version(cosmo):
     assert np.max(np.abs(r - 1.0)) > 0.02                 # but a real one
 
 
+def test_mead2020_version(cosmo):
+    """HMcode-2020 ('mead2020', CAMB >= 1.3's default): twin parity of
+    the full pipeline incl. the dewiggled, PT-damped two-halo term, plus
+    structural properties -- exact linear limit, bounded revision vs
+    2016, and the dewiggle actually suppressing the BAO oscillation of
+    the two-halo residual."""
+    from hmvec_tpu.twin.core import TwinCosmology
+    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
+
+    zs = np.array([0.0, 1.0])
+    ks = np.geomspace(1e-3, 30.0, 64)
+    pj = np.asarray(hmcode_power(cosmo, zs, ks, version="2020"))
+    pt = hmcode_nonlinear_twin(TwinCosmology(), zs, ks, version="2020")
+    assert np.max(np.abs(pj / pt - 1.0)) < 1e-8
+
+    p16 = np.asarray(hmcode_power(cosmo, zs, ks))
+    r = pj / p16
+    assert np.max(np.abs(r[:, ks < 3e-3] - 1.0)) < 1e-2   # linear limit
+    assert 0.8 < r.min() and r.max() < 1.25               # bounded revision
+    assert np.max(np.abs(r - 1.0)) > 0.02                 # but a real one
+
+
+def test_mead2020_dewiggle_suppresses_bao(cosmo):
+    """The 2020 two-halo term must carry DAMPED BAO wiggles: the
+    oscillatory residual of P_2h-dominated scales against a smooth
+    reference is smaller for mead2020 than for mead2016 (which keeps
+    the full linear wiggles)."""
+    zs = np.array([0.0])
+    ks = np.geomspace(0.05, 0.35, 220)                    # BAO range
+    p20 = np.asarray(hmcode_power(cosmo, zs, ks, version="2020"))[0]
+    p16 = np.asarray(hmcode_power(cosmo, zs, ks))[0]
+    pnw = np.asarray(cosmo.P_lin_approx(ks, zs, type="eisenhu"))[0]
+
+    def wiggle_power(p):
+        r = np.log(p / pnw)
+        # remove the broadband with a quadratic fit in lnk, keep the
+        # oscillation
+        x = np.log(ks)
+        resid = r - np.polyval(np.polyfit(x, r, 2), x)
+        return np.sqrt(np.mean(resid**2))
+
+    assert wiggle_power(p20) < 0.75 * wiggle_power(p16)
+
+
 def test_eta0_matches_mead2015_table2():
     """External anchor: the 2016 tied relation eta0 = 0.98 - 0.12 A at the
     DMONLY amplitude A = 3.13 must recover the independently fitted
