@@ -30,7 +30,10 @@ from .models.ksz import (kSZ, Nvv, get_ksz_snr, Ngg,  # noqa: F401,E402
 from .models.cov import GaussianCov, knox_cov, bin_annuli  # noqa: F401,E402
 from .models.power import (total_matter_power_spectrum,  # noqa: F401,E402
                            total_matter_galaxy_power_spectrum)
-from .models.profiles import duffy_concentration  # noqa: F401,E402
+from .models.profiles import (  # noqa: F401,E402
+    duffy_concentration, Fcon, battaglia_gas_fit, rho_nfw, rho_nfw_x,
+    rhoscale_nfw, rho_gas, rho_gas_generic, rho_gas_generic_x, P_e,
+    P_e_generic, P_e_generic_x)
 from .models.mass_conversion import mdelta_from_mdelta  # noqa: F401,E402
 from .ops.sine_transform import generic_profile_fft  # noqa: F401,E402
 from .pipeline import (make_pmm_fn, make_lensing_cls_fn,  # noqa: F401,E402

@@ -126,6 +126,19 @@ Mhalo_stellar = mhalo_from_mstellar
 avg_Nc = avg_nc
 avg_NsNsm1 = avg_nsnsm1
 avg_NcNs = avg_ncns
+hod_default_mfunc = _default_mfunc
+
+
+def avg_Ns(log10mhalo, z, log10mstellar_thresh, Nc=None,
+           sig_log_mstellar=None, alphasat=None, Bsat=None, betasat=None,
+           Bcut=None, betacut=None, Msat_override=None, Mcut_override=None):
+    """<Ns(m)> with the reference's flat-kwarg signature (hmvec.py:708)."""
+    if Nc is None:
+        Nc = avg_nc(log10mhalo, z, log10mstellar_thresh, sig_log_mstellar)
+    hp = {"hod_alphasat": alphasat, "hod_Bsat": Bsat,
+          "hod_betasat": betasat, "hod_Bcut": Bcut, "hod_betacut": betacut}
+    return avg_ns(log10mhalo, z, log10mstellar_thresh, Nc, hp,
+                  Msat_override=Msat_override, Mcut_override=Mcut_override)
 
 
 class HODGrid(NamedTuple):

@@ -252,3 +252,67 @@ def rvir_grid(ms, zs, mdef, rhocritz, rhomz, omz):
     if mdef == "mean":
         return R_from_M(ms, rhomz[:, None], 200.0)
     raise ValueError(mdef)
+
+
+# --- reference-signature free functions (hmvec.py:737, :800-932) -----------
+# Thin wrappers over the dict-plumbed kernels above so reference call sites
+# work verbatim; fit parameters default from battaglia_defaults[family]
+# exactly like the reference's keyword defaults.
+
+Fcon = fcon
+battaglia_gas_fit = battaglia_fit
+
+
+def _gas_fit_params(family, over):
+    from ..params import battaglia_defaults
+    fp = dict(battaglia_defaults[family])
+    fp.update({k: v for k, v in over.items() if v is not None})
+    return fp
+
+
+def rho_gas_generic_x(x, m200critz, z, omb, omm, rhocritz, gamma=-0.2,
+                      family="AGN", **fit_kwargs):
+    """Battaglia-16 gas density at x = 2r/R200c (hmvec.py:844-860
+    signature; fit params rho0_A0...beta_alphaz default from
+    battaglia_defaults[family], override by keyword)."""
+    return rho_gas_x(x, m200critz, z, omb, omm, rhocritz, gamma,
+                     _gas_fit_params(family, fit_kwargs))
+
+
+def rho_gas_generic(r, m200critz, z, omb, omm, rhocritz, gamma=-0.2,
+                    family="AGN", **fit_kwargs):
+    """Battaglia-16 gas density at physical r (hmvec.py:819-842)."""
+    from .mass_function import R_from_M
+    R200 = R_from_M(m200critz, rhocritz, delta=200)
+    return rho_gas_generic_x(2.0 * r / R200, m200critz, z, omb, omm,
+                             rhocritz, gamma, family, **fit_kwargs)
+
+
+def rho_gas(r, m200critz, z, omb, omm, rhocritz, gamma=-0.2,
+            profile="AGN"):
+    """AGN/SH Battaglia-16 gas density rho(r) (hmvec.py:804-817)."""
+    return rho_gas_generic(r, m200critz, z, omb, omm, rhocritz, gamma,
+                           family=profile)
+
+
+def P_e_generic_x(x, m200critz, R200critz, z, omb, omm, rhocritz,
+                  alpha=1.0, gamma=-0.3, family="pres", **fit_kwargs):
+    """Battaglia-16 electron pressure at x = r/R200c (hmvec.py:906-927)."""
+    return pressure_x(x, m200critz, R200critz, z, omb, omm, rhocritz,
+                      alpha, gamma, _gas_fit_params(family, fit_kwargs))
+
+
+def P_e_generic(r, m200critz, z, omb, omm, rhocritz, alpha=1.0,
+                gamma=-0.3, family="pres", **fit_kwargs):
+    """Battaglia-16 electron pressure at physical r (hmvec.py:881-905)."""
+    from .mass_function import R_from_M
+    R200 = R_from_M(m200critz, rhocritz, delta=200)
+    return P_e_generic_x(r / R200, m200critz, R200, z, omb, omm, rhocritz,
+                         alpha, gamma, family, **fit_kwargs)
+
+
+def P_e(r, m200critz, z, omb, omm, rhocritz, alpha=1.0, gamma=-0.3,
+        profile="pres"):
+    """Battaglia-16 electron pressure P_e(r) (hmvec.py:864-879)."""
+    return P_e_generic(r, m200critz, z, omb, omm, rhocritz, alpha, gamma,
+                       family=profile)

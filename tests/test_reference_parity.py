@@ -304,6 +304,37 @@ def test_hod_occupancies_vs_reference():
             rh.avg_NcNs(ref_nc, ref_ns, corr), rtol=1e-10, atol=1e-20)
 
 
+def test_battaglia_r_level_wrappers_vs_reference():
+    """The reference-signature r-level free functions rho_gas/P_e
+    (hmvec.py:804-817, :864-879) -- verifies the R200-from-M200c and
+    x = 2r/R200 (density) vs x = r/R200 (pressure) conventions, not
+    just the x-level shape functions."""
+    rh = load_ref("hmvec")
+    import hmvec_tpu as hmt
+
+    r = np.geomspace(0.05, 5.0, 40)[None, None, :]
+    m200 = np.geomspace(1e13, 1e15, 5)[None, :, None]
+    z = np.array([0.8])[:, None, None]
+    omb, omm, rhocritz = 0.049, 0.31, 9.2e10
+
+    ref = rh.rho_gas(r, m200, z, omb, omm, rhocritz)
+    got = np.asarray(hmt.rho_gas(jnp.asarray(r), jnp.asarray(m200),
+                                 jnp.asarray(z), omb, omm, rhocritz))
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+    ref_p = rh.P_e(r, m200, z, omb, omm, rhocritz)
+    got_p = np.asarray(hmt.P_e(jnp.asarray(r), jnp.asarray(m200),
+                               jnp.asarray(z), omb, omm, rhocritz))
+    np.testing.assert_allclose(got_p, ref_p, rtol=1e-7)
+
+    # Fcon / battaglia_gas_fit aliases
+    np.testing.assert_allclose(np.asarray(hmt.Fcon(jnp.asarray([3.0, 7.0]))),
+                               rh.Fcon(np.array([3.0, 7.0])), rtol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(hmt.battaglia_gas_fit(1e14, 0.5, 4e3, 0.29, -0.66)),
+        rh.battaglia_gas_fit(1e14, 0.5, 4e3, 0.29, -0.66), rtol=1e-14)
+
+
 def test_battaglia_rho_gas_vs_reference():
     """rho_gas_generic_x (hmvec.py:844-861) for AGN and SH fits."""
     rh = load_ref("hmvec")
