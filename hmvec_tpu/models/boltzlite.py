@@ -464,6 +464,10 @@ class SourceTable(NamedTuple):
     s_t: jnp.ndarray      # (nk, nx) full TT source (dx measure)
     s_e: jnp.ndarray      # (nk, nx) E-polarization source g*(3/4)*Pi (dx measure)
     zeta_unit: jnp.ndarray
+    s_p: jnp.ndarray      # (nk, nx) lensing-potential source (dx measure):
+    #                       (Psi - Phi)/Hp * (chi*-chi)/(chi* chi), clamped
+    #                       to the chi < chi* support
+    chi_star: jnp.ndarray  # () comoving distance to tau = 1
 
 
 def _fd_x(y, xs):
@@ -501,9 +505,9 @@ def compute_sources(ctx: BoltzCtx, sol: PerturbSolution) -> SourceTable:
                 * (ctx.omg * (th2p - 2.0 * th2) + ctx.omnu * (n2p - 2.0 * n2)))
         pi_eq = th2 + s[_I_THP] + s[_I_THP + 2]
         local = s[_I_TH] + psi + pi_eq / 4.0
-        return local, dpsi - dphi, s[_I_VB], pi_eq
+        return local, dpsi - dphi, s[_I_VB], pi_eq, psi - s[_I_PHI]
 
-    local, isw, vb, pi_eq = jax.vmap(
+    local, isw, vb, pi_eq, weyl2 = jax.vmap(
         jax.vmap(per_kx, in_axes=(None, 0, 0)), in_axes=(0, None, 0)
     )(sol.ks, xs, sol.states)
 
@@ -513,8 +517,20 @@ def compute_sources(ctx: BoltzCtx, sol: PerturbSolution) -> SourceTable:
            * _fd_x(hp[None, :] * _fd_x(pol_in, xs), xs))
     s_t = gvis[None, :] * local + emtau[None, :] * isw + doppler + pol
     s_e = gvis[None, :] * 0.75 * pi_eq
+
+    # lensing-potential source: phi_lens = -2 int dchi W(chi) Psi_Weyl,
+    # Psi_Weyl = (psi_MB + phi_MB)/2 = (Psi - Phi)/2 in these variables,
+    # W = (chi*-chi)/(chi* chi); dchi = -dx/Hp puts it on the dx measure.
+    # The -2 * (1/2) = -1 prefactor drops out of the power spectrum.
+    x_star = jnp.interp(0.0, -jnp.log(ctx.tau_t), ctx.xs_t)
+    eta_star = jnp.interp(x_star, ctx.xs_t, ctx.eta_t)
+    chi_star = ctx.eta0 - eta_star
+    chi_safe = jnp.maximum(chi, 1e-6)
+    w_lens = jnp.maximum(chi_star - chi, 0.0) / (chi_star * chi_safe)
+    s_p = weyl2 * (w_lens / hp)[None, :]
     return SourceTable(ks=sol.ks, xs=xs, chi=chi, s_t=s_t, s_e=s_e,
-                       zeta_unit=sol.zeta_unit)
+                       zeta_unit=sol.zeta_unit, s_p=s_p,
+                       chi_star=chi_star)
 
 
 # --- spherical Bessel table ----------------------------------------------
@@ -652,6 +668,44 @@ def cls_from_sources(src: SourceTable, bg, ls, ks_fine, lmax_late: float = 60.0)
     return {"ls": jnp.asarray(ls), "tt": ctt, "ee": cee, "te": cte}
 
 
+def clpp_from_sources(src: SourceTable, bg, Ls, ks_fine):
+    """Exact (non-Limber) lensing-potential power C_phiphi at L nodes.
+
+    Projects the stored Weyl-potential source s_p through the same
+    Bessel machinery as the temperature: phi_L(k) = int dx s_p j_L(k chi),
+    C_phiphi = 4 pi int dlnk Delta^2_zeta |phi_L / zeta|^2.  No late-time
+    damping (the lensing kernel IS late-time); intended for the low-L
+    regime (L <~ 150) where the stored LOS grid resolves j_L's chi
+    oscillation and where Limber errs -- the class-API blend
+    (get_cmb_cls(approx=True)) switches to the nonlinear Limber path
+    above that.
+    """
+    s_p_f = _catmull_rom_k(src.s_p, src.ks, ks_fine)     # (nkf, nx)
+    wx = _trapz_w(src.xs)
+    umax = float(ks_fine[-1]) * float(src.chi[0]) * 1.02
+    tab_us, tab = _jl_table(Ls, umax, 0.05)
+    du = tab_us[1] - tab_us[0]
+    nu_tab = tab.shape[1]
+
+    u = ks_fine[:, None] * src.chi[None, :]
+    uf = jnp.clip(u / du, 0.0, nu_tab - 1.001)
+    u_i0 = jnp.floor(uf).astype(jnp.int32)
+    u_w = (uf - u_i0).astype(s_p_f.dtype)
+    sp_wx = s_p_f * wx[None, :]
+
+    def _proj_one(row):
+        jl = row[u_i0] * (1.0 - u_w) + row[u_i0 + 1] * u_w   # (nkf, nx)
+        return jnp.sum(sp_wx * jl, axis=-1)                  # (nkf,)
+
+    phi_l = jax.lax.map(_proj_one, tab)                      # (nl, nkf)
+
+    pzeta = (bg.As * (ks_fine / bg.pivot_scalar) ** (bg.ns - 1.0)
+             / src.zeta_unit**2)
+    wk = _trapz_w(jnp.log(ks_fine))
+    clpp = 4.0 * jnp.pi * jnp.einsum("k,lk->l", pzeta * wk, phi_l**2)
+    return {"ls": jnp.asarray(Ls), "pp": clpp}
+
+
 # --- high-level orchestration ---------------------------------------------
 
 def default_l_nodes(lmax: int):
@@ -681,7 +735,8 @@ def _interp_l_nodes(l_nodes, vals, ells):
 
 def compute_cls(params=None, lmax: int = 1500, *, zre: float = 7.7,
                 l_nodes=None, nk: int | None = None, nkf: int | None = None,
-                kmax: float | None = None):
+                kmax: float | None = None, lens_potential: bool = False,
+                lmax_pp: int = 150):
     """Engine-free unlensed scalar TT/EE/TE to lmax (muK^2, raw_cl).
 
     The labeled few-percent approximation tier standing in for the
@@ -729,4 +784,24 @@ def compute_cls(params=None, lmax: int = 1500, *, zre: float = 7.7,
     out[2:, 0] = _interp_l_nodes(lf, np.asarray(cl["tt"]), ells)
     out[2:, 1] = _interp_l_nodes(lf, np.asarray(cl["ee"]), ells)
     out[2:, 3] = _interp_l_nodes(lf, np.asarray(cl["te"]), ells)
-    return out
+    if not lens_potential:
+        return out
+
+    # exact (non-Limber) C_phiphi at low L from the same solve; zero
+    # above lmax_pp (callers blend the Limber tier there)
+    from scipy.interpolate import CubicSpline
+    lp_base = np.array([2, 3, 4, 5, 7, 9, 12, 16, 21, 27, 35, 45, 60,
+                        80, 100, 120, 150, 200], dtype=np.int64)
+    lp = lp_base[lp_base <= min(lmax_pp, lmax)]
+    clpp_nodes = np.asarray(
+        clpp_from_sources(src, bg, lp, jnp.asarray(ks_fine))["pp"])
+    lmax_p = int(lp[-1])
+    ells_p = np.arange(2, lmax_p + 1, dtype=np.float64)
+    lpf = lp.astype(np.float64)
+    # interpolate the smooth deflection-style combo [L(L+1)]^2 C /2pi
+    d_nodes = clpp_nodes * (lpf * (lpf + 1.0)) ** 2 / (2.0 * np.pi)
+    d_all = CubicSpline(np.log(lpf), d_nodes)(np.log(ells_p))
+    out_pp = np.zeros(lmax + 1)
+    out_pp[2:lmax_p + 1] = d_all * (2.0 * np.pi) \
+        / (ells_p * (ells_p + 1.0)) ** 2
+    return out, out_pp

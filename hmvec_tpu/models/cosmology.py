@@ -339,8 +339,9 @@ class Cosmology:
         supplied): the built-in reduced Boltzmann solver
         (models/boltzlite.py) computes unlensed scalar TT/EE/TE at
         few-percent accuracy through the damping tail; the lensing
-        potential comes from the Limber path (``nonlinear`` selects the
-        nonlinear matter power there); and ``'total'`` is the
+        potential blends the solver's exact (non-Limber) LOS projection
+        at L < 80 into the Limber path above L = 130 (``nonlinear``
+        selects the nonlinear matter power there); and ``'total'`` is the
         first-order flat-sky lensing convolution of the two
         (models/lensed_cls.py) -- peak smoothing and the lensed-BB
         plateau at percent-to-few-percent accuracy.  The unlensed solve
@@ -360,12 +361,20 @@ class Cosmology:
             from . import boltzlite
             from .lensed_cls import lens_cls_flat_sky
             lpad = lmax + 400
-            unl = boltzlite.compute_cls(dict(self.p), lmax=lpad)
+            unl, clpp_exact = boltzlite.compute_cls(dict(self.p),
+                                                    lmax=lpad,
+                                                    lens_potential=True)
             _, clkk = self.cmb_lensing_limber(lpad, nonlinear=nonlinear)
             ells = np.arange(lpad + 1, dtype=np.float64)
             clpp = np.zeros(lpad + 1)
             clpp[2:] = (4.0 * np.asarray(clkk)
                         / (ells[2:] ** 2 * (ells[2:] + 1.0) ** 2))
+            # low L: the exact (non-Limber) LOS projection from the
+            # Boltzmann solve replaces Limber (which errs ~1/L^2 there);
+            # linear blend over L in [80, 130], Limber-only above (where
+            # it is sub-0.1% and carries the nonlinear matter power)
+            wts = np.clip((ells - 80.0) / 50.0, 0.0, 1.0)
+            clpp = wts * clpp + (1.0 - wts) * clpp_exact[:lpad + 1]
             total = lens_cls_flat_sky(unl, clpp, lmax_out=lmax)
             dd = np.zeros((lmax + 1, 3))
             dd[2:] = 0.0

@@ -112,9 +112,10 @@ def test_superhorizon_and_constraint(bg, rec):
 
 @pytest.fixture(scope="module")
 def unl860():
-    """One full-chain unlensed solve shared by the slow anchor tests."""
+    """One full-chain unlensed solve (+ exact lens potential) shared by
+    the slow anchor tests."""
     from hmvec_tpu.models import boltzlite as bl
-    return bl.compute_cls(lmax=860)
+    return bl.compute_cls(lmax=860, lens_potential=True)
 
 
 @pytest.mark.slow
@@ -122,7 +123,7 @@ def test_cls_planck_anchors(unl860):
     """Full chain to lmax=860: the acoustic structure must land on the
     published Planck-2018-class TT/EE/TE numbers within ~10-12%
     (few-percent solver + no lensing smoothing + anchor round-off)."""
-    cls = unl860
+    cls, _ = unl860
     ells = np.arange(861, dtype=float)
     with np.errstate(invalid="ignore", divide="ignore"):
         dl = cls[:, 0] * ells * (ells + 1) / (2 * np.pi)
@@ -177,6 +178,7 @@ def test_lensed_cls_anchors(bg, unl860):
     and near-conservation of total TT power."""
     from hmvec_tpu.models.cosmology import Cosmology
     from hmvec_tpu.models.lensed_cls import lens_cls_flat_sky
+    unl, _ = unl860
     cos = Cosmology()
     _, clkk = cos.cmb_lensing_limber(860, nonlinear=True)
     ells = np.arange(861, dtype=float)
@@ -186,8 +188,8 @@ def test_lensed_cls_anchors(bg, unl860):
     # peaks at ~1.3-1.5 around L ~ 40-80
     amp60 = 1e7 * (60 * 61) ** 2 * clpp[60] / (2 * np.pi)
     assert 1.0 < amp60 < 1.8
-    lensed = lens_cls_flat_sky(unl860, clpp, lmax_out=560)
-    tt_u = unl860[:561, 0]
+    lensed = lens_cls_flat_sky(unl, clpp, lmax_out=560)
+    tt_u = unl[:561, 0]
     tt_l = lensed[:, 0]
     # peaks smoothed down, troughs filled up (percent-level at these l)
     assert 0.985 < tt_l[220] / tt_u[220] < 0.9995
@@ -195,7 +197,7 @@ def test_lensed_cls_anchors(bg, unl860):
     assert 1.003 < tt_l[416] / tt_u[416] < 1.03
     assert tt_l[400:560].min() > 0
     # EE smoothed at its l=400 peak region
-    assert 0.97 < lensed[400, 1] / unl860[400, 1] < 0.9999
+    assert 0.97 < lensed[400, 1] / unl[400, 1] < 0.9999
     # lensed BB plateau ~2e-6 muK^2 (input-truncation at 860 costs some
     # of the l'>860 EE feed, so allow a generous band)
     assert 5e-7 < lensed[300, 2] < 4e-6
@@ -205,6 +207,38 @@ def test_lensed_cls_anchors(bg, unl860):
     assert abs(p_l / p_u - 1.0) < 0.01
 
 
+@pytest.mark.slow
+def test_exact_lens_potential(unl860):
+    """Exact (non-Limber) C_phiphi from the Boltzmann solve:
+
+    1. external anchor -- the Planck-2018-class lensing spectrum
+       1e7 [L(L+1)]^2 C_phiphi/2pi peaks at ~1.45 around L ~ 30-60;
+    2. cross-tier consistency -- the LINEAR Limber path (an entirely
+       independent pipeline: EH98 power + Gauss-Legendre chi quadrature)
+       must agree at the few-percent level in the overlap L ~ 40-150
+       where both are valid.
+    """
+    from hmvec_tpu.models.cosmology import Cosmology
+
+    _, clpp = unl860
+    L = np.arange(861, dtype=float)
+    with np.errstate(invalid="ignore"):
+        dpp = clpp * (L * (L + 1.0)) ** 2 / (2.0 * np.pi)
+    ipk = 10 + np.argmax(dpp[10:150])
+    assert 25 < ipk < 65, ipk
+    assert 1.15 < 1e7 * dpp[ipk] < 1.75, dpp[ipk]
+
+    cos = Cosmology()
+    ells_lim, clkk = cos.cmb_lensing_limber(200, nonlinear=False)
+    ells_lim = np.asarray(ells_lim)
+    clpp_lim = 4.0 * np.asarray(clkk) / (ells_lim**2
+                                         * (ells_lim + 1.0) ** 2)
+    for Lq in (40, 60, 80, 100, 130, 150):
+        i = np.argmin(np.abs(ells_lim - Lq))
+        r = clpp[int(ells_lim[i])] / clpp_lim[i]
+        assert abs(r - 1.0) < 0.05, (Lq, r)
+
+
 def test_get_cmb_cls_approx_wiring(monkeypatch):
     """approx=True returns the labeled dict without a table; the Cls come
     from boltzlite (stubbed here -- physics is covered by the slow test)
@@ -212,29 +246,50 @@ def test_get_cmb_cls_approx_wiring(monkeypatch):
     from hmvec_tpu.models import boltzlite as bl
     from hmvec_tpu.models.cosmology import Cosmology
 
-    def fake_cls(params, lmax):
+    CPP_FAKE = 1e-8
+
+    def fake_cls(params, lmax, lens_potential=False, **kw):
         out = np.zeros((lmax + 1, 4))
         out[2:, 0] = 1.0
+        if lens_potential:
+            clpp = np.zeros(lmax + 1)
+            clpp[2:] = CPP_FAKE
+            return out, clpp
         return out
 
     monkeypatch.setattr(bl, "compute_cls", fake_cls)
     cos = Cosmology()
-    out = cos.get_cmb_cls(lmax=80, approx=True)
+    lmax = 200
+    out = cos.get_cmb_cls(lmax=lmax, approx=True)
     assert out["approx"] is True
-    assert out["unlensed_scalar"].shape == (81, 4)
-    assert out["lens_potential"].shape == (81, 3)
+    assert out["unlensed_scalar"].shape == (lmax + 1, 4)
+    assert out["lens_potential"].shape == (lmax + 1, 3)
     assert np.all(out["lens_potential"][2:, 0] > 0)
     # 'total' is the flat-sky lensing convolution of the stub spectrum:
     # right shape, finite, and nonnegative lensed BB from EE=0 stub
-    assert out["total"].shape == (81, 4)
+    assert out["total"].shape == (lmax + 1, 4)
     assert np.isfinite(out["total"][2:]).all()
     assert np.all(out["total"][2:, 2] == 0.0)   # EE=0 -> lensed BB=0
-    # conversion round-trip: kk_exact over this lens potential must give
-    # back the Limber C_kk
-    _, clkk = cos.cmb_lensing_limber(80, nonlinear=True)
+    # blend: below L=80 the lens potential is the exact (stubbed)
+    # boltzlite C_phiphi; above L=130 it is the Limber path exactly
+    ells = np.arange(lmax + 1, dtype=np.float64)
+    d_from = lambda cpp: cpp * (ells[2:] * (ells[2:] + 1.0)) ** 2 \
+        / (2.0 * np.pi)
+    dd = out["lens_potential"][2:, 0]
+    exact_d = d_from(np.full(lmax - 1, CPP_FAKE))
+    np.testing.assert_allclose(dd[: 80 - 2], exact_d[: 80 - 2], rtol=1e-12)
+    _, clkk = cos.cmb_lensing_limber(lmax, nonlinear=True)
+    clkk = np.asarray(clkk)
+    clpp_lim = 4.0 * clkk / (ells[2:] ** 2 * (ells[2:] + 1.0) ** 2)
+    np.testing.assert_allclose(dd[130 - 2:], d_from(clpp_lim)[130 - 2:],
+                               rtol=1e-12)
+    # conversion round-trip through kk_exact at the Limber-only end
     cos2 = Cosmology(cls_table={"cls_lens_potential": out["lens_potential"]})
-    _, clkk_back = cos2.cmb_lensing_kk_exact(lmax=80)
-    np.testing.assert_allclose(clkk_back[2:], np.asarray(clkk), rtol=1e-12)
+    ells_back, clkk_back = cos2.cmb_lensing_kk_exact(lmax=lmax)
+    # clkk (Limber) is indexed from ell=2; clkk_back from its own ells
+    i0 = int(np.argmin(np.abs(np.asarray(ells_back) - 130.0)))
+    np.testing.assert_allclose(np.asarray(clkk_back)[i0:],
+                               clkk[130 - 2:], rtol=1e-12)
     # without approx: still raises, message mentions both tiers
     with pytest.raises(NotImplementedError, match="boltzlite"):
         cos.get_cmb_cls(lmax=10)
