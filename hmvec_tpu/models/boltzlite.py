@@ -563,6 +563,32 @@ def _jl_interp(tab_us, tab, u):
 
 # --- C_l assembly ---------------------------------------------------------
 
+def _prep_projection(src: SourceTable, ls, ks_fine):
+    """Shared source-independent prep for every Bessel projection
+    (cls_from_sources, clpp_from_sources, and the l-sharded path in
+    parallel.sharding): trapz weights, Bessel table, u-grid gather
+    indices/weights, the 1e-6 u floor, and the late-time (x > -5) mask.
+    Keeping the numeric constants (1.02 umax margin, 0.05 du, floors)
+    in ONE place keeps the three callers in exact lockstep."""
+    wx = _trapz_w(src.xs)
+    umax = float(ks_fine[-1]) * float(src.chi[0]) * 1.02
+    tab_us, tab = _jl_table(ls, umax, 0.05)
+    du = tab_us[1] - tab_us[0]
+    u = ks_fine[:, None] * src.chi[None, :]              # (nkf, nx)
+    uf = jnp.clip(u / du, 0.0, tab.shape[1] - 1.001)
+    u_i0 = jnp.floor(uf).astype(jnp.int32)
+    dt = src.s_t.dtype
+    ls_arr = jnp.asarray(ls, dtype=dt)
+    return {
+        "wx": wx, "tab": tab, "ls_arr": ls_arr,
+        "pref_e": jnp.sqrt((ls_arr + 2) * (ls_arr + 1) * ls_arr
+                           * (ls_arr - 1)),
+        "u_i0": u_i0, "u_w": (uf - u_i0).astype(dt),
+        "u_safe2": jnp.maximum(u, 1e-6) ** 2,
+        "late": (src.xs > -5.0).astype(dt),
+    }
+
+
 def _project_l_rows(tab, ls_arr, pref_e_all, st_wx, se_wx, u_i0, u_w,
                     u_safe2, late, lmax_late):
     """Per-l Bessel projection kernel: (th_l, e_l), each (nl, nkf).
@@ -632,29 +658,13 @@ def cls_from_sources(src: SourceTable, bg, ls, ks_fine, lmax_late: float = 60.0)
     """
     s_t_f = _catmull_rom_k(src.s_t, src.ks, ks_fine)     # (nkf, nx)
     s_e_f = _catmull_rom_k(src.s_e, src.ks, ks_fine)
+    pp = _prep_projection(src, ls, ks_fine)
+    st_wx = s_t_f * pp["wx"][None, :]
+    se_wx = s_e_f * pp["wx"][None, :]
 
-    wx = _trapz_w(src.xs)                                # (nx,)
-    umax = float(ks_fine[-1]) * float(src.chi[0]) * 1.02
-    tab_us, tab = _jl_table(ls, umax, 0.05)
-    du = tab_us[1] - tab_us[0]
-    nu_tab = tab.shape[1]
-
-    u = ks_fine[:, None] * src.chi[None, :]              # (nkf, nx)
-    uf = jnp.clip(u / du, 0.0, nu_tab - 1.001)
-    u_i0 = jnp.floor(uf).astype(jnp.int32)
-    u_w = (uf - u_i0).astype(s_t_f.dtype)
-    u_safe2 = jnp.maximum(u, 1e-6) ** 2
-    ls_arr = jnp.asarray(ls, dtype=s_t_f.dtype)
-
-    # late-time suppression for high l (x > -5 is the coarse ISW grid)
-    late = (src.xs > -5.0).astype(s_t_f.dtype)
-    pref_e_all = jnp.sqrt((ls_arr + 2) * (ls_arr + 1) * ls_arr * (ls_arr - 1))
-
-    st_wx = s_t_f * wx[None, :]
-    se_wx = s_e_f * wx[None, :]
-
-    th_l, e_l = _project_l_rows(tab, ls_arr, pref_e_all, st_wx, se_wx,
-                                u_i0, u_w, u_safe2, late, lmax_late)
+    th_l, e_l = _project_l_rows(pp["tab"], pp["ls_arr"], pp["pref_e"],
+                                st_wx, se_wx, pp["u_i0"], pp["u_w"],
+                                pp["u_safe2"], pp["late"], lmax_late)
 
     # primordial curvature spectrum
     pzeta = (bg.As * (ks_fine / bg.pivot_scalar) ** (bg.ns - 1.0)
@@ -681,23 +691,15 @@ def clpp_from_sources(src: SourceTable, bg, Ls, ks_fine):
     above that.
     """
     s_p_f = _catmull_rom_k(src.s_p, src.ks, ks_fine)     # (nkf, nx)
-    wx = _trapz_w(src.xs)
-    umax = float(ks_fine[-1]) * float(src.chi[0]) * 1.02
-    tab_us, tab = _jl_table(Ls, umax, 0.05)
-    du = tab_us[1] - tab_us[0]
-    nu_tab = tab.shape[1]
-
-    u = ks_fine[:, None] * src.chi[None, :]
-    uf = jnp.clip(u / du, 0.0, nu_tab - 1.001)
-    u_i0 = jnp.floor(uf).astype(jnp.int32)
-    u_w = (uf - u_i0).astype(s_p_f.dtype)
-    sp_wx = s_p_f * wx[None, :]
+    pp = _prep_projection(src, Ls, ks_fine)
+    u_i0, u_w = pp["u_i0"], pp["u_w"]
+    sp_wx = s_p_f * pp["wx"][None, :]
 
     def _proj_one(row):
         jl = row[u_i0] * (1.0 - u_w) + row[u_i0 + 1] * u_w   # (nkf, nx)
         return jnp.sum(sp_wx * jl, axis=-1)                  # (nkf,)
 
-    phi_l = jax.lax.map(_proj_one, tab)                      # (nl, nkf)
+    phi_l = jax.lax.map(_proj_one, pp["tab"])                # (nl, nkf)
 
     pzeta = (bg.As * (ks_fine / bg.pivot_scalar) ** (bg.ns - 1.0)
              / src.zeta_unit**2)
@@ -745,7 +747,11 @@ def compute_cls(params=None, lmax: int = 1500, *, zre: float = 7.7,
     (solve_perturbations) -> LOS sources -> C_l at ~60 l-nodes ->
     Catmull-Rom in ln(l) onto all integer l.  Returns a CAMB-shaped
     (lmax+1, 4) array [TT, EE, BB, TE]; BB = 0 (no tensors/lensing),
-    rows 0-1 are 0 by convention.
+    rows 0-1 are 0 by convention.  With ``lens_potential=True`` it
+    returns the PAIR ``(cls, clpp)`` where clpp is the (lmax+1,) raw
+    C_phiphi from the exact LOS projection (clpp_from_sources), nonzero
+    for 2 <= L <= lmax_pp and zero above (callers blend the Limber tier
+    there) -- remember to unpack.
 
     Grid defaults follow the CAMB-style rule kmax ~ 2.2 lmax/eta0; the
     coarse k-grid is quadratic (resolves the pi/r_s source oscillation),

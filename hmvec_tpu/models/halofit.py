@@ -17,8 +17,9 @@ Versions here:
   (1.081 + 0.395 n^2), quasi-linear input boost 26.3 f_nu k_h^2 /
   (1 + 1.5 k_h^2), one-halo x (1 + 0.977 f_nu)).
 * 'original' (Smith et al 2003, MNRAS 341, 1311, App C with the
-  CAMB-style open/Lambda f_i interpolation).  f_nu terms are not part
-  of the 2003 fit and are ignored (use 'bird' for massive neutrinos).
+  CAMB-style open/Lambda f_i interpolation).  When f_nu > 0 it carries
+  the Bird massive-neutrino terms, as CAMB's whole Smith-2003 branch
+  does (they vanish identically at f_nu = 0).
 * 'bird' (Bird, Viel & Haehnelt 2012, arXiv:1109.4416, App A): the
   Smith fit with a refitted gamma_n (+0.3159 - 0.0765 n - 0.8350 C)
   and massive-neutrino terms (beta_n += f_nu (-6.4868 + 1.4373 n^2),
@@ -138,8 +139,11 @@ _COEFFS = {"takahashi": _coeffs_takahashi, "original": _coeffs_original,
 
 # quasi-linear massive-neutrino boost coefficient (CAMB convention):
 # plin -> plin * (1 + c * f_nu * k_h^2 / (1 + 1.5 k_h^2)) inside the
-# quasi-linear term only
-_FNU_QL = {"takahashi": 26.3, "bird": 47.48}
+# quasi-linear term only.  CAMB applies the Bird f_nu terms throughout
+# its Smith-2003 branch, so 'original' and 'peacock' carry them too
+# (all terms vanish identically at f_nu = 0).
+_FNU_QL = {"takahashi": 26.3, "bird": 47.48, "original": 47.48,
+           "peacock": 47.48}
 
 
 def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60,
@@ -158,7 +162,7 @@ def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60,
         raise ValueError(
             f"halofit version {version!r}: supported here are "
             f"{sorted(_COEFFS)} + 'casarini' via halofit_power "
-            f"(plus 'mead'/'mead2015' via models/hmcode.py)")
+            f"(plus 'mead'/'mead2015'/'mead2020' via models/hmcode.py)")
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
     kg = jnp.asarray(_KG)
@@ -192,11 +196,12 @@ def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60,
      f1, f2, f3) = _COEFFS[version](neff, C, omz, omde_w, omde)
 
     # massive-neutrino corrections (CAMB halofit conventions; fits in
-    # k_h = k/h [h/Mpc]).  beta shift: Takahashi's refit vs Bird's.
+    # k_h = k/h [h/Mpc]).  beta shift: Takahashi's refit vs the Bird
+    # form shared by the whole Smith-2003 branch.
     kh = ks / h
     if version == "takahashi":
         beta_n = beta_n + fnu * (1.081 + 0.395 * neff**2)
-    elif version == "bird":
+    else:
         beta_n = beta_n + fnu * (-6.4868 + 1.4373 * neff**2)
 
     plin = plin_fn(ks)                                  # (nz, nk)
@@ -218,9 +223,14 @@ def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60,
     delta2_h = delta2_hp / (1.0 + c1(mu_n) / y + c1(nu_n) / y**2)
     if version == "takahashi":
         delta2_h = delta2_h * (1.0 + 0.977 * fnu)
-    elif version == "bird":
-        om0 = omm0 if omm0 is not None else omz[0]
-        delta2_h = delta2_h * (1.0 + fnu * (0.977 - 18.015 * (om0 - 0.3)))
+    elif omm0 is not None:
+        delta2_h = delta2_h * (1.0 + fnu * (0.977 - 18.015 * (omm0 - 0.3)))
+    elif not (isinstance(fnu, (int, float)) and fnu == 0.0):
+        raise ValueError(
+            "halofit Smith-branch versions need omm0 (total Omega_m "
+            "today) for the massive-neutrino one-halo factor when "
+            "fnu != 0; pass omm0= (halofit_power does this "
+            "automatically)")
 
     delta2_nl = delta2_q + delta2_h
     pnl = delta2_nl * (2.0 * jnp.pi**2) / ks[None, :] ** 3
@@ -265,9 +275,11 @@ def casarini_weff(bg, zs, z_dec: float = 1100.0, nq: int = 256,
         return jnp.sum(wq * zp1 / jnp.sqrt(base + de), axis=1)
 
     # distance is monotone decreasing in w (larger w -> more DE in the
-    # past -> larger E -> shorter distance)
-    lo = jnp.full((zs.size,), -3.0)
-    hi = jnp.full((zs.size,), -1.0 / 3.0)
+    # past -> larger E -> shorter distance).  Bracket covers the full
+    # physical CPL range w(z) in [w0, w0+wa] for any sane input -- a
+    # too-narrow bracket would silently clamp w_eff to an edge.
+    lo = jnp.full((zs.size,), -10.0)
+    hi = jnp.full((zs.size,), -0.01)
 
     def body(_, carry):
         lo, hi = carry

@@ -194,6 +194,10 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     twin-pinned and property-tested, no external number available in
     this offline environment.
     """
+    if version not in ("2015", "2016", "2020"):
+        raise ValueError(f"hmcode version {version!r}: supported are "
+                         "'2015', '2016', '2020' (the class API maps "
+                         "'mead'/'mead2015'/'mead2020' onto these)")
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
     kg = jnp.asarray(_KG)

@@ -429,8 +429,12 @@ def sharded_solve_perturbations(ctx, ks, mesh: Mesh, axis_name: str = "k",
     pad = (-nk) % nd
     ks_pad = np.concatenate([ks, np.full((pad,), ks[-1])])
 
-    kw = dict(n_a=1500, n_b_outer=1050, n_b_inner=4,
-              n_c_outer=380, n_c_inner=11, x0=-18.0)
+    # inherit solve_perturbations' own defaults so the grids can never
+    # drift apart between the sharded and unsharded paths
+    import inspect
+    sig = inspect.signature(bl.solve_perturbations.__wrapped__)
+    kw = {name: par.default for name, par in sig.parameters.items()
+          if par.default is not inspect.Parameter.empty}
     kw.update(solve_kwargs)
 
     @functools.partial(shard_map, mesh=mesh,
@@ -474,23 +478,12 @@ def sharded_cls_from_sources(src, bg, ls, ks_fine, mesh: Mesh,
     ks_fine = jnp.asarray(ks_fine)
     s_t_f = bl._catmull_rom_k(src.s_t, src.ks, ks_fine)   # (nkf, nx)
     s_e_f = bl._catmull_rom_k(src.s_e, src.ks, ks_fine)
-    wx = bl._trapz_w(src.xs)
-    umax = float(ks_fine[-1]) * float(src.chi[0]) * 1.02
-    tab_us, tab = bl._jl_table(ls_pad, umax, 0.05)
-    du = tab_us[1] - tab_us[0]
-    nu_tab = tab.shape[1]
-
-    u = ks_fine[:, None] * src.chi[None, :]
-    uf = jnp.clip(u / du, 0.0, nu_tab - 1.001)
-    u_i0 = jnp.floor(uf).astype(jnp.int32)
-    u_w = (uf - u_i0).astype(s_t_f.dtype)
-    u_safe2 = jnp.maximum(u, 1e-6) ** 2
-    ls_arr = jnp.asarray(ls_pad, dtype=s_t_f.dtype)
-    late = (src.xs > -5.0).astype(s_t_f.dtype)
-    pref_e_all = jnp.sqrt((ls_arr + 2) * (ls_arr + 1) * ls_arr
-                          * (ls_arr - 1))
-    st_wx = s_t_f * wx[None, :]
-    se_wx = s_e_f * wx[None, :]
+    pp = bl._prep_projection(src, ls_pad, ks_fine)
+    tab, ls_arr, pref_e_all = pp["tab"], pp["ls_arr"], pp["pref_e"]
+    u_i0, u_w, u_safe2, late = (pp["u_i0"], pp["u_w"], pp["u_safe2"],
+                                pp["late"])
+    st_wx = s_t_f * pp["wx"][None, :]
+    se_wx = s_e_f * pp["wx"][None, :]
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(P(axis_name), P(axis_name), P(axis_name),

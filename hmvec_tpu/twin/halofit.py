@@ -115,20 +115,22 @@ def twin_halofit_power(twin, zs, ks, version="takahashi"):
             raise ValueError(version)
 
         # version-specific modifications (Bird et al 2012 App A /
-        # CAMB conventions; k-dependent fits in k_h = k/h)
+        # CAMB conventions; k-dependent fits in k_h = k/h).  The f_nu
+        # terms apply to the WHOLE Smith-2003 branch as in CAMB
+        # (original/bird/peacock); only extragam is bird-specific.
         if version == "bird":
             gamma_n = gamma_n + (0.3159 - 0.0765 * n - 0.8350 * C)
-            beta_n = beta_n + fnu * (-6.4868 + 1.4373 * n**2)
-        elif version == "takahashi":
+        if version == "takahashi":
             beta_n = beta_n + fnu * (1.081 + 0.395 * n**2)
+        else:
+            beta_n = beta_n + fnu * (-6.4868 + 1.4373 * n**2)
 
         d2l = d2lin(ks)
-        d2_ql = d2l
-        if version == "bird":
-            d2_ql = d2l * (1.0 + fnu * 47.48 * kh_all**2
-                           / (1.0 + 1.5 * kh_all**2))
-        elif version == "takahashi":
+        if version == "takahashi":
             d2_ql = d2l * (1.0 + fnu * 26.3 * kh_all**2
+                           / (1.0 + 1.5 * kh_all**2))
+        else:
+            d2_ql = d2l * (1.0 + fnu * 47.48 * kh_all**2
                            / (1.0 + 1.5 * kh_all**2))
         y = ks / ksig
         fy = y / 4.0 + y**2 / 8.0
@@ -139,7 +141,7 @@ def twin_halofit_power(twin, zs, ks, version="takahashi"):
         d2h = d2hp / (1.0 + mu_n / y + nu_n / y**2)
         if version == "takahashi":
             d2h = d2h * (1.0 + 0.977 * fnu)
-        elif version == "bird":
+        else:
             d2h = d2h * (1.0 + fnu * (0.977 - 18.015 * (omm0_tot - 0.3)))
         pnl_i = (d2q + d2h) * (2.0 * np.pi**2) / ks**3
         if version == "peacock":

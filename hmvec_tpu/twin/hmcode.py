@@ -119,6 +119,8 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
     dc without the Omega_m factor, eta0 = 0.603, f = 0.188 sigma8^4.29,
     alpha = 2.93 * 1.77^neff, exponential one-halo damping).
     """
+    if version not in ("2015", "2016", "2020"):
+        raise ValueError(f"hmcode twin version {version!r}")
     zs = np.atleast_1d(np.asarray(zs, dtype=np.float64))
     ks = np.asarray(ks, dtype=np.float64)
     h = tc.h

@@ -229,9 +229,10 @@ def test_halofit_bird_peacock_twin_parity():
         pt = twin_halofit_power(tw, zs, ks, version=v)
         np.testing.assert_allclose(pj, pt, rtol=1e-6, err_msg=v)
     # massive neutrinos exercise the f_nu terms on both sides
+    # ('peacock' covers the Smith-branch f_nu path + the excess remap)
     cn = Cosmology({"mnu": 0.25})
     twn = TwinCosmology({"mnu": 0.25})
-    for v in ("bird", "takahashi"):
+    for v in ("bird", "takahashi", "peacock"):
         pj = np.asarray(halofit_power(cn, zs, ks, version=v))
         pt = twin_halofit_power(twn, zs, ks, version=v)
         np.testing.assert_allclose(pj, pt, rtol=1e-6, err_msg=v)
