@@ -313,6 +313,45 @@ def growth_table(bg: BackgroundParams, n_steps: int = 384,
                        d=a_nodes * g, dp=a_nodes * (g + gp))
 
 
+def growth_dolag_ratio(bg: BackgroundParams, a_inf: float = 10.0,
+                       n_steps: int = 512):
+    """Dolag et al 2004 dark-energy concentration factor:
+    D_w(a_inf) / D_LCDM(a_inf), both growing modes integrated from the
+    same matter-domination initial conditions (g = D/a = 1, g' = 0 at
+    a = 1e-4).  a_inf = 10 approximates a -> infinity (the growth is
+    saturated; g decays ~1/a in any w < -1/3 background).  Exactly 1
+    for (w0, wa) = (-1, 0): the two solves are the identical program.
+    HMcode multiplies concentrations by this ratio^1.5 (Mead 2015
+    sec. 2; CAMB's HMcode implementation does the same).
+    """
+    lna_end = float(np.log(a_inf))
+    h = (lna_end - _GROWTH_LNA0) / n_steps
+    lnas = _GROWTH_LNA0 + h * jnp.arange(n_steps)
+
+    def g_end(b):
+        def step(y, lna):
+            k1 = _growth_ode_rhs(b, lna, y)
+            y2 = (y[0] + 0.5 * h * k1[0], y[1] + 0.5 * h * k1[1])
+            k2 = _growth_ode_rhs(b, lna + 0.5 * h, y2)
+            y3 = (y[0] + 0.5 * h * k2[0], y[1] + 0.5 * h * k2[1])
+            k3 = _growth_ode_rhs(b, lna + 0.5 * h, y3)
+            y4 = (y[0] + h * k3[0], y[1] + h * k3[1])
+            k4 = _growth_ode_rhs(b, lna + h, y4)
+            return (y[0] + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0]
+                                        + k4[0]),
+                    y[1] + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1]
+                                        + k4[1])), None
+
+        one = jnp.ones_like(b.w0)
+        y, _ = jax.lax.scan(step, (one, jnp.zeros_like(b.w0)), lnas,
+                            unroll=8)
+        return y[0]                       # g = D/a at a_inf (a_inf cancels)
+
+    bgl = bg._replace(w0=jnp.full_like(bg.w0, -1.0),
+                      wa=jnp.zeros_like(bg.wa))
+    return g_end(bg) / g_end(bgl)
+
+
 def growth_eval(tab: GrowthTable, a):
     """(D(a), f(a) = dlnD/dlna) by cubic-Hermite interpolation of the
     table; below the table D extends as D = a * (D0/a0) (pure matter

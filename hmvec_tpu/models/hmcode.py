@@ -40,9 +40,12 @@ quantitative anchors: the Mead-2015 Table-2 eta0 value recovered by the
 the reference's digitized OWLS/Horizon-AGN curves.  Massive neutrinos
 enter through the linear power (EH98 x the EH99 free-streaming ratio,
 transfer.eh99_neutrino_ratio) and the background; HMcode-2016's own
-explicit f_nu terms in the fitted parameters (Mead 2016 sec. 4) and the
-Dolag dark-energy correction are omitted.  w0/wa
-growth uses the integrated growing mode (background.growth_table).
+explicit f_nu terms in the fitted parameters (Mead 2016 sec. 4) are
+omitted.  w0/wa growth uses the integrated growing mode
+(background.growth_table), and the Dolag-2004 dark-energy concentration
+correction (ratio of far-future growths, ^1.5) is applied whenever the
+ODE growth engages (background.growth_dolag_ratio; exactly 1 at LCDM,
+twin-pinned for w0/wa).
 Verify against CAMB 'mead' before use where sub-percent absolute
 accuracy vs CAMB specifically matters.  Everything is jit- and
 grad-compatible.
@@ -307,6 +310,11 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     c_amp = 5.196 if version == "2020" else A_bary
     c = c_amp * (1.0 + zf) / (1.0 + zs[:, None])
     c = jnp.maximum(c, c_amp)        # z_f < z collapses to c = amp
+    if growth_mode == "ode":
+        # Dolag-2004 dark-energy correction (HMcode applies ratio^1.5);
+        # exactly 1 at the LCDM point but with real w0/wa gradients, so
+        # it engages precisely when the ODE growth does
+        c = c * bgmod.growth_dolag_ratio(bg) ** 1.5
 
     # comoving virial and scale radii from the fitted Dv (mean-density def)
     rv = rl[None, :] / Dv[:, None] ** (1.0 / 3.0)

@@ -151,6 +151,37 @@ class TwinCosmology:
         self._growth_sol = sol
         return sol
 
+    def _growth_D_at(self, a_end, w0, wa):
+        """Growing mode D(a_end) for given constant-CPL (w0, wa), MD
+        initial conditions D = a at a = 1e-4 (independent solve_ivp
+        integration in a; mirror of background.growth_dolag_ratio's
+        per-model halves)."""
+        from scipy.integrate import solve_ivp
+        omm, omk, oml = self.omm0, self.omk0, self.oml0
+
+        def rhs(a, y):
+            D, Dp = y
+            fde = a ** (-3.0 * (1.0 + w0 + wa)) * np.exp(
+                -3.0 * wa * (1.0 - a))
+            e2 = omm * a**-3 + omk * a**-2 + oml * fde
+            de2 = (-3.0 * omm * a**-4 - 2.0 * omk * a**-3
+                   + oml * fde * (-3.0 * (1.0 + w0 + wa) / a + 3.0 * wa))
+            hh = 0.5 * de2 / e2
+            om_a = omm * a**-3 / e2
+            return [Dp, -(3.0 / a + hh) * Dp + 1.5 * om_a * D / a**2]
+
+        sol = solve_ivp(rhs, (1e-4, a_end), [1e-4, 1.0],
+                        rtol=1e-11, atol=1e-14)
+        assert sol.success
+        return float(sol.y[0, -1])
+
+    def dolag_ratio(self, a_inf=10.0):
+        """Dolag-2004 factor D_w(a_inf)/D_LCDM(a_inf); 1 for LCDM."""
+        if self._is_lcdm():
+            return 1.0
+        return (self._growth_D_at(a_inf, self.w0, self.wa)
+                / self._growth_D_at(a_inf, -1.0, 0.0))
+
     def growth_unnormalized(self, a):
         a = np.asarray(a, dtype=np.float64)
         if self._is_lcdm():

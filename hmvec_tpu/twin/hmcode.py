@@ -211,6 +211,8 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
                 zf = brentq(gdiff, 0.0, 100.0, xtol=1e-12)
             camp = 5.196 if version == "2020" else A_bary
             c_arr[im] = max(camp * (1.0 + zf) / (1.0 + z), camp)
+        # Dolag-2004 dark-energy correction (^1.5), 1 for LCDM
+        c_arr = c_arr * tc.dolag_ratio() ** 1.5
 
         rv = rl / Dv ** (1.0 / 3.0)
         rs = rv / c_arr

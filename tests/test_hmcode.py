@@ -133,6 +133,35 @@ def test_mead2020_dewiggle_suppresses_bao(cosmo):
     assert wiggle_power(p20) < 0.75 * wiggle_power(p16)
 
 
+def test_dolag_ratio():
+    """Dolag-2004 DE concentration factor: exactly 1 at LCDM; for
+    w0/wa it matches the twin's independent solve_ivp integration at
+    1e-6 and moves in the direction of the growth histories (w0 > -1:
+    DE dominates earlier, growth saturates earlier, ratio < 1)."""
+    from hmvec_tpu.models import background as bgmod
+    from hmvec_tpu.params import merge_params
+    from hmvec_tpu.twin.core import TwinCosmology
+
+    bg = bgmod.background(merge_params({}))
+    assert float(bgmod.growth_dolag_ratio(bg)) == 1.0
+
+    pars = {"w0": -0.9, "wa": 0.2}
+    bgw = bgmod.background(merge_params(pars))
+    rj = float(bgmod.growth_dolag_ratio(bgw))
+    rt = TwinCosmology(pars).dolag_ratio()
+    assert abs(rj / rt - 1.0) < 1e-6, (rj, rt)
+    assert rj < 1.0
+    # phantom side: also a sub-unity, percent-level shift (the a > 1
+    # tail, where w < -1 DE grows and freezes the mode faster than
+    # Lambda, dominates the ratio) -- pinned against the same twin
+    pars2 = {"w0": -1.1, "wa": 0.0}
+    r2 = float(bgmod.growth_dolag_ratio(bgmod.background(
+        merge_params(pars2))))
+    rt2 = TwinCosmology(pars2).dolag_ratio()
+    assert abs(r2 / rt2 - 1.0) < 1e-6
+    assert 0.98 < r2 < 1.0
+
+
 def test_eta0_matches_mead2015_table2():
     """External anchor: the 2016 tied relation eta0 = 0.98 - 0.12 A at the
     DMONLY amplitude A = 3.13 must recover the independently fitted
