@@ -39,9 +39,10 @@ quantitative anchors: the Mead-2015 Table-2 eta0 value recovered by the
 2016 tied relation, and the A=2.32 feedback suppression tracked against
 the reference's digitized OWLS/Horizon-AGN curves.  Massive neutrinos
 enter through the linear power (EH98 x the EH99 free-streaming ratio,
-transfer.eh99_neutrino_ratio) and the background; HMcode-2016's own
-explicit f_nu terms in the fitted parameters (Mead 2016 sec. 4) are
-omitted.  w0/wa growth uses the integrated growing mode
+transfer.eh99_neutrino_ratio), the background, and Mead-2016's explicit
+collapse-threshold terms dc x (1 + 0.262 f_nu), Dv x (1 + 0.916 f_nu)
+(sec. 4; exact no-ops at m_nu = 0); the cold-vs-total spectrum split is
+not implemented.  w0/wa growth uses the integrated growing mode
 (background.growth_table), and the Dolag-2004 dark-energy concentration
 correction (ratio of far-future growths, ^1.5) is applied whenever the
 ODE growth engages (background.growth_dolag_ratio; exactly 1 at LCDM,
@@ -219,6 +220,7 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     gz = growth_z0norm(a)                                # g(0) = 1
     omz = bgmod.omz(bg, zs)
     sigma8_z = sigma8_0 * gz
+    fnu = bg.omnu0 / (bg.omm0 + bg.omnu0)
     if version == "2015":                                # Mead15 table 2
         dc = 1.59 + 0.0314 * jnp.log(sigma8_z)
         eta = 0.603 - 0.3 * sigma8_z
@@ -235,6 +237,12 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
               * (1.0 + 0.0123 * jnp.log10(omz)))
         eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
         Dv = 418.0 * omz ** -0.352
+    if version in ("2016", "2020"):
+        # Mead-2016 sec. 4 massive-neutrino corrections to the collapse
+        # thresholds (kept in 2020 as in CAMB's HMcode); exact no-ops at
+        # m_nu = 0
+        dc = dc * (1.0 + 0.262 * fnu)
+        Dv = Dv * (1.0 + 0.916 * fnu)
 
     sv2 = _sigma_v2(delta2_g, 0.0)                       # (nz,)
     sv = jnp.sqrt(sv2)

@@ -139,6 +139,7 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
         d2k = plin_g[iz] * _KG**3 / (2.0 * np.pi**2)
 
         sigma8_z = sigma8_0 * gz
+        fnu = tc.omnu0 / (tc.omm0 + tc.omnu0)
         if version == "2015":
             dc = 1.59 + 0.0314 * np.log(sigma8_z)
             eta = 0.603 - 0.3 * sigma8_z
@@ -154,6 +155,10 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
                 * (1.0 + 0.0123 * np.log10(om))
             eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
             Dv = 418.0 * om ** -0.352
+        if version in ("2016", "2020"):
+            # Mead-2016 sec. 4 massive-nu collapse-threshold terms
+            dc = dc * (1.0 + 0.262 * fnu)
+            Dv = Dv * (1.0 + 0.916 * fnu)
 
         sv = np.sqrt(_sigma_v2(d2k, 0.0))
         if version == "2015":

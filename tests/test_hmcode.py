@@ -133,6 +133,26 @@ def test_mead2020_dewiggle_suppresses_bao(cosmo):
     assert wiggle_power(p20) < 0.75 * wiggle_power(p16)
 
 
+def test_hmcode_massive_nu():
+    """Massive neutrinos through HMcode: twin parity (exercises the
+    Mead-2016 f_nu collapse-threshold terms and the EH99-suppressed
+    linear power on both sides) plus the nonlinear suppression shape."""
+    from hmvec_tpu.twin.core import TwinCosmology
+    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
+
+    zs = np.array([0.0])
+    ks = np.geomspace(1e-3, 20.0, 48)
+    pars = {"mnu": 0.2}
+    pj = np.asarray(hmcode_power(Cosmology(pars), zs, ks))
+    pt = hmcode_nonlinear_twin(TwinCosmology(pars), zs, ks)
+    assert np.max(np.abs(pj / pt - 1.0)) < 1e-8
+    p0 = np.asarray(hmcode_power(Cosmology({"mnu": 0.0}), zs, ks))
+    r = (pj / p0)[0]
+    i1 = np.argmin(np.abs(ks - 1.0))
+    assert r[i1] < 0.85          # strong nonlinear suppression at k ~ 1
+    assert r[0] > 0.95           # large scales barely affected
+
+
 def test_dolag_ratio():
     """Dolag-2004 DE concentration factor: exactly 1 at LCDM; for
     w0/wa it matches the twin's independent solve_ivp integration at
