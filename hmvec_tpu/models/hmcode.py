@@ -38,11 +38,12 @@ at <=1e-8 (LCDM) / <=1e-6 (w0/wa) in tests/test_hmcode.py, plus external
 quantitative anchors: the Mead-2015 Table-2 eta0 value recovered by the
 2016 tied relation, and the A=2.32 feedback suppression tracked against
 the reference's digitized OWLS/Horizon-AGN curves.  Massive neutrinos
-enter through the linear power (EH98 x the EH99 free-streaming ratio,
-transfer.eh99_neutrino_ratio), the background, and Mead-2016's explicit
-collapse-threshold terms dc x (1 + 0.262 f_nu), Dv x (1 + 0.916 f_nu)
-(sec. 4; exact no-ops at m_nu = 0); the cold-vs-total spectrum split is
-not implemented.  w0/wa growth uses the integrated growing mode
+enter with the full Mead-2016 sec. 4 recipe (exact no-ops at m_nu = 0):
+the sigma/nu machinery runs on the COLD cb spectrum (EH99 eq 12,
+transfer.eh99_neutrino_ratio(component='cb')), the one-halo term
+carries (1 - f_nu)^2 (neutrinos don't cluster in halos), the collapse
+thresholds get dc x (1 + 0.262 f_nu) and Dv x (1 + 0.916 f_nu), and the
+two-halo term keeps the total (cb+nu) linear power.  w0/wa growth uses the integrated growing mode
 (background.growth_table), and the Dolag-2004 dark-energy concentration
 correction (ratio of far-future growths, ^1.5) is applied whenever the
 ODE growth engages (background.growth_dolag_ratio; exactly 1 at LCDM,
@@ -157,7 +158,8 @@ def _sigma_v2(delta2_g, R):
 
 def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
                      num_iter: int = 60, growth_mode: str = "closed",
-                     version: str = "2016", plin_ref_g=None):
+                     version: str = "2016", plin_ref_g=None,
+                     plin_sig_g=None):
     """HMcode nonlinear P(k,z) from precomputed linear power.
 
     bg: BackgroundParams; zs: (nz,); ks: (nk,); plin_g: (nz, nkg) linear P
@@ -207,7 +209,13 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     kg = jnp.asarray(_KG)
     ms = jnp.asarray(_MS)
     h = bg.H0 / 100.0
-    delta2_g = plin_g * kg[None, :] ** 3 / (2.0 * np.pi**2)
+    # sigma machinery (variance, neff, sigma_v, nu) runs on plin_sig_g
+    # -- the COLD cb spectrum when m_nu > 0 (neutrinos don't cluster in
+    # halos; hmcode_power supplies it); the total plin_g/plin feed the
+    # two-halo term and the 2020 dewiggle
+    if plin_sig_g is None:
+        plin_sig_g = plin_g
+    delta2_g = plin_sig_g * kg[None, :] ** 3 / (2.0 * np.pi**2)
 
     gtab = bgmod.growth_table(bg) if growth_mode == "ode" else None
 
@@ -334,6 +342,10 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     w_int = (jnp.asarray(_LNMW)[None, :] * _st_gnu(nu) * dnu_dlnm
              * ms[None, :] / rho_m0)                     # (nz, nm)
     p1h = jnp.sum(w_int[..., None] * u * u, axis=1)      # (nz, nk)
+    if version in ("2016", "2020"):
+        # halos hold only the cold fraction of the matter (Mead 2016
+        # sec. 4); exact no-op at m_nu = 0
+        p1h = p1h * (1.0 - fnu) ** 2
     d2_1h = p1h * ks[None, :] ** 3 / (2.0 * np.pi**2)
     ky = ks[None, :] / kstar[:, None]
     if version == "2015":
@@ -383,7 +395,7 @@ _hmcode_nl_j = jax.jit(hmcode_nonlinear,
 _PLIN_JIT_CACHE: dict = {}
 
 
-def _plin_j(engine, accuracy, growth_mode="closed"):
+def _plin_j(engine, accuracy, growth_mode="closed", component="total"):
     """Jitted linear-power eval (class-API path: eager dispatch costs
     ~23 ms/op on the tunneled TPU, DEVNOTES.md).
 
@@ -393,15 +405,16 @@ def _plin_j(engine, accuracy, growth_mode="closed"):
     kept alive by the jitted closure.
     """
     if type(engine).__name__ == "EHEngine":
-        key = ("eh", accuracy, growth_mode)
+        key = ("eh", accuracy, growth_mode, component)
     else:
-        key = (id(engine), accuracy, growth_mode)
+        key = (id(engine), accuracy, growth_mode, component)
     fn = _PLIN_JIT_CACHE.get(key)
     if fn is None:
         if len(_PLIN_JIT_CACHE) > 16:
             _PLIN_JIT_CACHE.pop(next(iter(_PLIN_JIT_CACHE)))
+        kw = {} if component == "total" else {"component": component}
         fn = jax.jit(lambda bg, zs, ks: engine.plin(
-            bg, zs, ks, accuracy=accuracy, growth_mode=growth_mode))
+            bg, zs, ks, accuracy=accuracy, growth_mode=growth_mode, **kw))
         _PLIN_JIT_CACHE[key] = fn
     return fn
 
@@ -425,6 +438,25 @@ def hmcode_power(cosmo, zs, ks, A_bary=None, version: str = "2016"):
     plin = plin_fn(bg, zs, jnp.asarray(ks))
     sigma8_0 = jnp.sqrt(cosmo.get_sigma2_R(8.0 / (bg.H0 / 100.0),
                                            jnp.asarray([0.0]))[0, 0])
+    plin_sig_g = None
+    if (float(bg.omnu0) > 0.0 and version in ("2016", "2020")
+            and type(cosmo.engine).__name__ == "EHEngine"):
+        # cold (cb) spectrum drives the sigma/nu machinery when m_nu > 0
+        # (neutrinos don't cluster in halos); sigma8_0 rescaled by the
+        # cb/total variance ratio on the shared _KG grid so the
+        # quadrature difference vs get_sigma2_R cancels
+        plin_cb_fn = _plin_j(cosmo.engine, cosmo.accuracy, gm,
+                             component="cb")
+        plin_sig_g = plin_cb_fn(bg, zs, jnp.asarray(_KG))
+        z0 = jnp.asarray([0.0])
+        d2_tot0 = (plin_fn(bg, z0, jnp.asarray(_KG))
+                   * jnp.asarray(_KG)[None, :] ** 3 / (2.0 * np.pi**2))
+        d2_cb0 = (plin_cb_fn(bg, z0, jnp.asarray(_KG))
+                  * jnp.asarray(_KG)[None, :] ** 3 / (2.0 * np.pi**2))
+        r8 = jnp.asarray(8.0 / (bg.H0 / 100.0))[None]
+        s2_tot, _ = _tophat_moments(d2_tot0, r8)
+        s2_cb, _ = _tophat_moments(d2_cb0, r8)
+        sigma8_0 = sigma8_0 * jnp.sqrt(s2_cb[0] / s2_tot[0])
     plin_ref_g = None
     if version == "2020":
         # EH98 zero-baryon dewiggle template (broadband only; the
@@ -435,4 +467,4 @@ def hmcode_power(cosmo, zs, ks, A_bary=None, version: str = "2016"):
     return _hmcode_nl_j(bg, zs, jnp.asarray(ks), plin_g, plin, sigma8_0,
                         jnp.asarray(A_bary, dtype=jnp.float64),
                         growth_mode=gm, version=version,
-                        plin_ref_g=plin_ref_g)
+                        plin_ref_g=plin_ref_g, plin_sig_g=plin_sig_g)

@@ -51,7 +51,7 @@ def _mnu_maybe_active(omnu0) -> bool:
 
 
 def plin_approx(bg, zs, ks, kind: str = "eisenhu_osc",
-                growth_mode: str = "closed"):
+                growth_mode: str = "closed", component: str = "total"):
     """Fully analytic linear P(k,z) in Mpc^3 (reference: cosmology.py:391-402).
 
     P = [8 pi^2 As c^4 / (25 (omm H0^2)^2)] (k/kp)^(ns-1) k D(z)^2 T(k)^2
@@ -78,7 +78,8 @@ def plin_approx(bg, zs, ks, kind: str = "eisenhu_osc",
     pref = bg.As * (8.0 * np.pi**2 * CSPEED_KMS**4 / 25.0) / omh2**2
     p = pref * kfacts[None, :] * dz**2 * tk**2
     if _mnu_maybe_active(bg.omnu0):
-        p = p * eh99_neutrino_ratio(bg, ks, dz[:, 0]) ** 2
+        p = p * eh99_neutrino_ratio(bg, ks, dz[:, 0],
+                                    component=component) ** 2
     return p
 
 
@@ -90,8 +91,9 @@ class EHEngine:
     name = "eh"
 
     def plin(self, bg, zs, ks, accuracy: str = "medium",
-             growth_mode: str = "closed"):
-        p = plin_approx(bg, zs, ks, growth_mode=growth_mode)
+             growth_mode: str = "closed", component: str = "total"):
+        p = plin_approx(bg, zs, ks, growth_mode=growth_mode,
+                        component=component)
         if accuracy != "low":
             p = bg.as8**2 * p  # as8 knob applies on engine-normalized tiers
         return p

@@ -135,8 +135,13 @@ def _eh99_tsup(w_m, t27_sq, k, s_mpc, alpha_nu, beta_c):
     return L / (L + C * q_eff**2)                              # eq (18)
 
 
-def eh99_neutrino_ratio(bg, ks, d_anorm):
+def eh99_neutrino_ratio(bg, ks, d_anorm, component: str = "total"):
     """(nz, nk) ratio R with P_mnu = R^2 * P_EH98.
+
+    component: 'total' (cb+nu matter, EH99 eq 13) or 'cb' (cold
+    CDM+baryon spectrum, eq 12) -- the cb spectrum is what halo-model
+    sigma/nu should be built from when m_nu > 0 (neutrinos are too hot
+    to cluster in halos; Mead 2016 sec. 4).
 
     ``d_anorm``: (nz,) growth normalized to D -> a in matter domination
     (background.d_growth(..., norm='anorm'); EH99's D1 is (1+z_eq) times
@@ -201,8 +206,14 @@ def eh99_neutrino_ratio(bg, ks, d_anorm):
             * (nnu_m * q / f_nu_s) ** 2)                       # eq (14)
     dfs = (d1[:, None] / (1.0 + y_fs[None, :])) ** 0.7
     p_cb_s = jnp.maximum(p_cb, 1e-9)
-    d_cbnu = ((f_cb ** (0.7 / p_cb_s) + dfs) ** (p_cb / 0.7)
-              * d1[:, None] ** (1.0 - p_cb))                   # eq (13)
+    if component == "cb":
+        d_cbnu = ((1.0 + dfs) ** (p_cb / 0.7)
+                  * d1[:, None] ** (1.0 - p_cb))               # eq (12)
+    elif component == "total":
+        d_cbnu = ((f_cb ** (0.7 / p_cb_s) + dfs) ** (p_cb / 0.7)
+                  * d1[:, None] ** (1.0 - p_cb))               # eq (13)
+    else:
+        raise ValueError(component)
 
     # ---- denominator: same w_m with f_nu = 0 (f_cb0 = 1, p_cb0 = 0,
     # B0 = 1, D_cbnu0 = D1) ----

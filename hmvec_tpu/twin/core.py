@@ -273,7 +273,7 @@ class TwinCosmology:
               * np.exp(-((k / k_silk) ** 1.4))) * np.sinc(k * tilde_s / np.pi)
         return fb * tb + fc * tc
 
-    def eh99_neutrino_ratio(self, ks, d_anorm):
+    def eh99_neutrino_ratio(self, ks, d_anorm, component="total"):
         """(nz, nk) ratio R with P_mnu = R^2 * P_EH98 -- independent mirror
         of models/transfer.eh99_neutrino_ratio (EH99, astro-ph/9710252,
         equation numbers inline)."""
@@ -332,15 +332,19 @@ class TwinCosmology:
         y_fs = (17.2 * f_nu * (1.0 + 0.488 * f_nu ** (-7.0 / 6.0))
                 * (nnu_m * q / f_nu) ** 2)                     # eq (14)
         dfs = (d1[:, None] / (1.0 + y_fs[None, :])) ** 0.7
-        d_cbnu = ((f_cb ** (0.7 / p_cb) + dfs) ** (p_cb / 0.7)
-                  * d1[:, None] ** (1.0 - p_cb))               # eq (13)
+        if component == "cb":
+            d_cbnu = ((1.0 + dfs) ** (p_cb / 0.7)
+                      * d1[:, None] ** (1.0 - p_cb))           # eq (12)
+        else:
+            d_cbnu = ((f_cb ** (0.7 / p_cb) + dfs) ** (p_cb / 0.7)
+                      * d1[:, None] ** (1.0 - p_cb))           # eq (13)
 
         f_c0 = 1.0 - f_b
         tsup0 = tsup_of(alpha_of(p_of(f_c0), 0.0, f_c0),
                         1.0 / (1.0 - 0.949 * f_b))
         return (tsup * Bk)[None, :] / tsup0[None, :] * (d_cbnu / d1[:, None])
 
-    def plin_approx(self, zs, ks, kind="eisenhu_osc"):
+    def plin_approx(self, zs, ks, kind="eisenhu_osc", component="total"):
         zs = np.atleast_1d(np.asarray(zs, dtype=np.float64))
         ks = np.asarray(ks, dtype=np.float64)
         tk = self.transfer(ks, kind)[None, :]
@@ -350,11 +354,12 @@ class TwinCosmology:
         pref = self.As * (8.0 * np.pi**2 * CSPEED_KMS**4 / 25.0) / omh2**2
         p = pref * kfacts[None, :] * dz**2 * tk**2
         if self.omnu0 > 0.0:
-            p = p * self.eh99_neutrino_ratio(ks, dz[:, 0]) ** 2
+            p = p * self.eh99_neutrino_ratio(ks, dz[:, 0],
+                                             component=component) ** 2
         return p
 
-    def plin(self, zs, ks, accuracy="medium"):
-        p = self.plin_approx(zs, ks)
+    def plin(self, zs, ks, accuracy="medium", component="total"):
+        p = self.plin_approx(zs, ks, component=component)
         if accuracy != "low":
             p = self.as8**2 * p
         return p

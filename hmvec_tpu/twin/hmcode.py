@@ -128,6 +128,18 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
     plin_g = tc.plin(zs, _KG)                       # (nz, nkg)
     plin_t = tc.plin(zs, ks)                        # (nz, nk)
     sigma8_0 = float(np.sqrt(tc.sigma2_R([8.0 / h], [0.0])[0, 0]))
+    # cold (cb) spectrum for the sigma/nu machinery when m_nu > 0
+    # (mirrors hmcode_power; total spectrum keeps feeding the two-halo
+    # term and the 2020 dewiggle)
+    plin_sig_g = plin_g
+    if tc.omnu0 > 0.0 and version in ("2016", "2020"):
+        plin_sig_g = tc.plin(zs, _KG, component="cb")
+        d2t0 = tc.plin([0.0], _KG)[0] * _KG**3 / (2.0 * np.pi**2)
+        d2c0 = tc.plin([0.0], _KG, component="cb")[0] * _KG**3 \
+            / (2.0 * np.pi**2)
+        s2t, _ = _sigma2_of_R(d2t0, 8.0 / h)
+        s2c, _ = _sigma2_of_R(d2c0, 8.0 / h)
+        sigma8_0 = sigma8_0 * float(np.sqrt(s2c / s2t))
     rho_m0 = float(tc.rho_matter_z(0.0))
     rl = (3.0 * _MS / (4.0 * np.pi * rho_m0)) ** (1.0 / 3.0)
 
@@ -136,7 +148,7 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
         a = 1.0 / (1.0 + z)
         gz = float(tc.d_growth(a, norm="z0norm"))
         om = float(tc.omz(z))
-        d2k = plin_g[iz] * _KG**3 / (2.0 * np.pi**2)
+        d2k = plin_sig_g[iz] * _KG**3 / (2.0 * np.pi**2)
 
         sigma8_z = sigma8_0 * gz
         fnu = tc.omnu0 / (tc.omm0 + tc.omnu0)
@@ -230,6 +242,8 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
             integ[im] = (_g_st(nu[im]) * dnu_dlnm[im]
                          * _MS[im] / rho_m0) * u * u
         p1h = np.trapz(integ, _LNMS, axis=0)
+        if version in ("2016", "2020"):
+            p1h = p1h * (1.0 - fnu) ** 2      # halos hold cold matter only
         d2_1h = p1h * ks**3 / (2.0 * np.pi**2)
         ky = ks / kstar
         if version == "2015":
