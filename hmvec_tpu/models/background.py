@@ -279,15 +279,11 @@ def _growth_ode_rhs(bg: BackgroundParams, lna, y):
     return gp, -(4.0 + dlne) * gp - (3.0 + dlne - 1.5 * om_a) * g
 
 
-def growth_table(bg: BackgroundParams, n_steps: int = 384,
-                 lna_min: float = _GROWTH_LNA0) -> GrowthTable:
-    """Integrate the growth ODE on a uniform ln-a grid up to a = 1.
-
-    Initial conditions deep in matter domination (g = 1, g' = 0 at
-    a = 1e-4; the DE correction there is O(oml/omm * a^3) ~ 1e-12).
-    """
-    h = (0.0 - lna_min) / n_steps
-    lnas = lna_min + h * jnp.arange(n_steps)
+def _growth_rk4_scan(bg: BackgroundParams, lnas, h, store: bool):
+    """RK4 of the growth ODE from MD initial conditions (g = 1, g' = 0);
+    shared by growth_table and growth_dolag_ratio.  Returns (y_final,
+    trajectory-or-None).  unroll amortizes the ~70 us/step serial-loop
+    overhead on the tunneled TPU (DEVNOTES.md)."""
 
     def step(y, lna):
         k1 = _growth_ode_rhs(bg, lna, y)
@@ -299,13 +295,24 @@ def growth_table(bg: BackgroundParams, n_steps: int = 384,
         k4 = _growth_ode_rhs(bg, lna + h, y4)
         y_next = (y[0] + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]),
                   y[1] + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]))
-        return y_next, y_next
+        return y_next, (y_next if store else None)
 
     one = jnp.ones_like(bg.w0)
     y0 = (one, jnp.zeros_like(bg.w0))
-    # unroll amortizes the ~70 us/step serial-loop overhead on the
-    # tunneled TPU (DEVNOTES.md) to ~n_steps/8 sequenced blocks
-    _, (gs, gps) = jax.lax.scan(step, y0, lnas, unroll=8)
+    return jax.lax.scan(step, y0, lnas, unroll=8)
+
+
+def growth_table(bg: BackgroundParams, n_steps: int = 384,
+                 lna_min: float = _GROWTH_LNA0) -> GrowthTable:
+    """Integrate the growth ODE on a uniform ln-a grid up to a = 1.
+
+    Initial conditions deep in matter domination (g = 1, g' = 0 at
+    a = 1e-4; the DE correction there is O(oml/omm * a^3) ~ 1e-12).
+    """
+    h = (0.0 - lna_min) / n_steps
+    lnas = lna_min + h * jnp.arange(n_steps)
+    one = jnp.ones_like(bg.w0)
+    _, (gs, gps) = _growth_rk4_scan(bg, lnas, h, store=True)
     g = jnp.concatenate([one[None], gs])
     gp = jnp.concatenate([jnp.zeros_like(one)[None], gps])
     a_nodes = jnp.exp(lna_min + h * jnp.arange(n_steps + 1))
@@ -329,22 +336,7 @@ def growth_dolag_ratio(bg: BackgroundParams, a_inf: float = 10.0,
     lnas = _GROWTH_LNA0 + h * jnp.arange(n_steps)
 
     def g_end(b):
-        def step(y, lna):
-            k1 = _growth_ode_rhs(b, lna, y)
-            y2 = (y[0] + 0.5 * h * k1[0], y[1] + 0.5 * h * k1[1])
-            k2 = _growth_ode_rhs(b, lna + 0.5 * h, y2)
-            y3 = (y[0] + 0.5 * h * k2[0], y[1] + 0.5 * h * k2[1])
-            k3 = _growth_ode_rhs(b, lna + 0.5 * h, y3)
-            y4 = (y[0] + h * k3[0], y[1] + h * k3[1])
-            k4 = _growth_ode_rhs(b, lna + h, y4)
-            return (y[0] + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0]
-                                        + k4[0]),
-                    y[1] + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1]
-                                        + k4[1])), None
-
-        one = jnp.ones_like(b.w0)
-        y, _ = jax.lax.scan(step, (one, jnp.zeros_like(b.w0)), lnas,
-                            unroll=8)
+        y, _ = _growth_rk4_scan(b, lnas, h, store=False)
         return y[0]                       # g = D/a at a_inf (a_inf cancels)
 
     bgl = bg._replace(w0=jnp.full_like(bg.w0, -1.0),

@@ -183,8 +183,9 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     default 'mead2020'): physical spherical-collapse dc/Dv
     (Nakamura-Suto / Bryan-Norman forms -- a documented stand-in for
     the Mead-2017 fitting functions, sub-% for LCDM-like backgrounds),
-    concentration amplitude B = 5.196 (A_bary is ignored; no Dolag DE
-    correction -- exactly absent for LCDM), and the Table-2 sigma8(z)
+    concentration amplitude B = 5.196 (A_bary is ignored; the Dolag DE
+    correction applies with its original power 1, vs the 1.5 refit of
+    2015/2016), and the Table-2 sigma8(z)
     scaling laws: eta = 0.1281 s8^-0.3644, k* = 0.05618 s8^-1.013
     [h/Mpc], alpha = 1.875 * 1.603^neff, and the
     perturbation-theory-inspired two-halo damping on the DEWIGGLED
@@ -192,13 +193,14 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     f = 0.2696 s8^0.9403, kd = 0.05699 s8^-1.089 [h/Mpc], nd = 2.853;
     P_dw = smooth + (P - smooth) exp(-k^2 sigma_v^2(z)) with the
     template-ratio Gaussian smoothing above (requires plin_ref_g, the
-    EH98 zero-baryon template on the _KG grid).  The cold-vs-total
-    spectrum split and the feedback (T_AGN) variant are not
-    implemented: massive neutrinos enter through the EH99-suppressed
-    total power as in '2016' (documented deviation).  PROVENANCE: the
-    five scaling laws and B are memory-transcriptions of Table 2 --
-    twin-pinned and property-tested, no external number available in
-    this offline environment.
+    EH98 zero-baryon template on the _KG grid).  Massive neutrinos use
+    the same recipe as '2016' (cb sigma machinery via plin_sig_g,
+    (1-f_nu)^2 one-halo, the 2016 dc/Dv multipliers standing in for
+    2020's own Mead-2017 f_nu dependence -- a documented
+    approximation); the feedback (T_AGN) variant is not implemented.
+    PROVENANCE: the five scaling laws and B are memory-transcriptions
+    of Table 2 -- twin-pinned and property-tested, no external number
+    available in this offline environment.
     """
     if version not in ("2015", "2016", "2020"):
         raise ValueError(f"hmcode version {version!r}: supported are "
@@ -247,7 +249,8 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
         Dv = 418.0 * omz ** -0.352
     if version in ("2016", "2020"):
         # Mead-2016 sec. 4 massive-neutrino corrections to the collapse
-        # thresholds (kept in 2020 as in CAMB's HMcode); exact no-ops at
+        # thresholds (applied in 2020 too, standing in for the Mead-2017
+        # fits' own f_nu dependence -- see docstring); exact no-ops at
         # m_nu = 0
         dc = dc * (1.0 + 0.262 * fnu)
         Dv = Dv * (1.0 + 0.916 * fnu)
@@ -327,10 +330,12 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     c = c_amp * (1.0 + zf) / (1.0 + zs[:, None])
     c = jnp.maximum(c, c_amp)        # z_f < z collapses to c = amp
     if growth_mode == "ode":
-        # Dolag-2004 dark-energy correction (HMcode applies ratio^1.5);
-        # exactly 1 at the LCDM point but with real w0/wa gradients, so
-        # it engages precisely when the ODE growth does
-        c = c * bgmod.growth_dolag_ratio(bg) ** 1.5
+        # Dolag-2004 dark-energy correction: HMcode-2015/2016 refit the
+        # exponent to 1.5; HMcode-2020 reverted to Dolag's original
+        # power 1.  Exactly 1 at the LCDM point but with real w0/wa
+        # gradients, so it engages precisely when the ODE growth does.
+        dolag_pow = 1.0 if version == "2020" else 1.5
+        c = c * bgmod.growth_dolag_ratio(bg) ** dolag_pow
 
     # comoving virial and scale radii from the fitted Dv (mean-density def)
     rv = rl[None, :] / Dv[:, None] ** (1.0 / 3.0)
@@ -439,12 +444,20 @@ def hmcode_power(cosmo, zs, ks, A_bary=None, version: str = "2016"):
     sigma8_0 = jnp.sqrt(cosmo.get_sigma2_R(8.0 / (bg.H0 / 100.0),
                                            jnp.asarray([0.0]))[0, 0])
     plin_sig_g = None
-    if (float(bg.omnu0) > 0.0 and version in ("2016", "2020")
+    from .linear_power import _mnu_maybe_active
+    if (_mnu_maybe_active(bg.omnu0) and version in ("2016", "2020")
             and type(cosmo.engine).__name__ == "EHEngine"):
         # cold (cb) spectrum drives the sigma/nu machinery when m_nu > 0
         # (neutrinos don't cluster in halos); sigma8_0 rescaled by the
         # cb/total variance ratio on the shared _KG grid so the
-        # quadrature difference vs get_sigma2_R cancels
+        # quadrature difference vs get_sigma2_R cancels.  Trace-aware
+        # gate (_mnu_maybe_active): under a traced mnu the branch
+        # compiles in and the cb ratio collapses to exactly 1 at
+        # mnu = 0.  NOTE: with a non-EH (tabulated) engine the sigma
+        # machinery keeps the table's TOTAL power (no cb table exists)
+        # while the analytic f_nu factors below still apply -- a
+        # documented percent-level hybrid; supply an EH engine for the
+        # full recipe.
         plin_cb_fn = _plin_j(cosmo.engine, cosmo.accuracy, gm,
                              component="cb")
         plin_sig_g = plin_cb_fn(bg, zs, jnp.asarray(_KG))

@@ -142,6 +142,9 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
         sigma8_0 = sigma8_0 * float(np.sqrt(s2c / s2t))
     rho_m0 = float(tc.rho_matter_z(0.0))
     rl = (3.0 * _MS / (4.0 * np.pi * rho_m0)) ** (1.0 / 3.0)
+    # Dolag factor is z-independent: hoist the two ODE integrations
+    dol_pow = 1.0 if version == "2020" else 1.5
+    dolag15 = tc.dolag_ratio() ** dol_pow
 
     out = np.empty((zs.size, ks.size))
     for iz, z in enumerate(zs):
@@ -228,8 +231,8 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
                 zf = brentq(gdiff, 0.0, 100.0, xtol=1e-12)
             camp = 5.196 if version == "2020" else A_bary
             c_arr[im] = max(camp * (1.0 + zf) / (1.0 + z), camp)
-        # Dolag-2004 dark-energy correction (^1.5), 1 for LCDM
-        c_arr = c_arr * tc.dolag_ratio() ** 1.5
+        # Dolag-2004 DE correction (^1.5; ^1 for 2020), 1 for LCDM
+        c_arr = c_arr * dolag15
 
         rv = rl / Dv ** (1.0 / 3.0)
         rs = rv / c_arr

@@ -110,6 +110,15 @@ def test_mead2020_version(cosmo):
     assert 0.8 < r.min() and r.max() < 1.25               # bounded revision
     assert np.max(np.abs(r - 1.0)) > 0.02                 # but a real one
 
+    # w0/wa exercises 2020's Dolag exponent (power 1, vs 1.5 in 2016)
+    # through both independent implementations
+    pars = {"w0": -0.9, "wa": 0.2}
+    pjw = np.asarray(hmcode_power(Cosmology(pars), zs, ks,
+                                  version="2020"))
+    ptw = hmcode_nonlinear_twin(TwinCosmology(pars), zs, ks,
+                                version="2020")
+    assert np.max(np.abs(pjw / ptw - 1.0)) < 1e-6
+
 
 def test_mead2020_dewiggle_suppresses_bao(cosmo):
     """The 2020 two-halo term must carry DAMPED BAO wiggles: the
