@@ -105,6 +105,37 @@ def _emit(metric, tpu_s, twin_s, err, extra=None, gate=GATE):
     return ok
 
 
+def _probe_backend(timeout_s: float = 240.0):
+    """Fail FAST with a diagnostic if the axon tunnel is dead.
+
+    A healthy tunnel answers jax.devices() in seconds; a dead one hangs
+    indefinitely (DEVNOTES 'Tunnel loss mid-round': the relay can drop
+    its local listeners), silently eating the caller's whole timeout
+    budget.  Probe device discovery in a daemon thread; on timeout emit
+    one diagnostic JSON line and exit 3.  Compiles are NOT under this
+    timeout -- only platform init."""
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+        result["devices"] = str(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in result:
+        print(json.dumps({
+            "metric": "backend_probe", "value": None, "unit": "ms",
+            "vs_baseline": None,
+            "error": f"device discovery hung > {timeout_s:.0f}s -- "
+                     "axon tunnel down?  (ss -ltn shows no 808x "
+                     "listeners when the relay has dropped)"}),
+            flush=True)
+        sys.exit(3)
+
+
 def main():
     import jax
 
@@ -114,6 +145,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if "--cpu" in sys.argv:  # debug: structure-test the harness off-TPU
         jax.config.update("jax_platforms", "cpu")
+    else:
+        _probe_backend()
 
     import jax.numpy as jnp
     from hmvec_tpu.pipeline import (make_pmm_fn, make_electron_fn,
