@@ -242,7 +242,7 @@ def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60,
     return pnl
 
 
-def casarini_weff(bg, zs, z_dec: float = 1100.0, nq: int = 256,
+def casarini_weff(bg, zs, z_dec: float = 1100.0, nq: int = 1024,
                   num_iter: int = 60):
     """Equivalent constant w per redshift (Casarini et al PKequal).
 
@@ -253,7 +253,8 @@ def casarini_weff(bg, zs, z_dec: float = 1100.0, nq: int = 256,
     criterion is automatic here because the dynamic model's own linear
     power, with its own growth, feeds halofit directly).  Returns (nz,).
     Fixed-count bisection in w; both sides share one quadrature grid so
-    grid error cancels in the match.  Exactly w0 when wa = 0.
+    grid error mostly cancels in the match (residual ~1e-6 in w at
+    nq = 1024 vs the adaptive-quad twin).  Exactly w0 when wa = 0.
     """
     zs = jnp.atleast_1d(jnp.asarray(zs))
     t = jnp.linspace(0.0, 1.0, nq)

@@ -33,11 +33,36 @@ def _moments_quad(d2lin_of_k, R):
     return s2, dln1, dln2
 
 
+def twin_casarini_weff(twin, z, z_dec=1100.0):
+    """Equivalent constant w at redshift z (PKequal criterion): matches
+    the comoving distance from z to decoupling between the dynamic
+    (w0, wa) model and the constant-w one.  Independent numerics from
+    models/halofit.casarini_weff: adaptive scipy quad in z (vs the jax
+    side's shared trapz grid in ln(1+z)) and brentq (vs fixed-count
+    bisection)."""
+    omm = twin.omm0 + twin.omnu0
+    omr, omk, oml = twin.omr0, twin.omk0, twin.oml0
+
+    def dist(w0, wa):
+        def integrand(zq):
+            zp1 = 1.0 + zq
+            de = zp1 ** (3.0 * (1.0 + w0 + wa)) * np.exp(
+                -3.0 * wa * (1.0 - 1.0 / zp1))
+            return 1.0 / np.sqrt(omr * zp1**4 + omm * zp1**3
+                                 + omk * zp1**2 + oml * de)
+        val, _ = quad(integrand, z, z_dec, limit=400)
+        return val
+
+    target = dist(twin.w0, twin.wa)
+    return brentq(lambda w: dist(w, 0.0) - target, -10.0, -0.01,
+                  xtol=1e-10)
+
+
 def twin_halofit_power(twin, zs, ks, version="takahashi"):
     """Nonlinear P(k,z) for a TwinCosmology (mirror of
     models/halofit.halofit_power; versions 'takahashi', 'original',
-    'bird', 'peacock', with the CAMB-style massive-neutrino terms for
-    takahashi/bird)."""
+    'bird', 'peacock', 'casarini', with the CAMB-style
+    massive-neutrino terms on the matching branches)."""
     fnu = twin.omnu0 / (twin.omm0 + twin.omnu0)
     omm0_tot = twin.omm0 + twin.omnu0
     kh_all = np.asarray(ks, dtype=np.float64) / twin.h
@@ -51,7 +76,13 @@ def twin_halofit_power(twin, zs, ks, version="takahashi"):
     de = zp1 ** (3.0 * (1.0 + twin.w0 + twin.wa)) * np.exp(
         -3.0 * twin.wa * (1.0 - 1.0 / zp1))
     omde = twin.oml0 * de / e2
-    wz = twin.w0 + twin.wa * (1.0 - 1.0 / zp1)
+    if version == "casarini":
+        # PKequal: takahashi coefficients evaluated with the per-z
+        # equivalent constant w (density history stays dynamic)
+        wz = np.array([twin_casarini_weff(twin, z) for z in zs])
+        version = "takahashi"
+    else:
+        wz = twin.w0 + twin.wa * (1.0 - 1.0 / zp1)
     omde_w = omde * (1.0 + wz)
 
     for i, z in enumerate(zs):

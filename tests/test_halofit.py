@@ -213,6 +213,30 @@ def test_casarini_weff():
 
 
 @pytest.mark.slow
+def test_casarini_twin_parity():
+    """casarini's w_eff and full P(k) vs the independent twin (adaptive
+    scipy quad in z + brentq, vs the jax side's shared trapz grid in
+    ln(1+z) + fixed-count bisection)."""
+    from hmvec_tpu.models.halofit import casarini_weff
+    from hmvec_tpu.twin.core import TwinCosmology
+    from hmvec_tpu.twin.halofit import twin_casarini_weff, \
+        twin_halofit_power
+
+    pars = {"w0": -0.85, "wa": 0.35}
+    c = Cosmology(pars)
+    tw = TwinCosmology(pars)
+    zs = np.array([0.0, 1.5])
+    wj = np.asarray(casarini_weff(c.bg, zs))
+    wt = np.array([twin_casarini_weff(tw, z) for z in zs])
+    np.testing.assert_allclose(wj, wt, atol=2e-6)
+
+    ks = np.geomspace(2e-3, 20.0, 5)
+    pj = np.asarray(halofit_power(c, zs, ks, version="casarini"))
+    pt = twin_halofit_power(tw, zs, ks, version="casarini")
+    np.testing.assert_allclose(pj, pt, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_halofit_bird_peacock_twin_parity():
     """jax bird/peacock (incl. the massive-nu terms) vs the independent
     scipy-quad/brentq twin: proves the jnp wiring of the new versions,
