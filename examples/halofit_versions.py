@@ -4,8 +4,8 @@ over ['takahashi','original','bird','peacock','mead','casarini',
 'mead2015'] and plots each ratio to takahashi per redshift).
 
 Here every version is engine-free jnp (models/halofit.py,
-models/hmcode.py), plus 'mead2020' (HMcode-2020, beyond the reference's
-list).  Produces halofit_comp_z_{i}.png ratio panels like the
+models/hmcode.py), plus 'mead2020' and 'mead2020_feedback' (HMcode-2020
+and its T_AGN baryonic-feedback response, beyond the reference's list).  Produces halofit_comp_z_{i}.png ratio panels like the
 reference's script.
 """
 
@@ -23,7 +23,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 from hmvec_tpu.models.cosmology import Cosmology  # noqa: E402
 
 VERSIONS = ["takahashi", "original", "bird", "peacock", "mead",
-            "casarini", "mead2015", "mead2020"]
+            "casarini", "mead2015", "mead2020", "mead2020_feedback"]
 
 
 def main():

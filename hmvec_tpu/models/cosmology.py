@@ -231,6 +231,9 @@ class Cosmology:
             if version == "mead2020":
                 from .hmcode import hmcode_power
                 return hmcode_power(self, zs, ks, version="2020")
+            if version == "mead2020_feedback":
+                from .hmcode import hmcode_power
+                return hmcode_power(self, zs, ks, version="2020_feedback")
             from .halofit import halofit_power
             if version in ("original", "smith", "smith03"):
                 return halofit_power(self, zs, ks, version="original")
@@ -239,9 +242,9 @@ class Cosmology:
             raise ValueError(
                 f"halofit version {version!r}: supported are 'mead' "
                 "(HMcode-2016, default), 'mead2015', 'mead2020', "
-                "'takahashi', 'original', 'bird', 'peacock', 'casarini' "
-                "(the reference's bin/test_halofit.py sweep + CAMB>=1.3's "
-                "default)")
+                "'mead2020_feedback', 'takahashi', 'original', 'bird', "
+                "'peacock', 'casarini' (the reference's "
+                "bin/test_halofit.py sweep + CAMB>=1.3's defaults)")
         if self.engine.name == "eh":
             return _eh_pzk_j(self.bg, zs, ks, self.growth_mode)
         return self.engine.pzk_grid(self.bg, zs, ks, nonlinear=False,

@@ -159,7 +159,7 @@ def _sigma_v2(delta2_g, R):
 def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
                      num_iter: int = 60, growth_mode: str = "closed",
                      version: str = "2016", plin_ref_g=None,
-                     plin_sig_g=None):
+                     plin_sig_g=None, logT_AGN=7.8):
     """HMcode nonlinear P(k,z) from precomputed linear power.
 
     bg: BackgroundParams; zs: (nz,); ks: (nk,); plin_g: (nz, nkg) linear P
@@ -197,15 +197,54 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     the same recipe as '2016' (cb sigma machinery via plin_sig_g,
     (1-f_nu)^2 one-halo, the 2016 dc/Dv multipliers standing in for
     2020's own Mead-2017 f_nu dependence -- a documented
-    approximation); the feedback (T_AGN) variant is not implemented.
+    approximation).
     PROVENANCE: the five scaling laws and B are memory-transcriptions
     of Table 2 -- twin-pinned and property-tested, no external number
     available in this offline environment.
+
+    version '2020_feedback' (CAMB >= 1.3's 'mead2020_feedback'): the
+    '2020' power times the single-parameter baryonic feedback RESPONSE
+    of Mead et al 2021 sec. 5 -- the ratio of two halo-model
+    evaluations with the Table-5 hydro / gravity-only parameter sets
+    (the model was FITTED as a response to BAHAMAS/DMONLY, so
+    halo-model systematics divide out), theta = log10(T_AGN/K) - 7.8,
+    calibrated over 7.6 <= log10 T_AGN <= 8.0, z <~ 2.  Hydro column:
+
+      B(z)   = (3.13 - 0.496 theta) 10^(z (-0.0485 - 0.0371 theta))
+      M_b(z) = 10^(13.87 + 1.81 theta) Msun/h
+               * 10^(z (-0.108 + 0.195 theta))
+      f*(z)  = (2.01 - 0.30 theta) 1e-2 * 10^(z (0.409 + 0.0224 theta)),
+               clamped to the baryon fraction f_b
+
+    with each halo's one-halo window becoming (eq. 25)
+
+      W(M,k)/M = [f_c + f_g(M)] u(k|M) + f*,
+      f_g(M)   = (f_b - f*) (M/M_b)^2 / (1 + (M/M_b)^2),  f_c = 1 - f_b
+
+    (gas expelled below M_b, a k-independent central star component);
+    gravity-only column: plain NFW windows with B(z) = 3.44 10^-0.0671z.
+    The two-halo term is perturbative and shared, so the response -> 1
+    at low k.  f_b is the baryon fraction of the COLD matter (halos
+    hold cb only; composes with the (1-f_nu)^2 factor).  Deviation from
+    the paper's pipeline: the response is evaluated with this module's
+    full 2020 machinery (eta bloating, k* damping, alpha smoothing)
+    rather than a separate vanilla halo model -- shared factors divide
+    out, so the difference is second-order in the response.
+    PROVENANCE: Table-5 values transcribed from memory of the
+    paper/CAMB port like the Table-2 set above; the assignment of the
+    two B columns (which of 3.13/3.44 is hydro vs gravity-only) was
+    additionally disambiguated by the paper's stated physical direction
+    (feedback DECREASES concentrations) and the BAHAMAS suppression
+    depth (candidate-pairing scan recorded in DEVNOTES.md) -- twin-
+    pinned and property-tested (suppression sign/monotonicity in T_AGN,
+    BAHAMAS-scale envelope), no external number available here.
     """
-    if version not in ("2015", "2016", "2020"):
+    if version not in ("2015", "2016", "2020", "2020_feedback"):
         raise ValueError(f"hmcode version {version!r}: supported are "
-                         "'2015', '2016', '2020' (the class API maps "
-                         "'mead'/'mead2015'/'mead2020' onto these)")
+                         "'2015', '2016', '2020', '2020_feedback' (the "
+                         "class API maps 'mead'/'mead2015'/'mead2020'/"
+                         "'mead2020_feedback' onto these)")
+    v2020 = version in ("2020", "2020_feedback")
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
     kg = jnp.asarray(_KG)
@@ -235,7 +274,7 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
         dc = 1.59 + 0.0314 * jnp.log(sigma8_z)
         eta = 0.603 - 0.3 * sigma8_z
         Dv = 418.0 * omz ** -0.352
-    elif version == "2020":
+    elif v2020:
         # physical spherical collapse (NS97 / BN98), mean-density Dv
         dc = (3.0 / 20.0) * (12.0 * jnp.pi) ** (2.0 / 3.0) * (
             1.0 + 0.012299 * jnp.log10(omz))
@@ -247,7 +286,7 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
               * (1.0 + 0.0123 * jnp.log10(omz)))
         eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
         Dv = 418.0 * omz ** -0.352
-    if version in ("2016", "2020"):
+    if version != "2015":
         # Mead-2016 sec. 4 massive-neutrino corrections to the collapse
         # thresholds (applied in 2020 too, standing in for the Mead-2017
         # fits' own f_nu dependence -- see docstring); exact no-ops at
@@ -260,7 +299,7 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     if version == "2015":
         fdamp = jnp.clip(0.188 * sigma8_z ** 4.29, 1e-3, 0.99)
         kstar = 0.584 / sv
-    elif version == "2020":
+    elif v2020:
         fdamp = jnp.clip(0.2696 * sigma8_z ** 0.9403, 1e-3, 0.99)
         kstar = 0.05618 * sigma8_z ** -1.013 * h         # table-2, h/Mpc
     else:
@@ -284,7 +323,7 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     neff = -3.0 - dlns2_nl
     if version == "2015":
         alpha = 2.93 * 1.77**neff
-    elif version == "2020":
+    elif v2020:
         alpha = 1.875 * 1.603**neff
     else:
         alpha = 3.24 * 1.85**neff
@@ -323,47 +362,57 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
 
     zlo, zhi = jax.lax.fori_loop(0, num_iter, zbody, (zlo, zhi))
     zf = (zlo + zhi) / 2.0
-    # concentration amplitude: the feedback knob A in 2015/2016, the
-    # refitted B = 5.196 in 2020 (whose feedback enters via T_AGN, not
-    # implemented -- A_bary deliberately ignored there)
-    c_amp = 5.196 if version == "2020" else A_bary
-    c = c_amp * (1.0 + zf) / (1.0 + zs[:, None])
-    c = jnp.maximum(c, c_amp)        # z_f < z collapses to c = amp
+    # Dolag-2004 dark-energy correction to the concentrations:
+    # HMcode-2015/2016 refit the exponent to 1.5; HMcode-2020 reverted
+    # to Dolag's original power 1.  Exactly 1 at the LCDM point but
+    # with real w0/wa gradients, so it engages precisely when the ODE
+    # growth does.
+    dolag_fac = 1.0
     if growth_mode == "ode":
-        # Dolag-2004 dark-energy correction: HMcode-2015/2016 refit the
-        # exponent to 1.5; HMcode-2020 reverted to Dolag's original
-        # power 1.  Exactly 1 at the LCDM point but with real w0/wa
-        # gradients, so it engages precisely when the ODE growth does.
-        dolag_pow = 1.0 if version == "2020" else 1.5
-        c = c * bgmod.growth_dolag_ratio(bg) ** dolag_pow
+        dolag_pow = 1.0 if v2020 else 1.5
+        dolag_fac = bgmod.growth_dolag_ratio(bg) ** dolag_pow
 
-    # comoving virial and scale radii from the fitted Dv (mean-density def)
+    # comoving virial radius from the fitted Dv (mean-density def)
     rv = rl[None, :] / Dv[:, None] ** (1.0 / 3.0)
-    rs = rv / c
-
-    # --- one-halo term --------------------------------------------------
-    x = (nu ** eta[:, None])[..., None] * ks[None, None, :] * rs[..., None]
-    u = nfw_uk_x(x, c[..., None])                        # (nz, nm, nk)
     w_int = (jnp.asarray(_LNMW)[None, :] * _st_gnu(nu) * dnu_dlnm
              * ms[None, :] / rho_m0)                     # (nz, nm)
-    p1h = jnp.sum(w_int[..., None] * u * u, axis=1)      # (nz, nk)
-    if version in ("2016", "2020"):
-        # halos hold only the cold fraction of the matter (Mead 2016
-        # sec. 4); exact no-op at m_nu = 0
-        p1h = p1h * (1.0 - fnu) ** 2
-    d2_1h = p1h * ks[None, :] ** 3 / (2.0 * np.pi**2)
-    ky = ks[None, :] / kstar[:, None]
-    if version == "2015":
-        d2_1h = d2_1h * -jnp.expm1(-(ky**2))
-    else:
-        d2_1h = d2_1h * ky**4 / (1.0 + ky**4)
+
+    def one_halo_d2(c_amp, window=None):
+        """Damped one-halo Delta^2 for a concentration amplitude (the
+        feedback knob A in 2015/2016, the refitted B in the 2020
+        family; scalar or (nz, 1)) and an optional (wmod, fstar)
+        gas/star window modification (Mead 2021 sec. 5)."""
+        c = c_amp * (1.0 + zf) / (1.0 + zs[:, None])
+        c = jnp.maximum(c, c_amp)    # z_f < z collapses to c = amp
+        c = c * dolag_fac
+        rs = rv / c
+        x = ((nu ** eta[:, None])[..., None]
+             * ks[None, None, :] * rs[..., None])
+        u = nfw_uk_x(x, c[..., None])                    # (nz, nm, nk)
+        if window is not None:
+            wmod, fstar = window
+            u = wmod[..., None] * u + fstar[..., None]
+        p1h = jnp.sum(w_int[..., None] * u * u, axis=1)  # (nz, nk)
+        if version != "2015":
+            # halos hold only the cold fraction of the matter (Mead
+            # 2016 sec. 4); exact no-op at m_nu = 0
+            p1h = p1h * (1.0 - fnu) ** 2
+        d2 = p1h * ks[None, :] ** 3 / (2.0 * np.pi**2)
+        ky = ks[None, :] / kstar[:, None]
+        if version == "2015":
+            return d2 * -jnp.expm1(-(ky**2))
+        return d2 * ky**4 / (1.0 + ky**4)
+
+    # gravity-only one-halo term (A_bary deliberately ignored in the
+    # 2020 family, whose feedback enters via the T_AGN response below)
+    d2_1h = one_halo_d2(5.196 if v2020 else A_bary)
 
     # --- two-halo term (damped linear) ----------------------------------
-    if version == "2020":
+    if v2020:
         if plin_ref_g is None:
-            raise ValueError("hmcode version '2020' needs plin_ref_g "
-                             "(EH98 zero-baryon template on the _KG "
-                             "grid) for the dewiggle")
+            raise ValueError(f"hmcode version {version!r} needs "
+                             "plin_ref_g (EH98 zero-baryon template on "
+                             "the _KG grid) for the dewiggle")
         # dewiggle on the static grid: template-ratio Gaussian smoothing
         # then sigma_v^2 damping of the wiggle component (2009.01858
         # sec. 2; one matmul, exactly template-normalization-invariant)
@@ -389,6 +438,37 @@ def hmcode_nonlinear(bg, zs, ks, plin_g, plin, sigma8_0, A_bary=3.13,
     # --- quasi-linear smoothing ------------------------------------------
     al = alpha[:, None]
     d2 = (d2_2h**al + d2_1h**al) ** (1.0 / al)
+
+    if version == "2020_feedback":
+        # Mead-2021 sec.-5 baryonic feedback RESPONSE: the ratio of two
+        # halo-model evaluations with the Table-5 hydro / gravity-only
+        # parameter sets, applied multiplicatively to the gravity-only
+        # power above (the fit is to the BAHAMAS response, so halo-model
+        # systematics divide out; both evaluations share this pipeline's
+        # two-halo term, alpha, zf, eta).  theta = log10(T_AGN/K) - 7.8,
+        # BAHAMAS-calibrated over 7.6 <= log10 T_AGN <= 8.0.
+        theta_agn = jnp.asarray(logT_AGN) - 7.8
+        # hydro column: B(z, theta), gas expelled below M_b(z, theta),
+        # central star fraction f*(z, theta); fractions of the COLD
+        # matter (halos hold cb only)
+        c_hyd = ((3.13 - 0.496 * theta_agn)
+                 * 10.0 ** (zs[:, None] * (-0.0485 - 0.0371 * theta_agn)))
+        fbar = bg.ombh2 / (bg.ombh2 + bg.omch2)
+        mb = (10.0 ** (13.87 + 1.81 * theta_agn) / h
+              * 10.0 ** (zs[:, None] * (-0.108 + 0.195 * theta_agn)))
+        fstar = jnp.minimum(
+            (2.01 - 0.30 * theta_agn) * 1e-2
+            * 10.0 ** (zs * (0.409 + 0.0224 * theta_agn)), fbar)[:, None]
+        mrat2 = (ms[None, :] / mb) ** 2                  # (nz, nm)
+        fgas = (fbar - fstar) * mrat2 / (1.0 + mrat2)
+        wmod = (1.0 - fbar) + fgas                       # f_c + f_g(M)
+        d2_1h_hyd = one_halo_d2(c_hyd, (wmod, fstar))
+        # gravity-only column: plain NFW windows, B(z) = 3.44 10^-0.0671z
+        c_grv = 3.44 * 10.0 ** (zs[:, None] * -0.0671)
+        d2_1h_grv = one_halo_d2(c_grv)
+        d2 = d2 * ((d2_2h**al + d2_1h_hyd**al)
+                   / (d2_2h**al + d2_1h_grv**al)) ** (1.0 / al)
+
     return d2 * (2.0 * np.pi**2) / ks[None, :] ** 3
 
 
@@ -424,7 +504,8 @@ def _plin_j(engine, accuracy, growth_mode="closed", component="total"):
     return fn
 
 
-def hmcode_power(cosmo, zs, ks, A_bary=None, version: str = "2016"):
+def hmcode_power(cosmo, zs, ks, A_bary=None, version: str = "2016",
+                 logT_AGN=None):
     """Nonlinear P(k,z) via HMcode for a Cosmology instance
     (HaloModel(halofit='mead') path -- reference cosmology.py:174;
     version '2015' serves the reference's 'mead2015' string).
@@ -432,11 +513,17 @@ def hmcode_power(cosmo, zs, ks, A_bary=None, version: str = "2016"):
     A_bary: Bullock concentration amplitude, the baryonic-feedback knob
     (Mead 2015 fig. 6; 3.13 = DM-only fit, lower = stronger feedback).
     Default from params['hmcode_A'].
+
+    logT_AGN: AGN heating temperature log10(T_AGN/K) for version
+    '2020_feedback' (CAMB's HMCode_logT_AGN; BAHAMAS-calibrated range
+    7.6-8.0).  Default from params['hmcode_logT_AGN'] (7.8).
     """
     bg = cosmo.bg
     zs = jnp.atleast_1d(jnp.asarray(zs))
     if A_bary is None:
         A_bary = cosmo.p.get("hmcode_A", 3.13)
+    if logT_AGN is None:
+        logT_AGN = cosmo.p.get("hmcode_logT_AGN", 7.8)
     gm = getattr(cosmo, "growth_mode", "closed")
     plin_fn = _plin_j(cosmo.engine, cosmo.accuracy, gm)
     plin_g = plin_fn(bg, zs, jnp.asarray(_KG))
@@ -445,7 +532,7 @@ def hmcode_power(cosmo, zs, ks, A_bary=None, version: str = "2016"):
                                            jnp.asarray([0.0]))[0, 0])
     plin_sig_g = None
     from .linear_power import _mnu_maybe_active
-    if (_mnu_maybe_active(bg.omnu0) and version in ("2016", "2020")
+    if (_mnu_maybe_active(bg.omnu0) and version != "2015"
             and type(cosmo.engine).__name__ == "EHEngine"):
         # cold (cb) spectrum drives the sigma/nu machinery when m_nu > 0
         # (neutrinos don't cluster in halos); sigma8_0 rescaled by the
@@ -471,7 +558,7 @@ def hmcode_power(cosmo, zs, ks, A_bary=None, version: str = "2016"):
         s2_cb, _ = _tophat_moments(d2_cb0, r8)
         sigma8_0 = sigma8_0 * jnp.sqrt(s2_cb[0] / s2_tot[0])
     plin_ref_g = None
-    if version == "2020":
+    if version in ("2020", "2020_feedback"):
         # EH98 zero-baryon dewiggle template (broadband only; the
         # construction is invariant to its normalization)
         from . import linear_power as lpm
@@ -480,4 +567,5 @@ def hmcode_power(cosmo, zs, ks, A_bary=None, version: str = "2016"):
     return _hmcode_nl_j(bg, zs, jnp.asarray(ks), plin_g, plin, sigma8_0,
                         jnp.asarray(A_bary, dtype=jnp.float64),
                         growth_mode=gm, version=version,
-                        plin_ref_g=plin_ref_g, plin_sig_g=plin_sig_g)
+                        plin_ref_g=plin_ref_g, plin_sig_g=plin_sig_g,
+                        logT_AGN=jnp.asarray(logT_AGN, dtype=jnp.float64))

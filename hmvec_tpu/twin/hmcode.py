@@ -111,16 +111,22 @@ def _u_nfw(x, c):
     return num / (np.log(1.0 + c) - c / (1.0 + c))
 
 
-def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
+def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016",
+                          logT_AGN=7.8):
     """HMcode nonlinear P(k,z) for a TwinCosmology ``tc``.
 
     zs: (nz,), ks: (nk,).  Returns (nz, nk).  Explicit loops throughout.
     version: '2016' (default) or '2015' (Mead 2015 Table-2 parameters:
     dc without the Omega_m factor, eta0 = 0.603, f = 0.188 sigma8^4.29,
-    alpha = 2.93 * 1.77^neff, exponential one-halo damping).
+    alpha = 2.93 * 1.77^neff, exponential one-halo damping); '2020';
+    '2020_feedback' (the '2020' pipeline with the Mead-2021 sec.-5
+    T_AGN model: B(z, theta) concentration amplitude, gas expelled
+    below M_b(z, theta), central star fraction f*(z, theta); the
+    one-halo window becomes [f_c + f_g(M)] u + f*).
     """
-    if version not in ("2015", "2016", "2020"):
+    if version not in ("2015", "2016", "2020", "2020_feedback"):
         raise ValueError(f"hmcode twin version {version!r}")
+    v2020 = version in ("2020", "2020_feedback")
     zs = np.atleast_1d(np.asarray(zs, dtype=np.float64))
     ks = np.asarray(ks, dtype=np.float64)
     h = tc.h
@@ -132,7 +138,7 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
     # (mirrors hmcode_power; total spectrum keeps feeding the two-halo
     # term and the 2020 dewiggle)
     plin_sig_g = plin_g
-    if tc.omnu0 > 0.0 and version in ("2016", "2020"):
+    if tc.omnu0 > 0.0 and version != "2015":
         plin_sig_g = tc.plin(zs, _KG, component="cb")
         d2t0 = tc.plin([0.0], _KG)[0] * _KG**3 / (2.0 * np.pi**2)
         d2c0 = tc.plin([0.0], _KG, component="cb")[0] * _KG**3 \
@@ -143,8 +149,10 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
     rho_m0 = float(tc.rho_matter_z(0.0))
     rl = (3.0 * _MS / (4.0 * np.pi * rho_m0)) ** (1.0 / 3.0)
     # Dolag factor is z-independent: hoist the two ODE integrations
-    dol_pow = 1.0 if version == "2020" else 1.5
+    dol_pow = 1.0 if v2020 else 1.5
     dolag15 = tc.dolag_ratio() ** dol_pow
+    theta_agn = logT_AGN - 7.8
+    fbar = tc.ombh2 / (tc.ombh2 + tc.omch2)   # baryon fraction of cold matter
 
     out = np.empty((zs.size, ks.size))
     for iz, z in enumerate(zs):
@@ -159,7 +167,7 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
             dc = 1.59 + 0.0314 * np.log(sigma8_z)
             eta = 0.603 - 0.3 * sigma8_z
             Dv = 418.0 * om ** -0.352
-        elif version == "2020":
+        elif v2020:
             dc = (3.0 / 20.0) * (12.0 * np.pi) ** (2.0 / 3.0) * (
                 1.0 + 0.012299 * np.log10(om))
             xbn = om - 1.0
@@ -170,7 +178,7 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
                 * (1.0 + 0.0123 * np.log10(om))
             eta = (0.98 - 0.12 * A_bary) - 0.3 * sigma8_z
             Dv = 418.0 * om ** -0.352
-        if version in ("2016", "2020"):
+        if version != "2015":
             # Mead-2016 sec. 4 massive-nu collapse-threshold terms
             dc = dc * (1.0 + 0.262 * fnu)
             Dv = Dv * (1.0 + 0.916 * fnu)
@@ -179,7 +187,7 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
         if version == "2015":
             fdamp = float(np.clip(0.188 * sigma8_z ** 4.29, 1e-3, 0.99))
             kstar = 0.584 / sv
-        elif version == "2020":
+        elif v2020:
             fdamp = float(np.clip(0.2696 * sigma8_z ** 0.9403, 1e-3, 0.99))
             kstar = 0.05618 * sigma8_z ** -1.013 * h
         else:
@@ -194,7 +202,7 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
         neff = -3.0 - ds2_nl / s2_nl
         if version == "2015":
             alpha = 2.93 * 1.77**neff
-        elif version == "2020":
+        elif v2020:
             alpha = 1.875 * 1.603**neff
         else:
             alpha = 3.24 * 1.85**neff
@@ -212,7 +220,7 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
         # Bullock z_f: g(z_f) sigma(0.01 M, 0) = dc;  c = A (1+z_f)/(1+z)
         sig0 = sig / gz
         lnsig0 = np.log(sig0)
-        c_arr = np.empty(_MS.size)
+        zf_arr = np.empty(_MS.size)
         for im in range(_MS.size):
             # sigma(0.01 M, 0): interp/extrapolate ln sigma0 in ln M
             lnm_f = _LNMS[im] + np.log(0.01)
@@ -229,33 +237,48 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
                 zf = 100.0
             else:
                 zf = brentq(gdiff, 0.0, 100.0, xtol=1e-12)
-            camp = 5.196 if version == "2020" else A_bary
-            c_arr[im] = max(camp * (1.0 + zf) / (1.0 + z), camp)
-        # Dolag-2004 DE correction (^1.5; ^1 for 2020), 1 for LCDM
-        c_arr = c_arr * dolag15
+            zf_arr[im] = zf
+
+        def c_of_amp(camp):
+            # c = max(B (1+z_f)/(1+z), B), then the Dolag DE correction
+            # (^1.5; ^1 for the 2020 family), exactly 1 for LCDM
+            return np.maximum(camp * (1.0 + zf_arr) / (1.0 + z),
+                              camp) * dolag15
+
+        camp = 5.196 if v2020 else A_bary       # gravity-only amplitude
+        c_arr = c_of_amp(camp)
 
         rv = rl / Dv ** (1.0 / 3.0)
         rs = rv / c_arr
 
-        # one-halo term
-        integ = np.empty((_MS.size, ks.size))
-        for im in range(_MS.size):
-            x = nu[im] ** eta * ks * rs[im]
-            u = _u_nfw(x, c_arr[im])
-            integ[im] = (_g_st(nu[im]) * dnu_dlnm[im]
-                         * _MS[im] / rho_m0) * u * u
-        p1h = np.trapz(integ, _LNMS, axis=0)
-        if version in ("2016", "2020"):
-            p1h = p1h * (1.0 - fnu) ** 2      # halos hold cold matter only
-        d2_1h = p1h * ks**3 / (2.0 * np.pi**2)
-        ky = ks / kstar
-        if version == "2015":
-            d2_1h = d2_1h * -np.expm1(-(ky**2))
-        else:
-            d2_1h = d2_1h * ky**4 / (1.0 + ky**4)
+        # one-halo term (damped); window=(mb, fstar) applies the
+        # Mead-2021 sec.-5 gas/star modification
+        def one_halo_d2(cs, window=None):
+            rss = rl / Dv ** (1.0 / 3.0) / cs
+            integ = np.empty((_MS.size, ks.size))
+            for im in range(_MS.size):
+                x = nu[im] ** eta * ks * rss[im]
+                u = _u_nfw(x, cs[im])
+                if window is not None:
+                    mb_w, fstar_w = window
+                    mr2 = (_MS[im] / mb_w) ** 2
+                    fgas = (fbar - fstar_w) * mr2 / (1.0 + mr2)
+                    u = ((1.0 - fbar) + fgas) * u + fstar_w
+                integ[im] = (_g_st(nu[im]) * dnu_dlnm[im]
+                             * _MS[im] / rho_m0) * u * u
+            p1h = np.trapz(integ, _LNMS, axis=0)
+            if version != "2015":
+                p1h = p1h * (1.0 - fnu) ** 2  # halos hold cold matter only
+            d2 = p1h * ks**3 / (2.0 * np.pi**2)
+            ky = ks / kstar
+            if version == "2015":
+                return d2 * -np.expm1(-(ky**2))
+            return d2 * ky**4 / (1.0 + ky**4)
+
+        d2_1h = one_halo_d2(c_arr)
 
         # two-halo term
-        if version == "2020":
+        if v2020:
             # dewiggle: Gaussian smoothing (sigma_lnk = 0.25, rows
             # renormalized) of ln(P / EH-nowiggle template), explicit
             # convolution loop; then sigma_v^2 damping of the wiggle
@@ -281,5 +304,22 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016"):
                 ks * sv / np.sqrt(fdamp)) ** 2)
 
         d2 = (d2_2h**alpha + d2_1h**alpha) ** (1.0 / alpha)
+
+        if version == "2020_feedback":
+            # Mead-2021 sec.-5 feedback RESPONSE: hydro / gravity-only
+            # halo-model ratio (Table-5 parameter columns) applied to
+            # the gravity-only power above; two-halo term shared
+            c_hyd = c_of_amp((3.13 - 0.496 * theta_agn)
+                             * 10.0 ** (z * (-0.0485 - 0.0371 * theta_agn)))
+            mb = (10.0 ** (13.87 + 1.81 * theta_agn) / h
+                  * 10.0 ** (z * (-0.108 + 0.195 * theta_agn)))
+            fstar = min((2.01 - 0.30 * theta_agn) * 1e-2
+                        * 10.0 ** (z * (0.409 + 0.0224 * theta_agn)), fbar)
+            d2_hyd = one_halo_d2(c_hyd, (mb, fstar))
+            c_grv = c_of_amp(3.44 * 10.0 ** (z * -0.0671))
+            d2_grv = one_halo_d2(c_grv)
+            d2 = d2 * ((d2_2h**alpha + d2_hyd**alpha)
+                       / (d2_2h**alpha + d2_grv**alpha)) ** (1.0 / alpha)
+
         out[iz] = d2 * (2.0 * np.pi**2) / ks**3
     return out

@@ -120,6 +120,77 @@ def test_mead2020_version(cosmo):
     assert np.max(np.abs(pjw / ptw - 1.0)) < 1e-6
 
 
+def test_mead2020_feedback_version(cosmo):
+    """'mead2020_feedback' (CAMB >= 1.3's T_AGN variant): twin parity of
+    the full response pipeline, plus the BAHAMAS-shaped physical
+    properties of the suppression S = P_feedback / P_2020 -- unity at
+    linear scales, a 5-20% trough around k ~ 5 h/Mpc whose depth grows
+    monotonically with T_AGN, a partial high-k recovery from the
+    central star component, and weaker suppression at z = 1 than z = 0.
+    Envelopes bracket the published BAHAMAS response depths
+    (van Daalen et al; Mead et al 2021 fig. 19)."""
+    from hmvec_tpu.twin.core import TwinCosmology
+    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
+
+    zs = np.array([0.0, 1.0])
+    ks = np.geomspace(1e-3, 30.0, 48)
+    pj = np.asarray(hmcode_power(cosmo, zs, ks, version="2020_feedback",
+                                 logT_AGN=7.8))
+    pt = hmcode_nonlinear_twin(TwinCosmology(), zs, ks,
+                               version="2020_feedback", logT_AGN=7.8)
+    assert np.max(np.abs(pj / pt - 1.0)) < 1e-8
+
+    h = cosmo.p["H0"] / 100.0
+    kh = ks / h
+    # properties asserted inside the BAHAMAS-calibrated range k/h <~ 20
+    # (beyond it the central-star delta function dominates the response
+    # and S grows without bound -- a known limitation of the model)
+    cal = kh <= 20.0
+    p20 = np.asarray(hmcode_power(cosmo, zs, ks, version="2020"))
+    mins = {}
+    for lt in (7.6, 7.8, 8.0):
+        pf = np.asarray(hmcode_power(cosmo, zs, ks,
+                                     version="2020_feedback", logT_AGN=lt))
+        S = pf / p20
+        assert np.max(np.abs(S[:, ks < 3e-3] - 1.0)) < 1e-3  # linear limit
+        # bounded below; above, the star upturn may cross unity toward
+        # k/h ~ 20 (physical: stellar contraction beats gas expulsion
+        # at small scales, earlier for weaker heating)
+        assert S[:, cal].min() > 0.70 and S[0, cal].max() < 1.2
+        assert S[1, cal].min() > S[0, cal].min()  # weaker at z = 1
+        # star component: partial recovery past the trough at z=0
+        assert S[0, cal][-1] > S[0, cal].min() + 0.01
+        mins[lt] = S[0, cal].min()
+    assert mins[8.0] < mins[7.8] < mins[7.6]  # deeper with hotter AGN
+    # BAHAMAS-scale envelopes at the fiducial heating temperature
+    S78 = (np.asarray(hmcode_power(cosmo, zs, ks,
+                                   version="2020_feedback", logT_AGN=7.8))
+           / p20)[0]
+    s_at = lambda x: S78[np.argmin(np.abs(kh - x))]
+    assert 0.93 < s_at(1.0) < 0.99
+    assert 0.80 < mins[7.8] < 0.94
+    assert 2.0 < kh[np.argmin(S78)] < 12.0    # trough position
+
+
+def test_mead2020_feedback_dispatch_and_grad(cosmo):
+    """Class-API dispatch ('mead2020_feedback', params['hmcode_logT_AGN']
+    override) and a finite, negative d ln P / d logT_AGN at the trough
+    (hotter AGN -> deeper suppression), jit+grad through the response."""
+    zs = np.array([0.0])
+    ks = np.array([3.0])                     # ~4.4 h/Mpc, in the trough
+    p_fid = np.asarray(cosmo.P_mm_nonlinear(
+        ks, zs, halofit_version="mead2020_feedback"))
+    c_hot = Cosmology({"hmcode_logT_AGN": 8.0})
+    c_hot.engine = cosmo.engine
+    p_hot = np.asarray(c_hot.P_mm_nonlinear(
+        ks, zs, halofit_version="mead2020_feedback"))
+    assert p_hot[0, 0] < p_fid[0, 0]         # params override engages
+
+    g = jax.grad(lambda lt: jnp.log(hmcode_power(
+        cosmo, zs, ks, version="2020_feedback", logT_AGN=lt))[0, 0])(7.8)
+    assert np.isfinite(g) and g < 0.0
+
+
 def test_mead2020_dewiggle_suppresses_bao(cosmo):
     """The 2020 two-halo term must carry DAMPED BAO wiggles: the
     oscillatory residual of P_2h-dominated scales against a smooth
