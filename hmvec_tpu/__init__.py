@@ -27,15 +27,22 @@ from .models.ksz import (kSZ, Nvv, get_ksz_snr, Ngg,  # noqa: F401,E402
                          get_ksz_auto_squeezed, get_ksz_auto_signal_mafry,
                          get_ksz_snr_survey, get_survey_volume, get_kmin,
                          ksz_radial_function, ne0_shaw, Nvv_core_integral)
-from .models.cov import GaussianCov, knox_cov, bin_annuli  # noqa: F401,E402
+from .models.cov import (GaussianCov, knox_cov, bin_annuli,  # noqa: F401,E402
+                         get_avail_cls, shot_noise, lensing_shape_noise)
 from .models.power import (total_matter_power_spectrum,  # noqa: F401,E402
                            total_matter_galaxy_power_spectrum)
 from .models.profiles import (  # noqa: F401,E402
     duffy_concentration, Fcon, battaglia_gas_fit, rho_nfw, rho_nfw_x,
     rhoscale_nfw, rho_gas, rho_gas_generic, rho_gas_generic_x, P_e,
     P_e_generic, P_e_generic_x)
-from .models.mass_conversion import mdelta_from_mdelta  # noqa: F401,E402
-from .ops.sine_transform import generic_profile_fft  # noqa: F401,E402
+from .models.mass_conversion import (mdelta_from_mdelta,  # noqa: F401,E402
+                                     mdelta_from_mdelta_unvectorized)
+from .models.mass_function import simple_f_nu, NlnMsub  # noqa: F401,E402
+from .models.hod import (Mhalo_stellar_core, avg_Ns,  # noqa: F401,E402
+                         hod_default_mfunc)
+from .ops.sine_transform import (generic_profile_fft,  # noqa: F401,E402
+                                 fft_integral, analytic_fft_integral,
+                                 uk_fft, uk_brute_force)
 from .pipeline import (make_pmm_fn, make_lensing_cls_fn,  # noqa: F401,E402
                        make_electron_fn, make_hod_fn, make_ksz_snr_fn,
                        make_ksz_survey_fn, make_batched_fn, fisher_jacobian)

@@ -213,6 +213,60 @@ class Cosmology:
         finally:
             self.halofit = old
 
+    def get_pk_interpolator(self, zs, kmax, var="weyl", nonlinear=False,
+                            return_z_k=False, k_per_logint=None,
+                            log_interp=True, extrap_kmax=None):
+        """P(z, k) evaluator with the reference's interface
+        (cosmology.py:772-810): returns an object whose ``.P(zs, ks,
+        grid=True)`` evaluates the requested spectrum.
+
+        var: 'total' (matter), 'cb' (cold matter, EH engine linear
+        only), or 'weyl' (Weyl-potential spectrum via the Poisson
+        relation P_Weyl = [3/2 Om_m H0^2 (1+z) / c^2]^2 P_m / k^4 --
+        same engine-free stand-in as cmb_lensing_limber, documented
+        deviation from CAMB's Transfer_Weyl).  Deviations: evaluation
+        is exact on the requested points rather than spline-interpolated
+        from a CAMB table; the as8 amplitude knob is already applied (the
+        reference's raw CAMB PK is not); k_per_logint / log_interp /
+        extrap_kmax are accepted for signature parity and ignored.
+        ``return_z_k`` also returns the (zs, ks) sampling like CAMB.
+        """
+        del k_per_logint, log_interp, extrap_kmax
+        cosmo = self
+
+        class _PK:
+            def P(self, pzs, pks, grid=True):
+                pzs = jnp.atleast_1d(jnp.asarray(pzs, dtype=jnp.float64))
+                pks = jnp.atleast_1d(jnp.asarray(pks, dtype=jnp.float64))
+                if var == "cb":
+                    if nonlinear:
+                        raise NotImplementedError(
+                            "var='cb' nonlinear needs a cb table; use "
+                            "var='total' or linear")
+                    p = cosmo.engine.plin(cosmo.bg, pzs, pks,
+                                          accuracy="medium",
+                                          growth_mode=cosmo.growth_mode,
+                                          component="cb")
+                else:
+                    p = cosmo._get_matter_power(pzs, pks,
+                                                nonlinear=nonlinear)
+                if var == "weyl":
+                    from .distances_ext import CSPEED_KMS
+                    h0i = cosmo.bg.H0 / CSPEED_KMS
+                    pref = (1.5 * cosmo.bg.omm0 * h0i**2
+                            * (1.0 + pzs))[:, None] ** 2
+                    p = pref * p / pks[None, :] ** 4
+                if not grid:
+                    p = jnp.diagonal(p)
+                return p
+
+        pk = _PK()
+        if return_z_k:
+            zarr = np.atleast_1d(np.asarray(zs, dtype=np.float64))
+            karr = np.geomspace(1e-4, float(kmax), 256)
+            return pk, zarr, karr
+        return pk
+
     def _get_matter_power(self, zs, ks, nonlinear=False):
         if nonlinear:
             if self.engine.name == "tabulated":

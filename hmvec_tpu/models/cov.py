@@ -37,6 +37,16 @@ def lensing_shape_noise(ngal, shape_noise=0.3):
     return shape_noise**2 / 2.0 / shot_noise(ngal)
 
 
+def get_avail_cls(acls, x, y):
+    """Order-insensitive lookup of the 'x_y' spectrum in a cls dict,
+    0 if absent (reference cov.py:25-31 -- whose reversed-key fallback
+    references an out-of-scope ``self`` and always falls through to 0;
+    here the same dict is searched both ways as intended)."""
+    if x + "_" + y in acls:
+        return acls[x + "_" + y]
+    return acls.get(y + "_" + x, 0)
+
+
 class GaussianCov:
     """Registry of binned Cls + noise; Knox-formula covariance
     (reference cov.py:33-63)."""

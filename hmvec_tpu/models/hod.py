@@ -38,6 +38,16 @@ def _behroozi_core(log10mstar, a, p):
             + 10.0 ** (delta * d) / (1.0 + 10.0 ** (-gamma * d)))
 
 
+def Mhalo_stellar_core(log10mstellar, a, Mstar00, Mstara, M1, M1a,
+                       beta0, beta_a, gamma0, gamma_a, delta0, delta_a):
+    """Reference-signature Behroozi SMHM core (hmvec.py:648-656):
+    log10 M_halo from log10 M* at scale factor a, with the twelve
+    Behroozi 1001.0015 fit parameters passed explicitly."""
+    return _behroozi_core(jnp.asarray(log10mstellar), jnp.asarray(a),
+                          (Mstar00, Mstara, M1, M1a, beta0, beta_a,
+                           gamma0, gamma_a, delta0, delta_a))
+
+
 # Behroozi 1001.0015 Table 2 fit parameters (z<=0.8 and z>0.8 regimes)
 _BEHROOZI_LOWZ = (10.72, 0.55, 12.35, 0.28, 0.44, 0.18, 1.56, 2.51, 0.57, 0.17)
 _BEHROOZI_HIZ = (11.09, 0.56, 12.27, -0.84, 0.65, 0.31, 1.12, -0.53, 0.56, -0.12)

@@ -35,3 +35,26 @@ def mdelta_from_mdelta(M1, C1, delta_rhos1, delta_rhos2,
     logM2 = solve_bisection_root(objective, logM1 - log_bracket,
                                  logM1 + log_bracket, num_iter)
     return jnp.exp(logM2)
+
+
+def mdelta_from_mdelta_unvectorized(M1, C1, delta_rhos1, delta_rhos2,
+                                    num_iter: int = 90,
+                                    log_bracket: float = 10.0):
+    """Elementwise-broadcast variant (reference hmvec.py:770-798, where
+    it is the scipy-newton workhorse): same fixed-trip bisection as
+    mdelta_from_mdelta but without the (nz, nm) grid packing -- scalars
+    or any mutually broadcastable shapes.  Returns M2 with the broadcast
+    shape."""
+    M1, C1, dr1, dr2 = jnp.broadcast_arrays(
+        jnp.asarray(M1, dtype=jnp.float64), jnp.asarray(C1),
+        jnp.asarray(delta_rhos1), jnp.asarray(delta_rhos2))
+    logM1 = jnp.log(M1)
+    F1 = 1.0 / fcon(C1)
+
+    def objective(logM2):
+        C2 = C1 * (jnp.exp(logM2 - logM1) * (dr1 / dr2)) ** (1.0 / 3.0)
+        return M1 * F1 - jnp.exp(logM2) / fcon(C2)
+
+    logM2 = solve_bisection_root(objective, logM1 - log_bracket,
+                                 logM1 + log_bracket, num_iter)
+    return jnp.exp(logM2)

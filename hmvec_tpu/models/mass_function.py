@@ -115,6 +115,17 @@ def n_ln_m_sub(Msubs, Mhosts):
     return 0.3 * mrat**-0.7 * jnp.exp(-9.9 * mrat**2.5)
 
 
+def simple_f_nu(nu, delta=200.0):
+    """Reference-named alias of simple_f_nu_tinker2008 (tinker.py:70-78)."""
+    return simple_f_nu_tinker2008(nu, delta)
+
+
+def NlnMsub(Msubs, Mhosts):
+    """Reference-named alias of n_ln_m_sub (tinker.py:81-90); returns the
+    (nsub, nhost) grid like the reference."""
+    return n_ln_m_sub(Msubs, Mhosts)
+
+
 def nzm(sigma2, ms, fsigmaz, rho_matter0):
     """Halo number density n(z,m) (hmvec.py:178-185).
 

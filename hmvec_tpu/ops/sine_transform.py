@@ -241,6 +241,28 @@ def _sine_dft_mixed32_scaled(y, step: float, chunks: int = 4,
     return out.reshape(*batch, nk)
 
 
+def fft_integral(x, y):
+    """int_0^inf dx x sin(kx) y(x) -> (ks, uk), with the reference's
+    rfft conventions (fft.py:35-51, including its step = extent/N
+    quirk), via the matmul sine-DFT (no complex128/f64 FFT on TPU).
+    Standalone validator; check against ``analytic_fft_integral`` for
+    y = exp(-x^2/2)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = x.shape[-1]
+    step = (x[-1] - x[0]) / n
+    uk = sine_dft(x * y, step)
+    ks = jnp.arange(n // 2 + 1) * 2.0 * jnp.pi / (n * step)
+    return ks, uk
+
+
+def analytic_fft_integral(ks):
+    """Closed form of ``fft_integral`` for y = exp(-x^2/2):
+    sqrt(pi/2) k exp(-k^2/2) (reference fft.py:53)."""
+    ks = jnp.asarray(ks)
+    return jnp.sqrt(jnp.pi / 2.0) * jnp.exp(-(ks**2) / 2.0) * ks
+
+
 def uk_fft(rhofunc, rvir, dr: float = 0.001, rmax: float = 100):
     """Standalone validator: u(k) of a radial profile by sine transform
     (reference fft.py:8-19 semantics)."""

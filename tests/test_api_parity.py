@@ -124,3 +124,91 @@ def test_d_growth_exact_alias():
     dw = np.asarray(cw.D_growth(a, type="z0norm"))
     assert np.max(np.abs(dw / np.asarray(c.D_growth(a, type="z0norm"))
                          - 1.0)) > 1e-3
+
+
+def test_reference_free_function_stragglers():
+    """Round-3 API sweep stragglers: get_avail_cls, fft_integral /
+    analytic_fft_integral, Mhalo_stellar_core, NlnMsub / simple_f_nu
+    aliases, mdelta_from_mdelta_unvectorized -- each against the
+    reference source (via _refload) or the twin where pure numpy."""
+    import hmvec_tpu as hm
+    from _refload import load_ref
+
+    # cov.get_avail_cls (reference cov.py:25-31; reversed-key lookup
+    # fixed -- the reference's fallback references an out-of-scope self)
+    acls = {"k_g": 7.0}
+    assert hm.get_avail_cls(acls, "k", "g") == 7.0
+    assert hm.get_avail_cls(acls, "g", "k") == 7.0
+    assert hm.get_avail_cls(acls, "g", "y") == 0
+
+    # fft_integral: bit-level parity with the twin (which reproduces the
+    # reference's step = extent/N convention) and the reference's own
+    # analytic Gaussian check (fft.py:41-53)
+    from hmvec_tpu.twin.profile_fft import fft_integral as tw_fft
+    x = np.arange(0.002, 50.0, 0.002)
+    kj, uj = hm.fft_integral(x, np.exp(-x**2 / 2.0))
+    kt, ut = tw_fft(x, np.exp(-x**2 / 2.0))
+    assert np.max(np.abs(np.asarray(uj) - ut)) < 1e-12
+    sel = (np.asarray(kj) > 0.1) & (np.asarray(kj) < 5.0)
+    ana = np.asarray(hm.analytic_fft_integral(kj))
+    assert np.max(np.abs(np.asarray(uj) - ana)[sel]) < 5e-3
+
+    # Mhalo_stellar_core: exact vs the reference function (hmvec.py:648)
+    refh = load_ref("hmvec")
+    args = (10.5, 0.8, 10.72, 0.55, 12.35, 0.28, 0.44, 0.18,
+            1.56, 2.51, 0.57, 0.17)
+    assert abs(float(hm.Mhalo_stellar_core(*args))
+               - refh.Mhalo_stellar_core(*args)) < 1e-12
+
+    # tinker aliases (reference names)
+    np.testing.assert_array_equal(
+        np.asarray(hm.simple_f_nu(np.array([0.5, 2.0]))),
+        np.asarray(__import__("hmvec_tpu.models.mass_function",
+                              fromlist=["x"]).simple_f_nu_tinker2008(
+                                  np.array([0.5, 2.0]))))
+    assert np.asarray(hm.NlnMsub(np.geomspace(1e10, 1e12, 4),
+                                 np.geomspace(1e13, 1e15, 3))).shape == (4, 3)
+
+    # scalar mass-def conversion agrees with the vectorized grid path
+    d1, d2 = 200.0 * 2.8e11, 500.0 * 2.8e11
+    Mv = np.asarray(hm.mdelta_from_mdelta(
+        np.array([1e13]), np.array([[5.0]]), np.array([d1]),
+        np.array([d2])))[0, 0]
+    Ms = float(hm.mdelta_from_mdelta_unvectorized(1e13, 5.0, d1, d2))
+    assert abs(Mv / Ms - 1.0) < 1e-12
+
+
+def test_get_pk_interpolator():
+    """Cosmology.get_pk_interpolator (reference cosmology.py:772-810):
+    .P(zs, ks, grid=True) evaluator for var='total'/'weyl'/'cb',
+    linear + nonlinear, and the return_z_k form."""
+    from hmvec_tpu.models.cosmology import Cosmology
+
+    c = Cosmology()
+    zs = np.array([0.0, 1.0])
+    ks = np.geomspace(1e-3, 1.0, 12)
+    PK = c.get_pk_interpolator(zs, kmax=10.0, var="total", nonlinear=False)
+    np.testing.assert_allclose(np.asarray(PK.P(zs, ks)),
+                               np.asarray(c.P_mm_linear(zs, ks)),
+                               rtol=1e-12)
+    # weyl: Poisson-relation prefactor (same stand-in as
+    # cmb_lensing_limber; exact relation to the matter power)
+    pw = np.asarray(c.get_pk_interpolator(zs, kmax=10.0, var="weyl")
+                    .P(zs, ks))
+    h0i = float(c.bg.H0) / 299792.458
+    pref = (1.5 * float(c.bg.omm0) * h0i**2 * (1.0 + zs))[:, None] ** 2
+    np.testing.assert_allclose(
+        pw, pref * np.asarray(c.P_mm_linear(zs, ks)) / ks[None, :] ** 4,
+        rtol=1e-10)
+    # nonlinear total boosts small scales
+    pnl = np.asarray(c.get_pk_interpolator(zs, kmax=10.0, var="total",
+                                           nonlinear=True).P(zs, ks))
+    assert pnl[0, -1] > 2.0 * np.asarray(c.P_mm_linear(zs, ks))[0, -1]
+    # cb (linear, EH engine) finite and close to total at mnu=0
+    pcb = np.asarray(c.get_pk_interpolator(zs, kmax=10.0, var="cb")
+                     .P(zs, ks))
+    np.testing.assert_allclose(pcb, np.asarray(c.P_mm_linear(zs, ks)),
+                               rtol=1e-10)
+    PKr, za, ka = c.get_pk_interpolator(zs, kmax=10.0, var="total",
+                                        return_z_k=True)
+    assert za.shape == (2,) and ka[-1] == 10.0
