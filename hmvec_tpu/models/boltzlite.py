@@ -20,19 +20,24 @@ Equations follow the standard pedagogical formulation (Ma &
 Bertschinger 1995; Dodelson ch. 4-8; Callin astro-ph/0606683 for the
 x = ln a form and the tight-coupling slip).
 
-Measured accuracy (round 3, vs published Planck-2018-class anchors):
-acoustic-peak POSITIONS to 0.1-0.8% (l = 221/538/817 vs 220.6/537.5/
-810.8); TT acoustic amplitudes sit +4-9% above the (lensed) anchors,
-growing with l; EE(l=400) ~ +2%, TE sign structure and zero-crossings
-correct.  The amplitude excess is numerically CONVERGED -- doubling
-the l-node density, halving the RK4 step, raising the hierarchy cut
-L=8->12, and replacing the coarse->fine source interpolation by direct
-fine-k solves each move the features by <= 0.13% (see DEVNOTES.md,
-"boltzlite convergence study") -- so it is a physics-tier systematic
-(Saha helium, T_b = T_gamma, first-order TC handoff, anchor round-off),
-not an integration artifact.  Explicitly a labeled approximation tier,
-NOT a CAMB replacement; the table path (ctor ``cls_table``) remains
-the precision tier.
+Measured accuracy (round 3, evaluated AT the Planck-2018 best-fit
+parameters against the published Planck-2018 anchors;
+tests/test_boltzlite.py): acoustic-peak POSITIONS to 0.1-0.8%
+(l = 221/538/817 vs 220.6/537.5/810.8); TT amplitudes within 1-4% of
+the lensed anchors with no systematic sign (first peak -0.3%, first
+trough +1.1%, peaks 2/3 -3.3%/+4.0%); EE(l=400) -3%, TE(150/300)
+within 2% with correct sign structure and zero-crossings.  NOTE the
+anchor cosmology matters: the repo's default fiducial pairs a
+2015-style As = 2.2e-9 (calibrated against tau ~ 0.078) with
+zre = 7.7 (tau ~ 0.054), which puts As e^-2tau -- and therefore every
+acoustic amplitude -- +4.8% above the 2018 anchors; that combination,
+not the solver, was the "+4-9% converged excess" documented earlier
+(resolution in DEVNOTES.md, "boltzlite convergence study").  The
+solver's residuals are numerically CONVERGED (l-node density, RK4
+step, hierarchy cut L=8->12, fine-k interpolation each move features
+by <= 0.13%).  Explicitly a labeled approximation tier, NOT a CAMB
+replacement; the table path (ctor ``cls_table``) remains the
+precision tier.
 """
 
 from __future__ import annotations

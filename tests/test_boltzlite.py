@@ -8,8 +8,15 @@ tests validate the native solver three ways:
   2. internal consistency (the unevolved energy constraint, conformal
      age vs the background module, superhorizon curvature conservation);
   3. external anchors: visibility peak, tau_reio, and the published
-     Planck-2018-class TT/EE/TE acoustic structure at ~10% envelopes
-     (the module's stated accuracy tier is "few percent", unlensed).
+     Planck-2018-class TT/EE/TE acoustic structure.
+
+The anchor tests run AT the Planck-2018 best-fit parameter set (P18
+below) -- not the repo fiducial, whose As = 2.2e-9 is a 2015-style
+amplitude calibrated against tau ~ 0.078: paired with zre = 7.7
+(tau ~ 0.054) it puts As e^-2tau (and hence every acoustic amplitude)
++4.8% above the 2018 anchors.  Round 3 traced the previously-documented
+"+4-9% converged excess" (DEVNOTES) to exactly this; at P18 the solver
+lands within ~1-4% of the published values with no systematic sign.
 """
 
 import numpy as np
@@ -20,14 +27,20 @@ from hmvec_tpu.models import background as bgmod
 from hmvec_tpu.models import recomb
 
 
+# Planck 2018 TT,TE,EE+lowE+lensing best fit (the anchor cosmology)
+P18 = {"H0": 67.36, "ombh2": 0.02237, "omch2": 0.1200,
+       "ns": 0.9649, "As": 2.100e-9}
+ZRE18 = 7.67                       # tau ~ 0.054
+
+
 @pytest.fixture(scope="module")
 def bg():
-    return bgmod.background(merge_params())
+    return bgmod.background(merge_params(P18))
 
 
 @pytest.fixture(scope="module")
 def rec(bg):
-    return recomb.recombination(bg)
+    return recomb.recombination(bg, zre=ZRE18)
 
 
 def test_recomb_twin_parity(bg, rec):
@@ -35,7 +48,7 @@ def test_recomb_twin_parity(bg, rec):
     tw = twin_recombination(float(bg.H0), float(bg.ombh2),
                             float(bg.omm0) + float(bg.omnu0),
                             float(bg.omr0), float(bg.omk0), float(bg.oml0),
-                            float(bg.Yp), float(bg.T_cmb_k))
+                            float(bg.Yp), float(bg.T_cmb_k), zre=ZRE18)
     zs = np.exp(-np.asarray(rec.xs)) - 1.0
     sel = (zs > 0) & (zs < 1700)
     xe_t = tw["xe_of_z"](zs[sel])
@@ -61,8 +74,8 @@ def test_recomb_twin_parity(bg, rec):
 
 
 def test_recomb_external_anchors(rec):
-    """Textbook numbers: visibility peak z*~1090, tau_reio ~0.05 for
-    zre=7.7, freeze-out xe a few e-4."""
+    """Textbook numbers: visibility peak z*~1090, tau_reio ~0.054 for
+    zre=7.67 (Planck 2018), freeze-out xe a few e-4."""
     zs = np.exp(-np.asarray(rec.xs)) - 1.0
     gv = np.asarray(rec.gvis)
     hi = zs > 500
@@ -115,14 +128,18 @@ def unl860():
     """One full-chain unlensed solve (+ exact lens potential) shared by
     the slow anchor tests."""
     from hmvec_tpu.models import boltzlite as bl
-    return bl.compute_cls(lmax=860, lens_potential=True)
+    return bl.compute_cls(P18, lmax=860, zre=ZRE18, lens_potential=True)
 
 
 @pytest.mark.slow
 def test_cls_planck_anchors(unl860):
-    """Full chain to lmax=860: the acoustic structure must land on the
-    published Planck-2018-class TT/EE/TE numbers within ~10-12%
-    (few-percent solver + no lensing smoothing + anchor round-off)."""
+    """Full chain to lmax=860 AT the Planck-2018 parameters: the
+    acoustic structure must land on the published (lensed) Planck-2018
+    TT/EE/TE numbers within 4-8% (measured: P1 -0.3%, T1 +1.1%,
+    P2 -3.3%, P3 +4.0%, EE(400) -3%, TE(150/300) within 2%).  The
+    solver's coarse-l-node smoothing mimics lensing's peak smoothing,
+    so the LENSED anchors are the fair comparison for an unlensed-tier
+    run; envelopes leave ~2x the measured residuals."""
     cls, _ = unl860
     ells = np.arange(861, dtype=float)
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -133,22 +150,22 @@ def test_cls_planck_anchors(unl860):
     # first peak: position and height
     ipk = 150 + np.argmax(dl[150:300])
     assert 205 < ipk < 237
-    assert abs(dl[ipk] - 5750.0) / 5750.0 < 0.10
+    assert abs(dl[ipk] - 5750.0) / 5750.0 < 0.04
     # SW plateau
     assert 800 < dl[10] < 1400
     # first trough and second peak
     itr = 330 + np.argmin(dl[330:480])
     assert 400 < itr < 435
-    assert abs(dl[itr] - 1680.0) / 1680.0 < 0.12
+    assert abs(dl[itr] - 1690.0) / 1690.0 < 0.06
     ipk2 = 480 + np.argmax(dl[480:620])
     assert 520 < ipk2 < 555
-    assert abs(dl[ipk2] - 2550.0) / 2550.0 < 0.12
+    assert abs(dl[ipk2] - 2700.0) / 2700.0 < 0.07
     # third peak
     ipk3 = 700 + np.argmax(dl[700:861])
     assert 790 < ipk3 < 830
-    assert abs(dl[ipk3] - 2500.0) / 2500.0 < 0.12
+    assert abs(dl[ipk3] - 2500.0) / 2500.0 < 0.08
     # polarization: EE amplitude at l=400 ~ 22 muK^2; TE sign structure
-    assert abs(dle[400] - 22.0) / 22.0 < 0.3
+    assert abs(dle[400] - 22.0) / 22.0 < 0.12
     assert dlte[150] < -20.0 and dlte[300] > 60.0
     # BB identically zero (no tensors, no lensing)
     assert np.all(cls[:, 2] == 0.0)
@@ -179,7 +196,7 @@ def test_lensed_cls_anchors(bg, unl860):
     from hmvec_tpu.models.cosmology import Cosmology
     from hmvec_tpu.models.lensed_cls import lens_cls_flat_sky
     unl, _ = unl860
-    cos = Cosmology()
+    cos = Cosmology(P18)
     _, clkk = cos.cmb_lensing_limber(860, nonlinear=True)
     ells = np.arange(861, dtype=float)
     clpp = np.zeros(861)
@@ -228,7 +245,7 @@ def test_exact_lens_potential(unl860):
     assert 25 < ipk < 65, ipk
     assert 1.15 < 1e7 * dpp[ipk] < 1.75, dpp[ipk]
 
-    cos = Cosmology()
+    cos = Cosmology(P18)
     ells_lim, clkk = cos.cmb_lensing_limber(200, nonlinear=False)
     ells_lim = np.asarray(ells_lim)
     clpp_lim = 4.0 * np.asarray(clkk) / (ells_lim**2
