@@ -83,7 +83,14 @@ def test_sharded_pmm_wcdm_ode_growth():
 def test_sharded_boltzlite_matches_unsharded():
     """k-sharded Boltzmann solve + l-sharded Bessel projection == the
     single-device boltzlite path (tiny stability-respecting grids:
-    dx_c ~ 0.028 keeps explicit RK4 stable to k ~ 0.023/Mpc)."""
+    dx_c ~ 0.028 keeps explicit RK4 stable to k ~ 0.023/Mpc).
+
+    The persistent compilation cache is disabled for this test: writing
+    the serialized 8-device boltzlite executable from inside a full
+    suite run SEGFAULTS the interpreter in jax's
+    put_executable_and_time (reproduced twice at the identical frame on
+    cold caches; the same test passes solo and the entry is never warm
+    on a fresh host anyway -- see DEVNOTES 'suite segfault')."""
     import jax.numpy as jnp
     from hmvec_tpu.params import merge_params
     from hmvec_tpu.models import background as bgmod
@@ -92,6 +99,25 @@ def test_sharded_boltzlite_matches_unsharded():
     from hmvec_tpu.parallel.sharding import (
         make_mesh, sharded_solve_perturbations, sharded_cls_from_sources)
 
+    # NOTE: flipping jax_compilation_cache_dir alone is a no-op here --
+    # compilation_cache.is_cache_used() latches its decision in process
+    # globals on first use, so the cache must be reset AND the enable
+    # flag flipped (verified: entries stop being written only with both).
+    from jax._src import compilation_cache as _cc
+    _cc.reset_cache()
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        _sharded_boltzlite_body(jnp, merge_params, bgmod, recomb, bl,
+                                make_mesh, sharded_solve_perturbations,
+                                sharded_cls_from_sources)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+        _cc.reset_cache()
+
+
+def _sharded_boltzlite_body(jnp, merge_params, bgmod, recomb, bl,
+                            make_mesh, sharded_solve_perturbations,
+                            sharded_cls_from_sources):
     p = merge_params({})
     bg = bgmod.background(p)
     rec = recomb.recombination(bg)
