@@ -32,7 +32,7 @@ Versions here:
   evaluated, per redshift, in the equivalent constant-w cosmology
   (see casarini_weff) -- identical to 'takahashi' when wa = 0.
 
-'mead' / 'mead2015' / 'mead2020' live in models/hmcode.py.  All
+'mead' / 'mead2015' / 'mead2020' / 'mead2020_feedback' live in models/hmcode.py.  All
 halofit versions here share the
 quasi-linear + halo-term structure; only the fitted coefficient
 polynomials in (n_eff, C) and the f_i(Omega) exponents differ.
@@ -162,7 +162,8 @@ def halofit_nonlinear(plin_fn, zs, ks, omz, omde_w, num_iter: int = 60,
         raise ValueError(
             f"halofit version {version!r}: supported here are "
             f"{sorted(_COEFFS)} + 'casarini' via halofit_power "
-            f"(plus 'mead'/'mead2015'/'mead2020' via models/hmcode.py)")
+            f"(plus 'mead'/'mead2015'/'mead2020'/'mead2020_feedback' "
+            f"via models/hmcode.py)")
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
     kg = jnp.asarray(_KG)
