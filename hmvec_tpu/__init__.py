@@ -39,7 +39,8 @@ from .models.mass_conversion import (mdelta_from_mdelta,  # noqa: F401,E402
                                      mdelta_from_mdelta_unvectorized)
 from .models.mass_function import simple_f_nu, NlnMsub  # noqa: F401,E402
 from .models.hod import (Mhalo_stellar_core, avg_Ns,  # noqa: F401,E402
-                         hod_default_mfunc)
+                         hod_default_mfunc, avg_nc_zheng05,
+                         avg_ns_zheng05, build_hod_zheng05)
 from .ops.sine_transform import (generic_profile_fft,  # noqa: F401,E402
                                  fft_integral, analytic_fft_integral,
                                  uk_fft, uk_brute_force)

@@ -42,6 +42,8 @@ _HOD_PARAM_KEYS = [
     "hod_bisection_search_max_log10mthresh", "hod_bisection_num_iter",
     "hod_alphasat", "hod_Bsat", "hod_betasat", "hod_Bcut", "hod_betacut",
     "hod_A_log10mthresh", "hod_Msat_override", "hod_Mcut_override",
+    "hod_zheng_log10Mmin", "hod_zheng_siglogm", "hod_zheng_log10M0",
+    "hod_zheng_log10M1", "hod_zheng_alpha",
 ]
 
 
@@ -241,7 +243,13 @@ class HaloModel(Cosmology):
     # ---- HOD (hmvec.py:357-466) ----
     def add_hod(self, name, mthresh=None, ngal=None, corr="max",
                 satellite_profile_name="nfw", central_profile_name=None,
-                ignore_existing=False, param_override=None):
+                ignore_existing=False, param_override=None,
+                family="leauthaud"):
+        """family: 'leauthaud' (the reference's Behroozi-SMHM threshold
+        HOD, hmvec.py:357-466) or 'zheng05' (EXTENSION: the standard
+        five-parameter Zheng et al 2005/2007 HOD -- params
+        hod_zheng_log10Mmin/siglogm/log10M0/log10M1/alpha; ``ngal``
+        solves log10 Mmin, ``mthresh`` is ignored)."""
         if not ignore_existing:
             assert name not in self.uk_profiles, "HOD name already used by profile."
             assert name not in self.hods, "HOD with that name already exists."
@@ -251,10 +259,18 @@ class HaloModel(Cosmology):
         hp = {k: self.p[k] for k in _HOD_PARAM_KEYS if k in self.p}
         hp = scoped_override(hp, param_override, set(_HOD_PARAM_KEYS),
                              strict=True)
-        grid = build_hod(self.zs, self.ms, self.nzm, self.bh, hp,
-                         mthresh=mthresh, ngal=ngal, corr=corr,
-                         Msat_override=hp.get("hod_Msat_override"),
-                         Mcut_override=hp.get("hod_Mcut_override"))
+        if family == "zheng05":
+            from .hod import build_hod_zheng05
+            grid = build_hod_zheng05(self.zs, self.ms, self.nzm, self.bh,
+                                     hp, ngal=ngal, corr=corr)
+        elif family == "leauthaud":
+            grid = build_hod(self.zs, self.ms, self.nzm, self.bh, hp,
+                             mthresh=mthresh, ngal=ngal, corr=corr,
+                             Msat_override=hp.get("hod_Msat_override"),
+                             Mcut_override=hp.get("hod_Mcut_override"))
+        else:
+            raise ValueError(f"HOD family {family!r}: supported are "
+                             "'leauthaud' (reference) and 'zheng05'")
         self.hods[name] = {
             "Nc": grid.Nc, "Ns": grid.Ns, "NsNsm1": grid.NsNsm1,
             "NcNs": grid.NcNs, "ngal": grid.ngal, "bg": grid.bg,

@@ -151,6 +151,78 @@ def avg_Ns(log10mhalo, z, log10mstellar_thresh, Nc=None,
                   Msat_override=Msat_override, Mcut_override=Mcut_override)
 
 
+def avg_nc_zheng05(log10mhalo, log10mmin, siglogm):
+    """Zheng et al 2005/2007 central occupation
+    <Nc> = (1/2)[1 + erf((log10 M - log10 Mmin)/sigma_logM)].
+
+    EXTENSION beyond the reference (which ships only the
+    Behroozi-threshold HOD): the standard five-parameter HOD used by
+    most clustering analyses (Zheng+2005 eq. 1-3 / Zheng+2007 eq. 1-5).
+    """
+    return 0.5 * (1.0 + erf((log10mhalo - log10mmin) / siglogm))
+
+
+def avg_ns_zheng05(masses, Nc, m0, m1, alpha):
+    """Zheng-05 satellite occupation <Ns> = Nc ((M - M0)/M1')^alpha for
+    M > M0, else 0 (double-where keeps the grad finite at the cutoff
+    for non-integer alpha)."""
+    pos = masses > m0
+    frac = jnp.where(pos, (masses - m0) / m1, 1.0)
+    return jnp.where(pos, Nc * frac**alpha, 0.0)
+
+
+def build_hod_zheng05(zs, ms, nzm, bh, hod_params, ngal=None, corr="max"):
+    """Zheng-05 HOD grid on (zs, ms); if ``ngal`` (nz,) is given, solve
+    log10 Mmin for it by the same fixed-count bisection as the
+    Behroozi-threshold family (sigma_logM, M0, M1, alpha held fixed).
+
+    Returns an HODGrid (log10mthresh carries log10 Mmin), so every
+    downstream consumer (power spectra, bg, kSZ) is family-agnostic.
+    """
+    w = trapz_weights(np.asarray(ms))      # static, before any tracing
+    zs = jnp.asarray(zs)
+    ms = jnp.asarray(ms)
+    log10mhalo = jnp.log10(ms)[None, :]
+    masses = 10.0 ** log10mhalo
+    wj = jnp.asarray(w)
+    sig = hod_params["hod_zheng_siglogm"]
+    m0 = 10.0 ** jnp.asarray(hod_params["hod_zheng_log10M0"])
+    m1 = 10.0 ** jnp.asarray(hod_params["hod_zheng_log10M1"])
+    alpha = hod_params["hod_zheng_alpha"]
+
+    def grid_at(log10mmin):
+        Nc = avg_nc_zheng05(log10mhalo, log10mmin, sig)
+        Ns = avg_ns_zheng05(masses, Nc, m0, m1, alpha)
+        return Nc, Ns
+
+    if ngal is not None:
+        def nfunc(log10mmin):
+            Nc, Ns = grid_at(log10mmin[:, None])
+            return (nzm * (Nc + Ns)) @ wj
+
+        # NOTE the bracket is in HALO mass (log10 Mmin), not the
+        # Leauthaud family's stellar-mass threshold -- clusters reach
+        # log10 M ~ 15.5, so the shared [7, 14] bracket would clip
+        log10mmin = invert_monotone(
+            nfunc, jnp.asarray(ngal),
+            hod_params.get("hod_zheng_bisection_lo", 9.0),
+            hod_params.get("hod_zheng_bisection_hi", 16.5),
+            num_iter=hod_params["hod_bisection_num_iter"],
+            increasing=False)
+        thresh = log10mmin[:, None]
+    else:
+        thresh = (jnp.asarray(hod_params["hod_zheng_log10Mmin"])
+                  + jnp.zeros((zs.shape[0], 1)))
+
+    Nc, Ns = grid_at(thresh)
+    NsNsm1 = avg_nsnsm1(Nc, Ns, corr)
+    NcNs = avg_ncns(Nc, Ns, corr)
+    ngal_out = (nzm * (Nc + Ns)) @ wj
+    bg = ((nzm * (Nc + Ns) * bh) @ wj) / ngal_out
+    return HODGrid(Nc=Nc, Ns=Ns, NsNsm1=NsNsm1, NcNs=NcNs,
+                   ngal=ngal_out, bg=bg, log10mthresh=thresh)
+
+
 class HODGrid(NamedTuple):
     Nc: jnp.ndarray
     Ns: jnp.ndarray

@@ -121,6 +121,13 @@ default_params = {
     # exact at f64 resolution.  Replaces the reference's rtol-based dynamic
     # loop (hmvec/utils.py:9-42, params.py:104-107).
     "hod_bisection_num_iter": 90,
+    # Zheng et al 2005/2007 five-parameter HOD (EXTENSION; the reference
+    # ships only the Behroozi-threshold family) -- SDSS-like fiducials
+    "hod_zheng_log10Mmin": 12.0,
+    "hod_zheng_siglogm": 0.2,
+    "hod_zheng_log10M0": 11.7,
+    "hod_zheng_log10M1": 13.0,
+    "hod_zheng_alpha": 1.0,
 }
 
 # Physical constants used across modules (SI unless noted)
