@@ -168,3 +168,21 @@ def fftlog_profile_transform(rhofunc_x, cmaxs, rss, zs, ks_out,
                     val)
     val = jnp.where(p > nkt - 1.0, 0.0, val)
     return jnp.asarray(ks_out), val
+
+
+def correlation_function(ks, pk):
+    """3-D two-point correlation function from P(k) by FFTLog:
+
+        xi(r) = (1/2 pi^2) int_0^inf dk k^2 P(k) j0(kr)
+
+    ks: (n,) log-uniform wavenumbers [1/Mpc]; pk: (..., n) power on ks.
+    Returns (rs, xi) with rs (n,) the reciprocal log grid [Mpc] and xi
+    (..., n).  EXTENSION beyond the reference (which exposes no
+    configuration-space statistics); spectral accuracy on smooth P(k),
+    pinned against a closed-form Gaussian oracle and scipy quadrature
+    in tests/test_fftlog.py.  For BAO work sample P(k) over at least
+    k ~ [1e-4, 1e2] so the periodic FFTLog window does not alias the
+    peak.
+    """
+    rs, F = fftlog_sine_j0(jnp.asarray(pk), np.asarray(ks))
+    return rs, F / (2.0 * jnp.pi**2)

@@ -68,3 +68,52 @@ def test_steep_profile_high_accuracy():
     u_ref = np.asarray(u_ref)
     err = np.abs(np.asarray(u_log)[0, 0] - u_ref)
     assert err.max() < 5e-4, err.max()
+
+
+def test_correlation_function_gaussian_oracle():
+    """xi(r) from P(k) = exp(-a k^2) has the closed form
+    exp(-r^2/4a) / (8 pi^{3/2} a^{3/2}); FFTLog must hit it to ~2e-4
+    (window-aliasing floor) over the physically-supported r range, and
+    broadcast over leading axes."""
+    import hmvec_tpu as hm
+    a = 4.0
+    ks = np.geomspace(1e-4, 1e3, 2048)
+    rs, xi = hm.correlation_function(ks, np.exp(-a * ks**2))
+    rs, xi = np.asarray(rs), np.asarray(xi)
+    xi_ref = np.exp(-rs**2 / (4 * a)) / (8 * np.pi**1.5 * a**1.5)
+    sel = (rs > 0.05) & (rs < 10.0)
+    assert np.max(np.abs(xi[sel] / xi_ref[sel] - 1.0)) < 1e-3
+    _, xib = hm.correlation_function(ks, np.stack([np.exp(-a * ks**2)] * 3))
+    assert np.asarray(xib).shape == (3, ks.size)
+    np.testing.assert_allclose(np.asarray(xib)[1], xi, rtol=0, atol=0)
+
+
+def test_correlation_function_bao_peak_and_quad():
+    """Real linear P(k): the BAO peak must appear at r ~ 100-110 Mpc/h in
+    r^2 xi(r), and three scipy piecewise-quad cross-checks must agree to
+    a few e-4 (the quadrature itself is oscillation-limited there)."""
+    from scipy.integrate import quad
+    from scipy.interpolate import interp1d
+    import hmvec_tpu as hm
+
+    c = hm.Cosmology()
+    h = c.p["H0"] / 100.0
+    ks = np.geomspace(1e-4, 1e2, 4096)
+    pk = np.asarray(c.P_mm_linear(np.array([0.0]), ks))[0]
+    rs, xi = hm.correlation_function(ks, pk)
+    rs, xi = np.asarray(rs), np.asarray(xi)
+    m = (rs > 110.0) & (rs < 190.0)
+    rpk_h = rs[m][np.argmax(rs[m] ** 2 * xi[m])] * h
+    assert 95.0 < rpk_h < 112.0, rpk_h   # EH98 sound horizon, Mpc/h
+
+    lnpk = interp1d(np.log(ks), np.log(pk), kind="cubic")
+
+    def integrand(k, r):
+        return (k**2 * np.exp(lnpk(np.log(k)))
+                * np.sinc(k * r / np.pi) / (2 * np.pi**2))
+
+    for r in (20.0, 50.0):
+        val = sum(quad(integrand, lo, hi, args=(r,), limit=400)[0]
+                  for lo, hi in zip([1e-4, 0.1, 1.0, 10.0],
+                                    [0.1, 1.0, 10.0, 60.0]))
+        assert abs(np.interp(r, rs, xi) / val - 1.0) < 1e-3, r
