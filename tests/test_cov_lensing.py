@@ -120,3 +120,25 @@ def test_ckk_positive_sensible():
     # CMB lensing convergence power at ell~100 is ~1e-7 (linear theory,
     # z<=3 portion of the kernel)
     assert 1e-9 < ckk[np.argmin(np.abs(ells - 100))] < 5e-7
+
+
+def test_angular_correlation_vs_scipy_legendre():
+    """w(theta) Legendre sum (EXTENSION): the lax.scan upward recurrence
+    must match a direct scipy eval_legendre sum at ~1e-13, broadcast
+    over leading axes, and reject non-consecutive ells."""
+    import pytest
+    from scipy.special import eval_legendre
+    from hmvec_tpu.models.cov import angular_correlation
+
+    ells = np.arange(2, 400)
+    cls = 100.0 / ells**2 * (1.0 + 0.3 * np.sin(ells / 30.0))
+    th = np.deg2rad(np.array([0.1, 0.5, 1.0, 3.0, 10.0]))
+    w = np.asarray(angular_correlation(ells, cls, th))
+    ref = sum((2 * l + 1) / (4 * np.pi) * c * eval_legendre(l, np.cos(th))
+              for l, c in zip(ells, cls))
+    np.testing.assert_allclose(w, ref, rtol=1e-12)
+    wb = np.asarray(angular_correlation(ells, np.stack([cls, 2 * cls]), th))
+    assert wb.shape == (2, th.size)
+    np.testing.assert_allclose(wb[1], 2.0 * w, rtol=1e-12)
+    with pytest.raises(AssertionError, match="consecutive"):
+        angular_correlation(np.array([2, 4, 6]), cls[:3], th)
