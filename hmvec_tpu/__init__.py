@@ -45,7 +45,8 @@ from .models.hod import (Mhalo_stellar_core, avg_Ns,  # noqa: F401,E402
 from .ops.sine_transform import (generic_profile_fft,  # noqa: F401,E402
                                  fft_integral, analytic_fft_integral,
                                  uk_fft, uk_brute_force)
-from .ops.fftlog import correlation_function  # noqa: F401,E402
+from .ops.fftlog import (correlation_function,  # noqa: F401,E402
+                         projected_correlation)
 from .pipeline import (make_pmm_fn, make_lensing_cls_fn,  # noqa: F401,E402
                        make_electron_fn, make_hod_fn, make_ksz_snr_fn,
                        make_ksz_survey_fn, make_batched_fn, fisher_jacobian)

@@ -186,3 +186,43 @@ def correlation_function(ks, pk):
     """
     rs, F = fftlog_sine_j0(jnp.asarray(pk), np.asarray(ks))
     return rs, F / (2.0 * jnp.pi**2)
+
+
+def projected_correlation(ks, pk, n_t: int = 192, t_max: float = 9.0):
+    """Projected correlation function from P(k):
+
+        w_p(R) = 2 int_0^inf dpi xi( sqrt(R^2 + pi^2) )
+               = 2 R int_0^inf dt cosh(t) xi(R cosh t)     [r = R cosh t]
+
+    built on the FFTLog xi(r) (the cosh substitution removes the
+    1/sqrt(r^2 - R^2) edge singularity, so fixed Gauss-Legendre nodes
+    in t converge fast; xi beyond its grid is treated as 0, ~1e-10 by
+    then).  ks: (n,) log-uniform [1/Mpc]; pk: (..., n).  Returns
+    (Rs, wp) on the reciprocal log grid [Mpc].  EXTENSION beyond the
+    reference: the standard line-of-sight-projected clustering
+    statistic (SDSS-style w_p(r_p)).  NOTE a direct mu = 0 FFTLog
+    Hankel of P(k) aliases badly for spectra that are flat anywhere
+    near the window edges (measured O(R)-growing contamination), which
+    is why the xi route is used.  Pinned against a closed-form
+    Gaussian and a direct line-of-sight quadrature in
+    tests/test_fftlog.py.
+    """
+    rs_j, xi = correlation_function(ks, pk)
+    rs = np.asarray(rs_j)
+    lnrs = jnp.asarray(np.log(rs))
+    # Gauss-Legendre nodes on [0, t_max] (host-side, static)
+    t_np, w_np = np.polynomial.legendre.leggauss(n_t)
+    t = jnp.asarray(0.5 * t_max * (t_np + 1.0))
+    wt = jnp.asarray(0.5 * t_max * w_np)
+    ch = jnp.cosh(t)                                   # (nt,)
+    ln_r_eval = lnrs[:, None] + jnp.log(ch)[None, :]   # (n, nt)
+
+    xi2 = xi.reshape((-1, rs.size))
+
+    def wp_row(xirow):
+        # linear interp of xi in ln r; 0 beyond the right edge
+        v = jnp.interp(ln_r_eval, lnrs, xirow, right=0.0)
+        return 2.0 * jnp.asarray(rs) * ((v * ch[None, :]) @ wt)
+
+    wp = jax.vmap(wp_row)(xi2).reshape(xi.shape)
+    return rs_j, wp.astype(xi.dtype)

@@ -117,3 +117,38 @@ def test_correlation_function_bao_peak_and_quad():
                   for lo, hi in zip([1e-4, 0.1, 1.0, 10.0],
                                     [0.1, 1.0, 10.0, 60.0]))
         assert abs(np.interp(r, rs, xi) / val - 1.0) < 1e-3, r
+
+
+def test_projected_correlation_oracles():
+    """w_p(R) (EXTENSION): closed-form Gaussian transform
+    e^{-R^2/4a}/(4 pi a) at the xi-accuracy floor, and a direct
+    line-of-sight xi quadrature on a real linear spectrum."""
+    from scipy.interpolate import interp1d
+    import hmvec_tpu as hm
+    from hmvec_tpu.ops.fftlog import (projected_correlation,
+                                      correlation_function)
+
+    a = 4.0
+    ks = np.geomspace(1e-4, 1e3, 2048)
+    rs, wp = projected_correlation(ks, np.exp(-a * ks**2))
+    rs, wp = np.asarray(rs), np.asarray(wp)
+    ref = np.exp(-rs**2 / (4 * a)) / (4 * np.pi * a)
+    sel = (rs > 0.05) & (rs < 8.0)
+    assert np.max(np.abs(wp[sel] / ref[sel] - 1.0)) < 2e-3
+
+    c = hm.Cosmology()
+    ks2 = np.geomspace(1e-4, 1e2, 4096)
+    pk2 = np.asarray(c.P_mm_linear(np.array([0.0]), ks2))[0]
+    rs2, xi2 = correlation_function(ks2, pk2)
+    rsp, wp2 = projected_correlation(ks2, pk2)
+    rs2, xi2 = np.asarray(rs2), np.asarray(xi2)
+    rsp, wp2 = np.asarray(rsp), np.asarray(wp2)
+    xif = interp1d(rs2, xi2, kind="cubic", bounds_error=False,
+                   fill_value=0.0)
+    for R in (5.0, 20.0):
+        pis = np.linspace(0.0, 2000.0, 60000)
+        val = 2.0 * np.trapezoid(xif(np.sqrt(R**2 + pis**2)), pis)
+        assert abs(np.interp(R, rsp, wp2) / val - 1.0) < 2e-3, R
+    # batched leading axis passes through
+    _, wpb = projected_correlation(ks, np.stack([np.exp(-a * ks**2)] * 2))
+    assert np.asarray(wpb).shape == (2, ks.size)
