@@ -35,7 +35,7 @@ from .models.power import (total_matter_power_spectrum,  # noqa: F401,E402
 from .models.profiles import (  # noqa: F401,E402
     duffy_concentration, Fcon, battaglia_gas_fit, rho_nfw, rho_nfw_x,
     rhoscale_nfw, rho_gas, rho_gas_generic, rho_gas_generic_x, P_e,
-    P_e_generic, P_e_generic_x)
+    P_e_generic, P_e_generic_x, concentration_bhattacharya, rho_einasto_x)
 from .models.mass_conversion import (mdelta_from_mdelta,  # noqa: F401,E402
                                      mdelta_from_mdelta_unvectorized)
 from .models.mass_function import simple_f_nu, NlnMsub  # noqa: F401,E402

@@ -51,7 +51,8 @@ class HaloModel(Cosmology):
     def __init__(self, zs, ks, ms=None, params=None,
                  mass_function="sheth-torman", halofit=None, mdef="vir",
                  nfw_numeric=False, skip_nfw=False, accuracy="medium",
-                 engine="eh", pk_table=None, cls_table=None):
+                 engine="eh", pk_table=None, cls_table=None,
+                 concmode="duffy"):
         super().__init__(params=params, halofit=halofit, engine=engine,
                          accuracy=accuracy, pk_table=pk_table,
                          cls_table=cls_table)
@@ -59,6 +60,7 @@ class HaloModel(Cosmology):
         self.ks = jnp.asarray(ks)
         self.mdef = mdef
         self.mode = mass_function
+        self.concmode = concmode
         self.hods: dict = {}
         self.uk_profiles: dict = {}
         self.pk_profiles: dict = {}
@@ -108,11 +110,21 @@ class HaloModel(Cosmology):
     def get_bh(self):
         return self.bh
 
-    def concentration(self, mode="duffy"):
-        if mode != "duffy":
-            raise NotImplementedError(mode)
-        return prof.concentration_duffy(self.ms, self.zs, self.mdef,
-                                        self.p, self.h)
+    def concentration(self, mode=None):
+        """c(z,m) grid.  mode 'duffy' (reference default, hmvec.py:163-176)
+        or 'bhattacharya' (Bhattacharya+13 nu-based fits; extension -- the
+        reference raises NotImplementedError for anything non-Duffy).
+        Defaults to the ctor's ``concmode`` so every profile builder picks
+        the family up automatically."""
+        if mode is None:
+            mode = self.concmode
+        if mode == "duffy":
+            return prof.concentration_duffy(self.ms, self.zs, self.mdef,
+                                            self.p, self.h)
+        if mode == "bhattacharya":
+            d = self.D_growth(1.0 / (1.0 + self.zs), type="z0norm")
+            return prof.concentration_bhattacharya(self.sigma2, d, self.mdef)
+        raise NotImplementedError(mode)
 
     # ---- profiles ----
     def add_nfw_profile(self, name, numeric=False, nxs=None, xmax=None,
@@ -142,6 +154,31 @@ class HaloModel(Cosmology):
             uk = nfw_uk_fast(self.ks, self.zs, cs, rss).astype(self.Pzk.dtype)
         else:
             uk = _nfw_uk_analytic_j(self.ks, self.zs, cs, rss)
+        self.uk_profiles[name] = uk
+        return self.ks, uk
+
+    def add_einasto_profile(self, name, alpha=0.18, nxs=None, xmax=None,
+                            ignore_existing=False):
+        """Einasto u(k|m,z) via the batched sine-DFT transform (extension:
+        the reference supports only NFW + Battaglia profiles).
+
+        Same conventions as the numeric NFW path (hmvec.py:318-355 /
+        fft.py:56-115): r_s = r_vir/c with the instance's concentration
+        family, truncation at r_vir, trapz mass normalization so
+        u(k->0) = 1.
+        """
+        if not ignore_existing:
+            assert name not in self.uk_profiles, "Profile name already exists."
+        if nxs is None:
+            nxs = self.p["nfw_integral_numxs"]
+        if xmax is None:
+            xmax = self.p["nfw_integral_xmax"]
+        cs = self.concentration()
+        rvirs = self.rvir(self.ms[None, :], self.zs[:, None])
+        rss = rvirs / cs
+        _, uk = generic_profile_fft(
+            lambda x: prof.rho_einasto_x(x, alpha=alpha)[None, None, :],
+            cs, rss, self.zs, self.ks, xmax, nxs)
         self.uk_profiles[name] = uk
         return self.ks, uk
 

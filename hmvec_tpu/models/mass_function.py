@@ -52,6 +52,25 @@ def bias_sheth_torman(sigma2, params):
             + (2.0 * p / deltac) / (1.0 + (a * deltac**2 / sigma2) ** p))
 
 
+# ---- Press-Schechter and Despali-16 families (extensions beyond the
+# reference, which ships only 'sheth-torman' and 'tinker',
+# hmvec/hmvec.py:133-161).  Both are exactly the ST closed form with fixed
+# constants: PS is A=1/2, a=1, p=0 (an identity, not a fit -- nu f(nu) =
+# sqrt(2/pi) nu exp(-nu^2/2), whose integral over nu is exactly 1), and
+# Despali et al 2016 (MNRAS 456, 2486) fit their virial-overdensity mass
+# function in the ST functional form.  The Despali coefficients below are
+# the x = log10(Delta/Delta_vir) = 0 (virial) values of their eq. 12
+# polynomials (A=0.3292, a=0.7665, p=0.2488), transcribed offline -- no
+# external oracle exists in this environment; the tests pin the PS identity
+# analytically and bound Despali against ST (same-family ~10% agreement at
+# nu ~ 1).  Biases are the peak-background split of the same forms (for PS
+# this is the exact Mo-White b = 1 + (nu^2-1)/deltac).
+
+_PS_PARAMS = {"st_A": 0.5, "st_a": 1.0, "st_p": 0.0, "st_deltac": DELTAC}
+_DESPALI_PARAMS = {"st_A": 0.3292, "st_a": 0.7665, "st_p": 0.2488,
+                   "st_deltac": DELTAC}
+
+
 def bias_tinker(nu, delta=200.0):
     """Tinker et al 2010 Eq 6 bias (tinker.py:26-40)."""
     y = jnp.log10(delta)
@@ -145,6 +164,12 @@ def mass_function_grid(sigma2, zs, ms, rho_matter0, mode, params):
     elif mode == "tinker":
         fs = fsigmaz_tinker(sigma2, zs)
         bh = bias_tinker(DELTAC / jnp.sqrt(sigma2))
+    elif mode == "press-schechter":
+        fs = fsigmaz_sheth_torman(sigma2, _PS_PARAMS)
+        bh = bias_sheth_torman(sigma2, _PS_PARAMS)
+    elif mode == "despali":
+        fs = fsigmaz_sheth_torman(sigma2, _DESPALI_PARAMS)
+        bh = bias_sheth_torman(sigma2, _DESPALI_PARAMS)
     else:
         raise NotImplementedError(mode)
     return nzm(sigma2, ms, fs, rho_matter0), bh

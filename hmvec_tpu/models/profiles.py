@@ -35,6 +35,30 @@ def concentration_duffy(ms, zs, mdef, params, h):
                                jnp.asarray(zs)[:, None], A, alpha, beta, h)
 
 
+# Bhattacharya et al 2013 (ApJ 766, 32) c(M,z) fits, c = A D(z)^B nu^C with
+# nu = deltac/sigma(M,z) and D normalized to D(z=0) = 1.  Extension beyond
+# the reference (whose concentration() is Duffy-only and raises otherwise,
+# hmvec.py:163-176).  Coefficients transcribed offline from the paper's
+# full-sample fits; the tests bound them against Duffy (same-regime ~30%
+# agreement on cluster scales at z=0) and pin the exact formula against a
+# numpy mirror.
+_BHATTACHARYA_COEFFS = {
+    "vir": (7.7, 0.90, -0.29),     # c_vir
+    "mean": (9.0, 1.15, -0.29),    # c_200m  (this package's mdef='mean')
+    "200c": (5.9, 0.54, -0.35),    # c_200c  (direct calls only)
+}
+
+
+def concentration_bhattacharya(sigma2, d_z0norm, mdef, deltac=1.686):
+    """Bhattacharya+13 c(z,m) from the sigma^2(z,m) grid.
+
+    ``d_z0norm`` is D(z)/D(0) on the same zs as sigma2's leading axis.
+    """
+    A, B, C = _BHATTACHARYA_COEFFS[mdef]
+    nu = deltac / jnp.sqrt(sigma2)
+    return A * jnp.asarray(d_z0norm)[:, None] ** B * nu**C
+
+
 def fcon(c):
     """F(c) = ln(1+c) - c/(1+c) (hmvec.py:737)."""
     return jnp.log(1.0 + c) - c / (1.0 + c)
@@ -42,6 +66,16 @@ def fcon(c):
 
 def rho_nfw_x(x, rhoscale=1.0):
     return rhoscale / x / (1.0 + x) ** 2
+
+
+def rho_einasto_x(x, alpha=0.18, rhoscale=1.0):
+    """Einasto profile rho(x)/rho_s = exp(-(2/alpha)((x^alpha)-1)), x = r/r_s.
+
+    Extension beyond the reference (NFW/Battaglia only).  alpha ~ 0.18 is
+    the canonical cluster-scale shape (Navarro+2004); rho(1) = rhoscale.
+    """
+    x = jnp.asarray(x)
+    return rhoscale * jnp.exp(-(2.0 / alpha) * (x**alpha - 1.0))
 
 
 def rho_nfw(r, rhoscale, rs):

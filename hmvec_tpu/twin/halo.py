@@ -58,11 +58,19 @@ class TwinHaloModel(TwinCosmology):
         self.nzm = self.get_nzm()
         self.bh = self.get_bh()
 
+    # ST-form constant sets for the PS / Despali-16 extension families
+    # (lockstep mirror of models/mass_function._PS_PARAMS/_DESPALI_PARAMS)
+    _ST_FORM = {"press-schechter": (0.5, 1.0, 0.0),
+                "despali": (0.3292, 0.7665, 0.2488)}
+
     def get_fsigmaz(self):
         s2 = self.sigma2
         deltac = self.p["st_deltac"]
-        if self.mode == "sheth-torman":
-            A, a, pp = self.p["st_A"], self.p["st_a"], self.p["st_p"]
+        if self.mode == "sheth-torman" or self.mode in self._ST_FORM:
+            if self.mode == "sheth-torman":
+                A, a, pp = self.p["st_A"], self.p["st_a"], self.p["st_p"]
+            else:
+                A, a, pp = self._ST_FORM[self.mode]
             sigma = np.sqrt(s2)
             return (A * np.sqrt(2.0 * a / np.pi)
                     * (1.0 + (s2 / a / deltac**2) ** pp)
@@ -107,8 +115,11 @@ class TwinHaloModel(TwinCosmology):
     def get_bh(self):
         s2 = self.sigma2
         deltac = self.p["st_deltac"]
-        if self.mode == "sheth-torman":
-            a, pp = self.p["st_a"], self.p["st_p"]
+        if self.mode == "sheth-torman" or self.mode in self._ST_FORM:
+            if self.mode == "sheth-torman":
+                a, pp = self.p["st_a"], self.p["st_p"]
+            else:
+                _, a, pp = self._ST_FORM[self.mode]
             return (1.0 + (1.0 / deltac) * ((a * deltac**2 / s2) - 1.0)
                     + (2.0 * pp / deltac) / (1.0 + (a * deltac**2 / s2) ** pp))
         if self.mode == "tinker":
