@@ -10,6 +10,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.weights import trapz_weights
+from ..ops.quadrature import gradient
+
 
 def angular_correlation(ells, cls, thetas_rad):
     """w(theta) = sum_l (2l+1)/(4pi) C_l P_l(cos theta).
@@ -146,3 +149,87 @@ def knox_cov(cl_xw, cl_yz, cl_xz, cl_yw, ell_mids, delta_ells, fsky):
     clsum = cl_xw * cl_yz + cl_xz * cl_yw
     return clsum / (2.0 * jnp.asarray(ell_mids) + 1.0) \
         / jnp.asarray(delta_ells) / fsky
+
+
+# ---------------------------------------------------------------------------
+# P(k) covariance: Gaussian + 1-halo trispectrum + super-sample terms.
+# EXTENSION beyond the reference (whose cov.py covers only bandpower C_l
+# Knox errors): the standard survey-volume covariance of band-averaged
+# power-spectrum estimates, in the halo-model language this package
+# already speaks (n(z,m) grids, u(k|z,m) profiles, linear P).  Forms follow
+# Takada & Hu 2013 (PRD 87, 123504)-style mode counting and response.
+# ---------------------------------------------------------------------------
+
+def pk_cov_gaussian(ks, pk_tot, volume_mpc3, dks=None):
+    """Diagonal Gaussian covariance of shell-averaged P(k) in a volume V.
+
+    cov_ii = 2 P(k_i)^2 / N_i with N_i = V k_i^2 dk_i / (2 pi^2) Fourier
+    modes in the shell.  ``pk_tot`` (..., nk) should include shot noise if
+    applicable; broadcasts over leading axes.  Returns (..., nk, nk).
+    """
+    ks = jnp.asarray(ks)
+    pk_tot = jnp.asarray(pk_tot)
+    if dks is None:
+        dks = jnp.gradient(ks)
+    nmodes = volume_mpc3 * ks**2 * jnp.asarray(dks) / (2.0 * jnp.pi**2)
+    diag = 2.0 * pk_tot**2 / nmodes
+    nk = ks.shape[-1]
+    return diag[..., None] * jnp.eye(nk, dtype=diag.dtype)
+
+
+def trispectrum_1h(nzm, ms, rho_matter0, uk1, uk2=None):
+    """Connected 1-halo matter trispectrum T^1h(z, k, k').
+
+    T = int dm n(z,m) (m/rho_m0)^4 u1(k|z,m)^2 u2(k'|z,m)^2 -- the
+    dominant non-Gaussian covariance term on small scales; the covariance
+    contribution is T/V.  Contracted as one einsum over the mass axis (an
+    MXU matmul per z), never materializing the (z,m,k,k') grid.
+    """
+    if uk2 is None:
+        uk2 = uk1
+    ms = jnp.asarray(ms)
+    w = jnp.asarray(trapz_weights(np.asarray(ms)))
+    mfac = (ms / rho_matter0) ** 2
+    a1 = jnp.asarray(uk1) ** 2 * mfac[None, :, None]   # (z, m, k)
+    a2 = jnp.asarray(uk2) ** 2 * mfac[None, :, None]
+    return jnp.einsum("zm,zmk,zmq->zkq", jnp.asarray(nzm) * w[None, :],
+                      a1, a2)
+
+
+def pk_response_ssc(ks, pk):
+    """Linear-response dP/d(delta_b): (68/21 - (1/3) dln k^3 P/dlnk) P.
+
+    The standard beat-coupling + dilation response of the power spectrum
+    to a super-survey background mode (Takada & Hu 2013 eq 31 regime).
+    pk: (..., nk), differentiated along the last axis on the ks grid.
+    """
+    ks = jnp.asarray(ks)
+    pk = jnp.asarray(pk)
+    lnk3p = jnp.log(ks**3 * pk)
+    dlnk3p = gradient(lnk3p, jnp.log(ks), axis=-1)
+    return (68.0 / 21.0 - dlnk3p / 3.0) * pk
+
+
+def sigma_b2_tophat(volume_mpc3, ks_lin, plin):
+    """Variance of the background mode over a spherical survey volume:
+    sigma_b^2 = (1/2 pi^2) int dk k^2 P_lin(z, k) W^2(kR), with W the
+    top-hat window and R = (3V/4pi)^(1/3).  plin: (..., nk) -> (...,).
+    """
+    from ..ops.special import Wkr
+    ks_lin = jnp.asarray(ks_lin)
+    R = (3.0 * volume_mpc3 / (4.0 * jnp.pi)) ** (1.0 / 3.0)
+    W2 = Wkr(ks_lin, R, 0.01) ** 2
+    w = jnp.asarray(trapz_weights(np.asarray(ks_lin)))
+    integrand = jnp.asarray(plin) * W2 * ks_lin**2 / (2.0 * jnp.pi**2)
+    return integrand @ w
+
+
+def pk_cov_ssc(response, sigma_b2):
+    """Super-sample covariance: cov(k,k') = R(k) R(k') sigma_b^2.
+
+    response: (..., nk) from pk_response_ssc; sigma_b2: (...,) from
+    sigma_b2_tophat.  Rank-1 and symmetric by construction.
+    """
+    response = jnp.asarray(response)
+    return (response[..., :, None] * response[..., None, :]
+            * jnp.asarray(sigma_b2)[..., None, None])

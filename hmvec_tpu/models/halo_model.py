@@ -363,6 +363,34 @@ class HaloModel(Cosmology):
         return (self.get_power_1halo(name, name2)
                 + self.get_power_2halo(name, name2, verbose, b1, b2))
 
+    def get_pk_covariance(self, volume_gpc3, name="nfw", pk_tot=None,
+                          dks=None):
+        """Matter P(k) covariance per z: Gaussian + 1-halo trispectrum +
+        super-sample terms (extension beyond the reference, whose cov.py
+        covers only bandpower C_l Knox errors).
+
+        Returns a dict with 'gauss', 't1h', 'ssc' (each (nz, nk, nk)) and
+        their sum 'total'.  ``pk_tot`` overrides the spectrum used in the
+        Gaussian term (e.g. to add shot noise); default is this model's
+        1h+2h P(k) for ``name``.
+        """
+        from . import cov as covm
+        V = volume_gpc3 * 1e9  # Mpc^3
+        if pk_tot is None:
+            pk_tot = self.get_power(name)
+        uk = self.uk_profiles[name]
+        gauss = covm.pk_cov_gaussian(self.ks, pk_tot, V, dks=dks)
+        t1h = covm.trispectrum_1h(self.nzm, self.ms, self.rho_matter_z(0.0),
+                                  uk) / V
+        resp = covm.pk_response_ssc(self.ks, pk_tot)
+        # dedicated low-k grid: the survey window peaks at k ~ 1/R
+        # (~2e-3/Mpc for Gpc^3 volumes), below typical target ks grids
+        ks_lin = jnp.geomspace(1e-4, 1.0, 512)
+        sb2 = covm.sigma_b2_tophat(V, ks_lin, self.P_lin(ks_lin, self.zs))
+        ssc = covm.pk_cov_ssc(resp, sb2)
+        return {"gauss": gauss, "t1h": t1h, "ssc": ssc,
+                "total": gauss + t1h + ssc}
+
     # ---- cluster lensing (hmvec.py:574-622; clusterlensing dep dropped) ----
     def sigma_1h_profiles(self, thetas, Ms, concs, sig_theta=None, delta=200,
                           rho="mean", rho_at_z=True):

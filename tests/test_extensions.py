@@ -208,3 +208,100 @@ def test_einasto_power_end_to_end(pair):
     # 1-halo regime: same order of magnitude, not identical
     r = p_ein[:, -1] / p_nfw[:, -1]
     assert np.all(r > 0.3) and np.all(r < 3.0)
+
+
+# ---------------- P(k) covariance: Gaussian + T1h + SSC ----------------
+
+def test_trispectrum_1h_explicit_loop(pair):
+    """T^1h einsum against an explicit numpy loop over (z, k, k')."""
+    from hmvec_tpu.models import cov as covm
+    hc, tw = pair
+    nzm = np.asarray(hc.nzm)
+    uk = np.asarray(hc.uk_profiles["nfw"])
+    rho = float(np.asarray(hc.rho_matter_z(0.0)))
+    t = np.asarray(covm.trispectrum_1h(hc.nzm, hc.ms, rho,
+                                       hc.uk_profiles["nfw"]))
+    mfac = (MS / rho) ** 2
+    ksel = [0, 30, 63]
+    for iz in range(len(ZS)):
+        for i in ksel:
+            for j in ksel:
+                integ = nzm[iz] * mfac**2 * uk[iz, :, i]**2 * uk[iz, :, j]**2
+                ref = np.trapezoid(integ, MS)
+                np.testing.assert_allclose(t[iz, i, j], ref, rtol=1e-12)
+    # symmetry and positivity
+    np.testing.assert_allclose(t, np.swapaxes(t, 1, 2), rtol=1e-13)
+    assert np.all(t > 0.0)
+
+
+def test_pk_cov_gaussian_formula():
+    from hmvec_tpu.models import cov as covm
+    ks = np.geomspace(0.01, 1.0, 16)
+    pk = 1e4 / (1.0 + (ks / 0.1) ** 2)
+    V = 1e9
+    cov = np.asarray(covm.pk_cov_gaussian(ks, pk, V))
+    dks = np.gradient(ks)
+    expected = 2.0 * pk**2 / (V * ks**2 * dks / (2.0 * np.pi**2))
+    np.testing.assert_allclose(np.diag(cov), expected, rtol=1e-12)
+    # strictly diagonal; halving V doubles the covariance
+    assert np.all(cov[~np.eye(16, dtype=bool)] == 0.0)
+    cov2 = np.asarray(covm.pk_cov_gaussian(ks, pk, V / 2.0))
+    np.testing.assert_allclose(np.diag(cov2), 2.0 * expected, rtol=1e-12)
+
+
+def test_sigma_b2_vs_quad(pair):
+    """sigma_b^2 against scipy quadrature of the same integrand."""
+    from hmvec_tpu.models import cov as covm
+    hc, tw = pair
+    V = 1e9
+    ks_lin = np.geomspace(1e-4, 1.0, 512)
+    plin = np.asarray(hc.P_lin(jnp.asarray(ks_lin), hc.zs))
+    got = np.asarray(covm.sigma_b2_tophat(V, ks_lin, plin))
+    R = (3.0 * V / (4.0 * np.pi)) ** (1.0 / 3.0)
+
+    def wth(x):
+        return 3.0 * (np.sin(x) - x * np.cos(x)) / x**3
+
+    for iz in range(len(ZS)):
+        pz = plin[iz]
+        integ = pz * wth(ks_lin * R) ** 2 * ks_lin**2 / (2.0 * np.pi**2)
+        ref = np.trapezoid(integ, ks_lin)
+        np.testing.assert_allclose(got[iz], ref, rtol=1e-10)
+    # sanity: tiny compared to sigma8-scale variance, positive, z-decreasing
+    assert np.all(got > 0.0) and got[0] > got[-1]
+    assert got[0] < 1e-3
+
+
+def test_pk_covariance_end_to_end(pair):
+    from hmvec_tpu.models import cov as covm
+    hc, _ = pair
+    out = hc.get_pk_covariance(1.0)
+    total = np.asarray(out["total"])
+    assert total.shape == (len(ZS), len(KS), len(KS))
+    assert np.all(np.isfinite(total))
+    np.testing.assert_allclose(
+        total, np.asarray(out["gauss"] + out["t1h"] + out["ssc"]), rtol=1e-13)
+    # SSC is rank-1 and symmetric per z
+    ssc = np.asarray(out["ssc"])
+    np.testing.assert_allclose(ssc, np.swapaxes(ssc, 1, 2), rtol=1e-12)
+    assert np.linalg.matrix_rank(ssc[0], tol=ssc[0].max() * 1e-10) == 1
+    # Gaussian dominates at low k for a Gpc^3 volume; NG terms take over
+    # in the deeply nonlinear regime off-diagonal
+    g = np.asarray(out["gauss"])
+    ng = np.asarray(out["t1h"] + out["ssc"])
+    assert g[0, 0, 0] > ng[0, 0, 0]
+    assert ng[0, -1, -5] > 0.0
+
+
+def test_pk_response_ssc_powerlaw():
+    """For P = A k^n the response is exactly (68/21 - (n+3)/3) P in the
+    grid interior (the log-derivative is exact for power laws up to the
+    gradient stencil, which is exact on loglog power laws only at
+    second order -- use a tight rtol on a dense grid)."""
+    from hmvec_tpu.models import cov as covm
+    ks = np.geomspace(0.01, 1.0, 400)
+    n = -1.7
+    pk = 5.0 * ks**n
+    resp = np.asarray(covm.pk_response_ssc(ks, pk))
+    expected = (68.0 / 21.0 - (n + 3.0) / 3.0) * pk
+    np.testing.assert_allclose(resp[1:-1], expected[1:-1], rtol=1e-4)
