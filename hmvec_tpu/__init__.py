@@ -38,6 +38,9 @@ from .models.profiles import (  # noqa: F401,E402
     duffy_concentration, Fcon, battaglia_gas_fit, rho_nfw, rho_nfw_x,
     rhoscale_nfw, rho_gas, rho_gas_generic, rho_gas_generic_x, P_e,
     P_e_generic, P_e_generic_x, concentration_bhattacharya, rho_einasto_x)
+from .models.rsd import (kaiser_pk_mu, rsd_multipoles,  # noqa: F401,E402
+                         kaiser_multipole_factors, correlation_multipoles,
+                         mean_pairwise_velocity)
 from .models.mass_conversion import (mdelta_from_mdelta,  # noqa: F401,E402
                                      mdelta_from_mdelta_unvectorized)
 from .models.mass_function import simple_f_nu, NlnMsub  # noqa: F401,E402

@@ -363,6 +363,30 @@ class HaloModel(Cosmology):
         return (self.get_power_1halo(name, name2)
                 + self.get_power_2halo(name, name2, verbose, b1, b2))
 
+    def cluster_counts(self, mmin, fsky=1.0, mmax=None):
+        """Cluster abundance above a mass threshold: returns
+        (dN/dz, N_total) for the full sky fraction ``fsky``.
+
+        dN/dz = fsky * 4 pi * chi(z)^2 / H(z)[1/Mpc] * int_mmin n(z,m) dm
+        (comoving volume element, flat geometry), with the mass integral a
+        grid-level trapz on this instance's ms (size the grid to the
+        threshold accordingly).  The reference exercises exactly this
+        quantity in its manual szar/hmf cross-check
+        (bin/tests.py:73-131) but ships no API for it.
+        """
+        from ..utils.weights import trapz_weights
+        ms = np.asarray(self.ms)
+        w = jnp.asarray(trapz_weights(ms))
+        mask = (self.ms >= mmin)
+        if mmax is not None:
+            mask = mask & (self.ms <= mmax)
+        n_of_z = (self.nzm * jnp.where(mask, w, 0.0)[None, :]).sum(axis=-1)
+        chi = self.comoving_radial_distance(self.zs)
+        dvdz = 4.0 * jnp.pi * chi**2 / self.h_of_z(self.zs)
+        dndz = fsky * dvdz * n_of_z
+        wz = jnp.asarray(trapz_weights(np.asarray(self.zs)))
+        return dndz, dndz @ wz
+
     def get_pk_covariance(self, volume_gpc3, name="nfw", pk_tot=None,
                           dks=None):
         """Matter P(k) covariance per z: Gaussian + 1-halo trispectrum +

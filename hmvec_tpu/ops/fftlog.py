@@ -35,7 +35,8 @@ except ImportError:  # pragma: no cover
 
 
 @functools.lru_cache(maxsize=16)
-def _fftlog_kernel(n: int, dlnx: float, mu: float = 0.5, q: float = 0.0):
+def _fftlog_kernel(n: int, dlnx: float, mu: float = 0.5, q: float = 0.0,
+                   lnkr=None):
     """u_m kernel and the low-ringing kc*rc offset (host-side, f64).
 
     For a(x) ~ sum_m c_m x^(q + i eta_m), the Hankel transform
@@ -50,16 +51,24 @@ def _fftlog_kernel(n: int, dlnx: float, mu: float = 0.5, q: float = 0.0):
     zm = (mu + 1.0 - q) / 2.0 - 1j * eta / 2.0
     u = np.exp((q + 1j * eta) * np.log(2.0) + _loggamma(zp) - _loggamma(zm))
 
-    # low-ringing condition: choose ln(kc*xc) so that u_{N/2} is real
-    lnkr = 0.0
-    arg = np.angle(u[-1] * np.exp(-1j * eta[-1] * lnkr))
-    lnkr += arg / eta[-1] if eta[-1] != 0 else 0.0
-    u = u * np.exp(-1j * eta * lnkr)
-    u[-1] = u[-1].real  # enforce exactly
+    # low-ringing condition: choose ln(kc*xc) so that u_{N/2} is real.
+    # An explicit lnkr overrides it: the offset is mu-dependent, so
+    # multi-ell transforms (correlation multipoles) pass the ell = 0
+    # low-ringing value to every ell so all outputs share ONE k grid
+    # (the ringing penalty at other mu is a sub-bin phase, negligible
+    # for smooth inputs).
+    if lnkr is None:
+        lnkr = 0.0
+        arg = np.angle(u[-1] * np.exp(-1j * eta[-1] * lnkr))
+        lnkr += arg / eta[-1] if eta[-1] != 0 else 0.0
+        u = u * np.exp(-1j * eta * lnkr)
+        u[-1] = u[-1].real  # enforce exactly
+    else:
+        u = u * np.exp(-1j * eta * float(lnkr))
     return u, float(lnkr)
 
 
-def fftlog_sine_j0(fx, xs, mu: float = 0.5):
+def fftlog_sine_j0(fx, xs, mu: float = 0.5, lnkr=None):
     """F(k) = int_0^inf f(x) j0(kx) x^2 dx for f sampled on the log grid xs.
 
     fx: (..., n); xs: (n,) log-uniform.  Returns (ks, F) with ks the
@@ -68,7 +77,7 @@ def fftlog_sine_j0(fx, xs, mu: float = 0.5):
     xs = np.asarray(xs, dtype=np.float64)
     n = xs.size
     dlnx = float(np.log(xs[1] / xs[0]))
-    u_np, lnkr = _fftlog_kernel(n, dlnx, mu=mu, q=0.0)
+    u_np, lnkr = _fftlog_kernel(n, dlnx, mu=mu, q=0.0, lnkr=lnkr)
 
     # j0 transform via J_{1/2}:
     #   Atilde(k) = int b(x) J_{1/2}(kx) k dx  with  b = x^{3/2} f(x)
@@ -168,6 +177,27 @@ def fftlog_profile_transform(rhofunc_x, cmaxs, rss, zs, ks_out,
                     val)
     val = jnp.where(p > nkt - 1.0, 0.0, val)
     return jnp.asarray(ks_out), val
+
+
+def fftlog_sphbessel_jl(fx, xs, ell: int, lnkr=None):
+    """F(k) = int_0^inf f(x) j_ell(kx) x^2 dx by FFTLog.
+
+    The j0 machinery above is already generic: j_ell(x) =
+    sqrt(pi/2x) J_{ell+1/2}(x), so the ell-th spherical-Bessel transform
+    is exactly the mu = ell + 1/2 Hankel path with the same x^{3/2} /
+    k^{-3/2} dressing.  Used for correlation-function multipoles and the
+    volume-averaged xi-bar (j1) entering pairwise velocities.  Pass the
+    ell = 0 ``lnkr`` (from :func:`fftlog_lnkr`) to put several ells on
+    one common output grid.
+    """
+    return fftlog_sine_j0(fx, xs, mu=ell + 0.5, lnkr=lnkr)
+
+
+def fftlog_lnkr(xs, mu: float = 0.5):
+    """The low-ringing ln(kc*xc) offset for this grid at the given mu."""
+    xs = np.asarray(xs, dtype=np.float64)
+    _, lnkr = _fftlog_kernel(xs.size, float(np.log(xs[1] / xs[0])), mu=mu)
+    return lnkr
 
 
 def correlation_function(ks, pk):
