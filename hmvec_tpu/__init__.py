@@ -38,6 +38,8 @@ from .models.profiles import (  # noqa: F401,E402
     duffy_concentration, Fcon, battaglia_gas_fit, rho_nfw, rho_nfw_x,
     rhoscale_nfw, rho_gas, rho_gas_generic, rho_gas_generic_x, P_e,
     P_e_generic, P_e_generic_x, concentration_bhattacharya, rho_einasto_x)
+from .models.cib import (default_cib_params, sed_graybody,  # noqa: F401,E402
+                         cib_luminosity, build_cib_tracer)
 from .models.rsd import (kaiser_pk_mu, rsd_multipoles,  # noqa: F401,E402
                          kaiser_multipole_factors, correlation_multipoles,
                          mean_pairwise_velocity)

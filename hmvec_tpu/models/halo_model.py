@@ -64,6 +64,7 @@ class HaloModel(Cosmology):
         self.hods: dict = {}
         self.uk_profiles: dict = {}
         self.pk_profiles: dict = {}
+        self.cib_tracers: dict = {}
 
         # linear power on the target grid (reference hmvec.py:96-102)
         if accuracy == "low":
@@ -341,7 +342,52 @@ class HaloModel(Cosmology):
             return pwr.MatterTracer(uk=self.uk_profiles[name])
         if name in self.pk_profiles:
             return pwr.PressureTracer(pk=self.pk_profiles[name])
+        if name in self.cib_tracers:
+            return self.cib_tracers[name]
         raise ValueError(f"Unknown tracer {name!r}")
+
+    # ---- CIB (extension; models/cib.py, Shang et al 2012 forms) ----
+    def add_cib_tracer(self, name, nu_ghz, param_override=None,
+                       satellite_profile="nfw", ignore_existing=False):
+        """Register an emissivity-weighted CIB tracer at an observed
+        frequency [GHz].  Satellites follow the named u(k) profile
+        (default the analytic NFW); centrals sit at the halo center.
+        After this, ``get_power(name, other)`` gives every cross pairing
+        (CIB x CIB, CIB x HOD, CIB x pressure, CIB x matter) through the
+        generic 1h/2h machinery, and ``get_cib_cls`` projects to C_ell.
+        """
+        from . import cib as cibm
+        if not ignore_existing:
+            assert name not in self.cib_tracers, "Tracer name already exists."
+        us = self.uk_profiles[satellite_profile]
+        self.cib_tracers[name] = cibm.build_cib_tracer(
+            self.ms, self.zs, nu_ghz, us, params=param_override)
+        return self.cib_tracers[name]
+
+    def get_cib_mean_emissivity(self, name):
+        from . import cib as cibm
+        return cibm.mean_emissivity(self.nzm, self.ms,
+                                    self.cib_tracers[name])
+
+    def get_cib_mean_intensity(self, name):
+        from . import cib as cibm
+        return cibm.mean_intensity(self.zs, self.h_of_z(self.zs),
+                                   self.nzm, self.ms,
+                                   self.cib_tracers[name])
+
+    def get_cib_cls(self, ells, name1, name2=None):
+        """C_ell of CIB anisotropies (or any pairing where both names are
+        tracers registered on this instance): Limber projection
+        C = int dchi a(chi)^2 P_jj'(k=(l+1/2)/chi) / chi^2 of the
+        emissivity power (in L0^2 units; absolute calibration is a fit
+        parameter in every published CIB analysis)."""
+        from .limber import limber_integral
+        P = self.get_power(name1, name2)
+        hzs = self.h_of_z(self.zs)
+        chis = self.comoving_radial_distance(self.zs)
+        W = (1.0 / (1.0 + self.zs)) / hzs   # limber multiplies by hzs once
+        return limber_integral(ells, self.zs, self.ks, P, self.zs,
+                               W, W, hzs, chis)
 
     # ---- spectra (hmvec.py:500-572) ----
     def get_power_1halo(self, name="nfw", name2=None):

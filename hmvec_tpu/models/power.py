@@ -32,6 +32,17 @@ class PressureTracer(NamedTuple):
     pk: jnp.ndarray  # (nz, nm, nk)
 
 
+class CIBTracer(NamedTuple):
+    """Emissivity-weighted tracer for the CIB halo model (extension --
+    no reference analogue).  fc/fs are the central/satellite per-halo
+    emissivities L_nu/(4 pi) on the (z, m) grid; spectra built from this
+    tracer carry (emissivity)^2 units and become C_ell via
+    models/cib.cib_cls."""
+    fc: jnp.ndarray       # (nz, nm)
+    fs: jnp.ndarray       # (nz, nm)
+    us: jnp.ndarray       # (nz, nm, nk) satellite profile
+
+
 class HODTracer(NamedTuple):
     Nc: jnp.ndarray       # (nz, nm)
     Ns: jnp.ndarray       # (nz, nm)
@@ -104,9 +115,28 @@ def _pressure_term(t: PressureTracer, lowklim=False, dt=None):
     return _cast(t.pk, dt)
 
 
+def _cib_term(t: CIBTracer, lowklim=False, dt=None):
+    """fc + fs u (centrals at the halo center, satellites NFW-distributed;
+    Shang et al 2012 eq 20-21 structure)."""
+    us = 1.0 if lowklim else _cast(t.us, dt)
+    return _cast(t.fc, dt)[..., None] + us * _cast(t.fs, dt)[..., None]
+
+
+def _cib_square_term(t1: CIBTracer, t2: CIBTracer, dt=None):
+    """1-halo CIB pair term fc1 fs2 u2 + fc2 fs1 u1 + fs1 fs2 u1 u2 --
+    the central self-pair (fc1 fc2, a pure shot-noise delta) is excluded
+    by convention, exactly as in the HOD 1-halo structure."""
+    u1, u2 = _cast(t1.us, dt), _cast(t2.us, dt)
+    fc1, fs1 = _cast(t1.fc, dt)[..., None], _cast(t1.fs, dt)[..., None]
+    fc2, fs2 = _cast(t2.fc, dt)[..., None], _cast(t2.fs, dt)[..., None]
+    return fc1 * fs2 * u2 + fc2 * fs1 * u1 + fs1 * fs2 * u1 * u2
+
+
 def _term(tracer, ms, rho_matter0, lowklim=False, dt=None):
     if isinstance(tracer, HODTracer):
         return _hod_term(tracer, lowklim, dt)
+    if isinstance(tracer, CIBTracer):
+        return _cib_term(tracer, lowklim, dt)
     if isinstance(tracer, MatterTracer):
         return _matter_term(tracer, ms, rho_matter0, lowklim, dt)
     if isinstance(tracer, PressureTracer):
@@ -124,6 +154,8 @@ def power_1halo(tracer1, tracer2, nzm, ms, ks, rho_matter0,
     dt = jnp.float32 if fast_assembly else None
     if isinstance(tracer1, HODTracer) and isinstance(tracer2, HODTracer):
         square = _hod_square_term(tracer1, dt)
+    elif isinstance(tracer1, CIBTracer) and isinstance(tracer2, CIBTracer):
+        square = _cib_square_term(tracer1, tracer2, dt)
     elif isinstance(tracer1, PressureTracer) and isinstance(tracer2, PressureTracer):
         square = _pressure_term(tracer1, dt=dt) ** 2
     else:
@@ -139,8 +171,10 @@ def _leg(tracer, nzm, bh, ms, rho_matter0, dt=None):
     term = _term(tracer, ms, rho_matter0, dt=dt)
     weighted = _cast(nzm, dt)[..., None] * _cast(bh, dt)[..., None]
     integral = _mass_integral(weighted * term, ms)
-    if isinstance(tracer, PressureTracer):
-        # reference sets b = rterm01 = 0 for pressure legs (hmvec.py:545)
+    if isinstance(tracer, (PressureTracer, CIBTracer)):
+        # reference sets b = rterm01 = 0 for pressure legs (hmvec.py:545);
+        # CIB emissivity legs likewise take no low-mass consistency
+        # completion (the L(M) weighting vanishes at low mass by itself)
         consistency = jnp.zeros_like(integral)
         b = 0.0
     else:
