@@ -196,6 +196,64 @@ def trispectrum_1h(nzm, ms, rho_matter0, uk1, uk2=None):
                       a1, a2)
 
 
+def trispectrum_1h_terms(nzm, ms, term12, term34):
+    """Generic connected 1-halo trispectrum from per-halo term products.
+
+    term12/term34: (z, m, k) grids t1*t2 and t3*t4 of the 1-halo "square
+    terms" for any tracer pairing (m u/rho for matter, the y-weighted
+    p(k) for pressure, (Nc + Ns u)/ngal for HOD ...), exactly the
+    quantities power_1halo integrates.  Returns
+    T(z, k, k') = int dm n(m) t1 t2(k) t3 t4(k'), one einsum per z.
+    """
+    ms = jnp.asarray(ms)
+    w = jnp.asarray(trapz_weights(np.asarray(ms)))
+    return jnp.einsum("zm,zmk,zmq->zkq", jnp.asarray(nzm) * w[None, :],
+                      jnp.asarray(term12), jnp.asarray(term34))
+
+
+def _interp2_loglog(Tz, lks, lk1, lk2):
+    """Bilinear interpolation of one z-slice T(k, k') in (ln k, ln k')
+    at the outer product of curve points lk1 x lk2 (each (nl,))."""
+    def axis_interp(M, lke):
+        # M: (n, nk) -> (n, nl), linear in lks along the last axis
+        i = jnp.clip(jnp.searchsorted(lks, lke) - 1, 0, lks.size - 2)
+        t = jnp.clip((lke - lks[i]) / (lks[i + 1] - lks[i]), 0.0, 1.0)
+        return M[:, i] * (1.0 - t)[None, :] + M[:, i + 1] * t[None, :]
+
+    A = axis_interp(Tz, lk2)            # (nk, nl2)
+    return axis_interp(A.T, lk1).T      # (nl1, nl2)
+
+
+def cl_cov_t1h(ells, zs, ks, t_zkk, Wz1s, Wz2s, hzs, chis, fsky=1.0):
+    """Connected (1-halo trispectrum) covariance of C_ell bandpowers:
+
+        Cov(C^12_ell, C^12_ell') = (1/(4 pi fsky))
+            int dz H^3 (W1 W2)^2 / chi^6  T^1h(k_ell, k_ell', z),
+
+    the Limber-projected Cooray-Hu/Takada-Jain non-Gaussian term, with
+    the SAME window/H/chi conventions as limber_integral (C_ell =
+    int dz H W1 W2 P / chi^2; converting to the per-dchi kernels
+    q_i = H W_i gives the H^3 once dchi -> dz).  t_zkk from
+    trispectrum_1h / trispectrum_1h_terms.  EXTENSION: the reference's
+    covariance module is Gaussian-only.
+    """
+    ells = jnp.asarray(ells)
+    zs = jnp.asarray(zs)
+    lks = jnp.log(jnp.asarray(ks))
+    chis = jnp.asarray(chis)
+    hzs = jnp.asarray(hzs)
+    pref = (hzs**3 * (jnp.asarray(Wz1s) * jnp.asarray(Wz2s)) ** 2
+            / chis**6 / (4.0 * jnp.pi * fsky))
+    lke = jnp.log((ells[:, None] + 0.5) / chis[None, :])   # (nl, nz)
+
+    import jax
+    Tcurve = jax.vmap(lambda Tz, lkz: _interp2_loglog(Tz, lks, lkz, lkz),
+                      in_axes=(0, 1))(jnp.asarray(t_zkk), lke)  # (nz,nl,nl)
+    integrand = Tcurve * pref[:, None, None]
+    wz = jnp.asarray(trapz_weights(np.asarray(zs)))
+    return jnp.einsum("z,zab->ab", wz, integrand)
+
+
 def pk_response_ssc(ks, pk):
     """Linear-response dP/d(delta_b): (68/21 - (1/3) dln k^3 P/dlnk) P.
 

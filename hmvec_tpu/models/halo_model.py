@@ -433,6 +433,27 @@ class HaloModel(Cosmology):
         wz = jnp.asarray(trapz_weights(np.asarray(self.zs)))
         return dndz, dndz @ wz
 
+    def get_cl_cov_t1h(self, ells, name1, name2=None, Wz1s=None, Wz2s=None,
+                       fsky=1.0):
+        """Connected (1-halo trispectrum) covariance of C_ell for the
+        tracer pair, with the same window conventions as limber_integral
+        (W defaults to 1, e.g. the C_yy case; pass lensing_window outputs
+        etc. for projected densities).  Extension: the reference's
+        covariance module is Gaussian-only."""
+        from . import cov as covm
+        t1 = self._tracer(name1)
+        t2 = self._tracer(name1 if name2 is None else name2)
+        term = pwr.one_halo_square_term(t1, t2, self.ms,
+                                        self.rho_matter_z(0.0))
+        t_zkk = covm.trispectrum_1h_terms(self.nzm, self.ms, term, term)
+        hzs = self.h_of_z(self.zs)
+        chis = self.comoving_radial_distance(self.zs)
+        ones = jnp.ones_like(jnp.asarray(self.zs))
+        Wz1s = ones if Wz1s is None else Wz1s
+        Wz2s = ones if Wz2s is None else Wz2s
+        return covm.cl_cov_t1h(ells, self.zs, self.ks, t_zkk, Wz1s, Wz2s,
+                               hzs, chis, fsky)
+
     def get_pk_covariance(self, volume_gpc3, name="nfw", pk_tot=None,
                           dks=None):
         """Matter P(k) covariance per z: Gaussian + 1-halo trispectrum +

@@ -144,6 +144,20 @@ def _term(tracer, ms, rho_matter0, lowklim=False, dt=None):
     raise TypeError(type(tracer))
 
 
+def one_halo_square_term(tracer1, tracer2, ms, rho_matter0, dt=None):
+    """The (z, m, k) pair term integrated by power_1halo -- also the
+    building block of the connected 1-halo trispectrum
+    (cov.trispectrum_1h_terms)."""
+    if isinstance(tracer1, HODTracer) and isinstance(tracer2, HODTracer):
+        return _hod_square_term(tracer1, dt)
+    if isinstance(tracer1, CIBTracer) and isinstance(tracer2, CIBTracer):
+        return _cib_square_term(tracer1, tracer2, dt)
+    if isinstance(tracer1, PressureTracer) and isinstance(tracer2, PressureTracer):
+        return _pressure_term(tracer1, dt=dt) ** 2
+    return (_term(tracer1, ms, rho_matter0, dt=dt)
+            * _term(tracer2, ms, rho_matter0, dt=dt))
+
+
 def power_1halo(tracer1, tracer2, nzm, ms, ks, rho_matter0,
                 kstar_damping=0.01, fast_assembly=False):
     """P_1h(z,k) (reference: hmvec.py:504-526).
@@ -152,15 +166,7 @@ def power_1halo(tracer1, tracer2, nzm, ms, ks, rho_matter0,
     native f32 (the TPU fast tier; ~2e-7-class relative, inside the 1e-5
     gate) -- the exact tier keeps the emulated-f64 assembly."""
     dt = jnp.float32 if fast_assembly else None
-    if isinstance(tracer1, HODTracer) and isinstance(tracer2, HODTracer):
-        square = _hod_square_term(tracer1, dt)
-    elif isinstance(tracer1, CIBTracer) and isinstance(tracer2, CIBTracer):
-        square = _cib_square_term(tracer1, tracer2, dt)
-    elif isinstance(tracer1, PressureTracer) and isinstance(tracer2, PressureTracer):
-        square = _pressure_term(tracer1, dt=dt) ** 2
-    else:
-        square = (_term(tracer1, ms, rho_matter0, dt=dt)
-                  * _term(tracer2, ms, rho_matter0, dt=dt))
+    square = one_halo_square_term(tracer1, tracer2, ms, rho_matter0, dt)
     integral = _mass_integral(_cast(nzm, dt)[..., None] * square, ms)
     damping = 1.0 - jnp.exp(-((jnp.asarray(ks) / kstar_damping) ** 2))
     return integral * damping[None, :]

@@ -305,3 +305,52 @@ def test_pk_response_ssc_powerlaw():
     resp = np.asarray(covm.pk_response_ssc(ks, pk))
     expected = (68.0 / 21.0 - (n + 3.0) / 3.0) * pk
     np.testing.assert_allclose(resp[1:-1], expected[1:-1], rtol=1e-4)
+
+
+# ---------------- C_l trispectrum covariance ----------------
+
+def test_cl_cov_t1h_explicit_loop(pair):
+    """The Limber-projected 1-halo trispectrum covariance against an
+    explicit numpy evaluation (loops + np.interp bilinear) for C_yy-like
+    unit windows."""
+    from hmvec_tpu.models import cov as covm
+    from hmvec_tpu.models import power as pwr
+    hc, _ = pair
+    ells = np.array([100.0, 300.0, 1000.0, 3000.0])
+    got = np.asarray(hc.get_cl_cov_t1h(ells, "nfw", fsky=0.5))
+
+    t1 = pwr.MatterTracer(uk=hc.uk_profiles["nfw"])
+    term = np.asarray(pwr.one_halo_square_term(
+        t1, t1, hc.ms, hc.rho_matter_z(0.0)))
+    nzm = np.asarray(hc.nzm)
+    # T(z, k, k') explicit
+    nz, nk = len(ZS), len(KS)
+    T = np.zeros((nz, nk, nk))
+    for iz in range(nz):
+        for i in range(nk):
+            for j in range(0, nk, 7):
+                T[iz, i, j] = np.trapezoid(
+                    nzm[iz] * term[iz, :, i] * term[iz, :, j], MS)
+    T_j = np.asarray(covm.trispectrum_1h_terms(hc.nzm, hc.ms, term, term))
+    np.testing.assert_allclose(T_j[:, :, ::7], T[:, :, ::7], rtol=1e-10)
+
+    # explicit covariance integral with numpy interpolation
+    chis = np.asarray(hc.comoving_radial_distance(hc.zs))
+    hzs = np.asarray(hc.h_of_z(hc.zs))
+    lks = np.log(KS)
+    pref = hzs**3 / chis**6 / (4.0 * np.pi * 0.5)
+    expected = np.zeros((4, 4))
+    for a, la in enumerate(ells):
+        for bidx, lb in enumerate(ells):
+            vals = np.zeros(nz)
+            for iz in range(nz):
+                ka = np.clip(np.log((la + 0.5) / chis[iz]), lks[0], lks[-1])
+                kb = np.clip(np.log((lb + 0.5) / chis[iz]), lks[0], lks[-1])
+                rows = np.array([np.interp(kb, lks, T_j[iz, i, :])
+                                 for i in range(nk)])
+                vals[iz] = np.interp(ka, lks, rows)
+            expected[a, bidx] = np.trapezoid(pref * vals, ZS)
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+    # symmetric positive structure
+    np.testing.assert_allclose(got, got.T, rtol=1e-12)
+    assert np.all(got > 0.0)
