@@ -31,7 +31,8 @@ from .models.cov import (GaussianCov, knox_cov, bin_annuli,  # noqa: F401,E402
                          get_avail_cls, shot_noise, lensing_shape_noise,
                          angular_correlation, pk_cov_gaussian,
                          trispectrum_1h, pk_response_ssc, sigma_b2_tophat,
-                         pk_cov_ssc, trispectrum_1h_terms, cl_cov_t1h)
+                         pk_cov_ssc, trispectrum_1h_terms, cl_cov_t1h,
+                         sigma_b2_disk, cl_cov_ssc)
 from .models.power import (total_matter_power_spectrum,  # noqa: F401,E402
                            total_matter_galaxy_power_spectrum)
 from .models.profiles import (  # noqa: F401,E402

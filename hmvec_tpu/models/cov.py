@@ -254,6 +254,50 @@ def cl_cov_t1h(ells, zs, ks, t_zkk, Wz1s, Wz2s, hzs, chis, fsky=1.0):
     return jnp.einsum("z,zab->ab", wz, integrand)
 
 
+def sigma_b2_disk(fsky, chis, ks_lin, plin):
+    """Per-z variance of the background mode over the flat-sky survey
+    disk: sigma_b^2(z) = (1/2 pi) int dk k P_lin(z, k) W^2(k chi theta_s),
+    with W the normalized disk window 2 J1(x)/x and theta_s the radius of
+    the spherical cap of area 4 pi fsky.  plin: (nz, nk) -> (nz,)."""
+    from ..ops.special import disk_window
+    theta_s = jnp.arccos(1.0 - 2.0 * fsky)
+    ks_lin = jnp.asarray(ks_lin)
+    x = ks_lin[None, :] * jnp.asarray(chis)[:, None] * theta_s   # (nz, nk)
+    W2 = disk_window(x) ** 2
+    w = jnp.asarray(trapz_weights(np.asarray(ks_lin)))
+    return (jnp.asarray(plin) * W2 * ks_lin[None, :] / (2.0 * jnp.pi)) @ w
+
+
+def cl_cov_ssc(ells, zs, ks, pk_zk, Wz1s, Wz2s, hzs, chis, sigma_b2_z,
+               resp_zk=None):
+    """Super-sample covariance of C_ell bandpowers:
+
+        Cov(C_l, C_l') = int dz H^3 (W1 W2)^2 / chi^4
+                         [R P](k_l, z) [R P](k_l', z) sigma_b^2(z),
+
+    the flat-sky Takada-Hu/Krause-Eifler form with the SAME window/H/chi
+    conventions as limber_integral (per-dchi kernel q^2 = H^2 W1 W2, one
+    H converting dchi -> dz).  resp_zk defaults to the linear
+    dilation+beat-coupling response of pk_zk (pk_response_ssc).
+    sigma_b2_z from sigma_b2_disk.  EXTENSION: reference is
+    Gaussian-only."""
+    from .limber import interp_pzk_at_curve
+    ells = jnp.asarray(ells)
+    zs = jnp.atleast_1d(jnp.asarray(zs))
+    chis = jnp.asarray(chis)
+    hzs = jnp.asarray(hzs)
+    if resp_zk is None:
+        resp_zk = pk_response_ssc(ks, pk_zk)
+    kevals = (ells[:, None] + 0.5) / chis[None, :]          # (nl, nz)
+    RP = interp_pzk_at_curve(zs, jnp.asarray(ks),
+                             jnp.atleast_2d(jnp.asarray(resp_zk)),
+                             zs, kevals)                    # (nl, nz)
+    pref = (hzs**3 * (jnp.asarray(Wz1s) * jnp.asarray(Wz2s)) ** 2
+            / chis**4 * jnp.asarray(sigma_b2_z))
+    wz = jnp.asarray(trapz_weights(np.asarray(zs)))
+    return jnp.einsum("z,az,bz->ab", wz * pref, RP, RP)
+
+
 def pk_response_ssc(ks, pk):
     """Linear-response dP/d(delta_b): (68/21 - (1/3) dln k^3 P/dlnk) P.
 

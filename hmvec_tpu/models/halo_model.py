@@ -454,6 +454,24 @@ class HaloModel(Cosmology):
         return covm.cl_cov_t1h(ells, self.zs, self.ks, t_zkk, Wz1s, Wz2s,
                                hzs, chis, fsky)
 
+    def get_cl_cov_ssc(self, ells, name1, name2=None, Wz1s=None, Wz2s=None,
+                       fsky=1.0):
+        """Super-sample covariance of C_ell for the tracer pair (flat-sky
+        disk window sized to fsky; linear response of this instance's
+        1h+2h P for the pair).  Extension: reference is Gaussian-only."""
+        from . import cov as covm
+        P = self.get_power(name1, name2)
+        hzs = self.h_of_z(self.zs)
+        chis = self.comoving_radial_distance(self.zs)
+        ks_lin = jnp.geomspace(1e-4, 1.0, 512)
+        sb2 = covm.sigma_b2_disk(fsky, chis, ks_lin,
+                                 self.P_lin(ks_lin, self.zs))
+        ones = jnp.ones_like(jnp.asarray(self.zs))
+        Wz1s = ones if Wz1s is None else Wz1s
+        Wz2s = ones if Wz2s is None else Wz2s
+        return covm.cl_cov_ssc(ells, self.zs, self.ks, P, Wz1s, Wz2s,
+                               hzs, chis, sb2)
+
     def get_pk_covariance(self, volume_gpc3, name="nfw", pk_tot=None,
                           dks=None):
         """Matter P(k) covariance per z: Gaussian + 1-halo trispectrum +

@@ -188,9 +188,14 @@ def j0(x):
     modulus/phase form beyond.
     """
     x = jnp.abs(jnp.asarray(x))
-    u = (x / 8.0) ** 2
-    small = _cheb(_sc.J0_SMALL, jnp.minimum(u, 1.0), 0.0, 1.0)
-    xl = jnp.maximum(x, 8.0)
+    # grad-safe clamps: jnp.minimum/maximum split the gradient 50/50 at
+    # the exact tie x = 8, which halves dJ0/dx there (j1 below is the
+    # autodiff of this function); where() gives the selected branch the
+    # full gradient
+    inside = x <= 8.0
+    u = (jnp.where(inside, x, 8.0) / 8.0) ** 2
+    small = _cheb(_sc.J0_SMALL, u, 0.0, 1.0)
+    xl = jnp.where(inside, 8.0, x)
     v = 8.0 / xl
     t = 2.0 * v - 1.0
     P = _clenshaw(_sc.J0_P, t)
@@ -198,6 +203,26 @@ def j0(x):
     large = jnp.sqrt(2.0 / (jnp.pi * xl)) * (P * jnp.cos(xl - jnp.pi / 4.0)
                                              + Q * jnp.sin(xl - jnp.pi / 4.0))
     return jnp.where(x <= 8.0, small, large)
+
+
+def j1(x):
+    """Bessel J1(x) = -dJ0/dx, by autodiff of the Chebyshev/modulus-phase
+    J0 above (derivative of a ~4e-13 fit: ~1e-11-class absolute error,
+    verified against scipy in tests/test_special.py).  Used by the
+    flat-sky disk window of the super-sample C_ell covariance."""
+    import jax
+    xf = jnp.asarray(x, dtype=jnp.float64)
+    flat = jnp.ravel(xf)
+    vals = jax.vmap(jax.grad(lambda s: j0(s)))(flat)
+    return (-vals).reshape(jnp.shape(xf))
+
+
+def disk_window(x, taylor_switch=1e-3):
+    """Normalized flat-sky disk window W(x) = 2 J1(x)/x, W(0) = 1."""
+    xs = jnp.where(jnp.abs(x) < taylor_switch, 1.0, x)
+    w = 2.0 * j1(xs) / xs
+    return jnp.where(jnp.abs(x) < taylor_switch,
+                     1.0 - x**2 / 8.0, w)
 
 
 def Wkr_taylor(kR):

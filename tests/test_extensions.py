@@ -33,6 +33,14 @@ def pair():
     return hc, tw
 
 
+ZL = np.array([0.3, 0.8, 1.4])  # z > 0: the Limber-side tests divide by chi
+
+
+@pytest.fixture(scope="module")
+def hc_lim():
+    return HaloModel(ZL, KS, ms=MS)
+
+
 # ---------------- mass-function families ----------------
 
 def test_ps_despali_twin_parity(pair):
@@ -309,13 +317,13 @@ def test_pk_response_ssc_powerlaw():
 
 # ---------------- C_l trispectrum covariance ----------------
 
-def test_cl_cov_t1h_explicit_loop(pair):
+def test_cl_cov_t1h_explicit_loop(hc_lim):
     """The Limber-projected 1-halo trispectrum covariance against an
     explicit numpy evaluation (loops + np.interp bilinear) for C_yy-like
     unit windows."""
     from hmvec_tpu.models import cov as covm
     from hmvec_tpu.models import power as pwr
-    hc, _ = pair
+    hc = hc_lim
     ells = np.array([100.0, 300.0, 1000.0, 3000.0])
     got = np.asarray(hc.get_cl_cov_t1h(ells, "nfw", fsky=0.5))
 
@@ -324,7 +332,7 @@ def test_cl_cov_t1h_explicit_loop(pair):
         t1, t1, hc.ms, hc.rho_matter_z(0.0)))
     nzm = np.asarray(hc.nzm)
     # T(z, k, k') explicit
-    nz, nk = len(ZS), len(KS)
+    nz, nk = len(ZL), len(KS)
     T = np.zeros((nz, nk, nk))
     for iz in range(nz):
         for i in range(nk):
@@ -349,8 +357,76 @@ def test_cl_cov_t1h_explicit_loop(pair):
                 rows = np.array([np.interp(kb, lks, T_j[iz, i, :])
                                  for i in range(nk)])
                 vals[iz] = np.interp(ka, lks, rows)
-            expected[a, bidx] = np.trapezoid(pref * vals, ZS)
+            expected[a, bidx] = np.trapezoid(pref * vals, ZL)
     np.testing.assert_allclose(got, expected, rtol=1e-9)
     # symmetric positive structure
     np.testing.assert_allclose(got, got.T, rtol=1e-12)
     assert np.all(got > 0.0)
+
+
+def test_j1_autodiff_vs_scipy():
+    from scipy.special import j1 as sj1
+    from hmvec_tpu.ops.special import j1, disk_window
+    xs = np.concatenate([np.linspace(1e-4, 8.0, 300),
+                         np.geomspace(8.0, 500.0, 200)])
+    got = np.asarray(j1(jnp.asarray(xs)))
+    assert np.max(np.abs(got - sj1(xs))) < 5e-11
+    # disk window: W(0) = 1, Taylor branch continuous
+    w = np.asarray(disk_window(jnp.asarray([1e-6, 9e-4, 11e-4, 2.0])))
+    np.testing.assert_allclose(w[0], 1.0, atol=1e-9)
+    np.testing.assert_allclose(w[1], w[2], rtol=1e-6)
+    np.testing.assert_allclose(w[3], 2.0 * sj1(2.0) / 2.0, rtol=1e-9)
+
+
+def test_sigma_b2_disk_vs_quad(hc_lim):
+    from hmvec_tpu.models import cov as covm
+    from scipy.special import j1 as sj1
+    from scipy.integrate import quad
+    hc = hc_lim
+    fsky = 0.3
+    chis = np.asarray(hc.comoving_radial_distance(hc.zs))
+    ks_lin = np.geomspace(1e-4, 1.0, 512)
+    plin = np.asarray(hc.P_lin(jnp.asarray(ks_lin), hc.zs))
+    got = np.asarray(covm.sigma_b2_disk(fsky, chis, ks_lin, plin))
+    theta = np.arccos(1.0 - 2.0 * fsky)
+    for iz in (0, 2):
+        def integrand(k):
+            x = k * chis[iz] * theta
+            W = 2.0 * sj1(x) / x
+            return k * np.interp(k, ks_lin, plin[iz]) * W**2 / (2 * np.pi)
+        ref, _ = quad(integrand, ks_lin[0], ks_lin[-1], limit=2000)
+        np.testing.assert_allclose(got[iz], ref, rtol=2e-3)
+    assert np.all(got > 0.0)
+
+
+def test_cl_cov_ssc_explicit_loop(hc_lim):
+    from hmvec_tpu.models import cov as covm
+    hc = hc_lim
+    ells = np.array([100.0, 500.0, 2000.0])
+    got = np.asarray(hc.get_cl_cov_ssc(ells, "nfw", fsky=0.3))
+    # explicit numpy: response interp along the Limber curves
+    P = np.asarray(hc.get_power("nfw"))
+    resp = np.asarray(covm.pk_response_ssc(hc.ks, P))
+    chis = np.asarray(hc.comoving_radial_distance(hc.zs))
+    hzs = np.asarray(hc.h_of_z(hc.zs))
+    ks_lin = np.geomspace(1e-4, 1.0, 512)
+    sb2 = np.asarray(covm.sigma_b2_disk(
+        0.3, chis, ks_lin, np.asarray(hc.P_lin(jnp.asarray(ks_lin), hc.zs))))
+    lks = np.log(np.asarray(KS))
+    nz = len(ZL)
+    RP = np.zeros((3, nz))
+    for a, l in enumerate(ells):
+        for iz in range(nz):
+            lk = np.clip(np.log((l + 0.5) / chis[iz]), lks[0], lks[-1])
+            RP[a, iz] = np.interp(lk, lks, resp[iz])
+    pref = hzs**3 / chis**4 * sb2
+    expected = np.einsum("z,az,bz->ab", pref, RP, RP)
+    # trapz over z
+    wz = np.zeros(nz)
+    dz = np.diff(ZL)
+    wz[:-1] += dz / 2.0
+    wz[1:] += dz / 2.0
+    expected = np.einsum("z,az,bz->ab", wz * pref, RP, RP)
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+    np.testing.assert_allclose(got, got.T, rtol=1e-12)
+    assert np.all(np.linalg.eigvalsh(got) > -1e-20 * got.max())
