@@ -41,6 +41,10 @@ from .models.profiles import (  # noqa: F401,E402
     P_e_generic, P_e_generic_x, concentration_bhattacharya, rho_einasto_x)
 from .models.cib import (default_cib_params, sed_graybody,  # noqa: F401,E402
                          cib_luminosity, build_cib_tracer)
+from .models.bispectrum import (f2_kernel, tree_bispectrum,  # noqa: F401,E402
+                                b2_sheth_torman, bispectrum_1halo,
+                                bispectrum_2halo, bispectrum_3halo,
+                                bispectrum_total, projected_bispectrum)
 from .models.rsd import (kaiser_pk_mu, rsd_multipoles,  # noqa: F401,E402
                          kaiser_multipole_factors, correlation_multipoles,
                          mean_pairwise_velocity)

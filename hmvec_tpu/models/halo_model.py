@@ -409,6 +409,85 @@ class HaloModel(Cosmology):
         return (self.get_power_1halo(name, name2)
                 + self.get_power_2halo(name, name2, verbose, b1, b2))
 
+    # ---- bispectra (extension beyond the reference; models/bispectrum.py) ----
+    def _b2_grid(self, include_b2):
+        """Second-order halo bias grid for the 3-halo quadratic-bias term.
+        The peak-background split is of the Sheth-Tormen multiplicity
+        (exact for 'sheth-torman'/'press-schechter'/'despali' modes; used
+        as an approximation under 'tinker')."""
+        if not include_b2:
+            return None
+        from . import bispectrum as bsp
+        return bsp.b2_sheth_torman(self.sigma2, self.p)
+
+    def get_bispectrum(self, k1=None, k2=None, k3=None, name="nfw",
+                       name2=None, name3=None, terms="total",
+                       b1_in=(None, None, None), include_b2=False):
+        """Halo-model bispectrum B(z; k1,k2,k3) for any registered tracer
+        triple.  Each leg k_i may be a scalar, an (nq,) array (shared
+        across z -- k1=k2=k3=self.ks gives the equilateral sweep), or an
+        (nz, nq) array of per-z configurations; the triplet is evaluated
+        configuration-wise (triangle closure fixes the F2 angles).
+        ``terms`` selects '1h', '2h', '3h' or 'total'."""
+        from . import bispectrum as bsp
+        # reuse the same tracer OBJECT for repeated names: the same-halo
+        # pair/triple moment structure dispatches on tracer identity
+        t1 = self._tracer(name)
+        t2 = t1 if name2 in (None, name) else self._tracer(name2)
+        t3 = (t1 if name3 in (None, name)
+              else (t2 if name3 == name2 else self._tracer(name3)))
+        if k1 is None:
+            k1 = self.ks
+        if k2 is None:
+            k2 = k1
+        if k3 is None:
+            k3 = k1
+        rho = self.rho_matter_z(0.0)
+        if terms == "1h":
+            return bsp.bispectrum_1halo(t1, t2, t3, self.nzm, self.ms,
+                                        self.ks, rho, k1, k2, k3,
+                                        self.p["kstar_damping"])
+        if terms == "2h":
+            return bsp.bispectrum_2halo(t1, t2, t3, self.nzm, self.bh,
+                                        self.ms, self.ks, self.Pzk, rho,
+                                        k1, k2, k3, b1_in)
+        if terms == "3h":
+            return bsp.bispectrum_3halo(t1, t2, t3, self.nzm, self.bh,
+                                        self.ms, self.ks, self.Pzk, rho,
+                                        k1, k2, k3, b1_in,
+                                        self._b2_grid(include_b2))
+        if terms == "total":
+            return bsp.bispectrum_total(t1, t2, t3, self.nzm, self.bh,
+                                        self.ms, self.ks, self.Pzk, rho,
+                                        k1, k2, k3,
+                                        self.p["kstar_damping"], b1_in,
+                                        self._b2_grid(include_b2))
+        raise ValueError(f"Unknown bispectrum terms {terms!r}")
+
+    def get_angular_bispectrum(self, ells1, ells2=None, ells3=None,
+                               name="nfw", name2=None, name3=None,
+                               Wz1s=None, Wz2s=None, Wz3s=None,
+                               terms="total", include_b2=False):
+        """Flat-sky Limber reduced bispectrum b(l1,l2,l3) of the tracer
+        triple, with the same per-z window convention as limber_integral
+        (W=None means unity, the tSZ-y case; pass lensing_window outputs
+        or normalized dndz for projected densities).  ell triplets
+        broadcast to a common shape (a scalar pair sweeps the third)."""
+        from . import bispectrum as bsp
+        if ells2 is None:
+            ells2 = ells1
+        if ells3 is None:
+            ells3 = ells1
+        chis = self.comoving_radial_distance(self.zs)
+        hzs = self.h_of_z(self.zs)
+
+        def B_fn(kq1, kq2, kq3):
+            return self.get_bispectrum(kq1, kq2, kq3, name, name2, name3,
+                                       terms=terms, include_b2=include_b2)
+
+        return bsp.projected_bispectrum(ells1, ells2, ells3, self.zs, hzs,
+                                        chis, Wz1s, Wz2s, Wz3s, B_fn)
+
     def cluster_counts(self, mmin, fsky=1.0, mmax=None):
         """Cluster abundance above a mass threshold: returns
         (dN/dz, N_total) for the full sky fraction ``fsky``.
