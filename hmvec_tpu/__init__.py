@@ -45,6 +45,8 @@ from .models.bispectrum import (f2_kernel, tree_bispectrum,  # noqa: F401,E402
                                 b2_sheth_torman, bispectrum_1halo,
                                 bispectrum_2halo, bispectrum_3halo,
                                 bispectrum_total, projected_bispectrum)
+from .models.shear import (xi_plus, xi_minus, gamma_t,  # noqa: F401,E402
+                           wigner_d_sum, kappa_to_shear_cl_factor)
 from .models.rsd import (kaiser_pk_mu, rsd_multipoles,  # noqa: F401,E402
                          kaiser_multipole_factors, correlation_multipoles,
                          mean_pairwise_velocity)
