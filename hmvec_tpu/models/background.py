@@ -379,7 +379,15 @@ def growth_mode_for(params: dict) -> str:
 
 def redshift_at_comoving_radial_distance(bg: BackgroundParams, chi,
                                          zmax: float = 1e4, num_iter: int = 80):
-    """Invert chi(z) by fixed-count bisection (reference: cosmology.py:713-730)."""
+    """Invert chi(z) by fixed-count bisection (reference: cosmology.py:713-730).
+
+    A final Newton polish (dchi/dz = 1/h_of_z) follows the bisection:
+    the bisected z is select-built from constants, so its parameter
+    gradient is identically zero; re-expressing the root as
+    z = z_bis - (chi(z_bis) - chi)/chi'(z_bis) restores the exact
+    implicit-function derivative dz/dtheta = -(dchi/dtheta)/(dchi/dz)
+    through autodiff (and sharpens the root below the bisection floor).
+    """
     chi = jnp.asarray(chi)
     lo = jnp.zeros_like(chi)
     hi = jnp.full_like(chi, zmax)
@@ -392,4 +400,5 @@ def redshift_at_comoving_radial_distance(bg: BackgroundParams, chi,
         return jnp.where(too_far, lo, mid), jnp.where(too_far, mid, hi)
 
     lo, hi = jax.lax.fori_loop(0, num_iter, body, (lo, hi))
-    return (lo + hi) / 2.0
+    z_bis = jax.lax.stop_gradient((lo + hi) / 2.0)
+    return z_bis - (comoving_radial_distance(bg, z_bis) - chi) * h_of_z(bg, z_bis)

@@ -352,6 +352,23 @@ class Cosmology:
     def C_yy(self, ells, zs, ks, Ppp, **kw):
         return limb.C_yy(self.bg, ells, zs, ks, Ppp, **kw)
 
+    # ---- exact (non-Limber) linear-theory projections ----
+    def C_gg_exact(self, ells, ks, pk0, gzs, gdndz, **kw):
+        """Exact low-ell linear galaxy C_l (EXTENSION; models/nonlimber.py)."""
+        from . import nonlimber as nlm
+        kw.setdefault("growth_mode", self.growth_mode)
+        return nlm.C_gg_exact(self.bg, ells, ks, pk0, gzs, gdndz, **kw)
+
+    def C_kg_exact(self, ells, ks, pk0, gzs, gdndz, **kw):
+        from . import nonlimber as nlm
+        kw.setdefault("growth_mode", self.growth_mode)
+        return nlm.C_kg_exact(self.bg, ells, ks, pk0, gzs, gdndz, **kw)
+
+    def C_kk_exact(self, ells, ks, pk0, **kw):
+        from . import nonlimber as nlm
+        kw.setdefault("growth_mode", self.growth_mode)
+        return nlm.C_kk_exact(self.bg, ells, ks, pk0, **kw)
+
     def get_Omega_nu(self):
         """Massive-neutrino density fraction (reference cosmology.py:384-389)."""
         return self.bg.omnu0

@@ -193,6 +193,57 @@ def fftlog_sphbessel_jl(fx, xs, ell: int, lnkr=None):
     return fftlog_sine_j0(fx, xs, mu=ell + 0.5, lnkr=lnkr)
 
 
+@functools.lru_cache(maxsize=8)
+def _sphbessel_multi_kernel(ells: tuple, n: int, dlnx: float, lnkr: float):
+    """Stacked per-ell FFTLog kernels U[il, m] for mu = ell + 1/2 (host f64).
+
+    Every row shares ONE ``lnkr`` so all ells land on one output k grid
+    (the per-mu low-ringing offset differs only by a sub-bin phase,
+    negligible for smooth inputs -- same convention as the correlation
+    multipoles in models/rsd.py).
+    """
+    rows = [_fftlog_kernel(n, dlnx, mu=ell + 0.5, lnkr=lnkr)[0]
+            for ell in ells]
+    return np.stack(rows, axis=0)
+
+
+def fftlog_sphbessel_multi(fx, xs, ells, lnkr=None):
+    """F_l(k) = int_0^inf f(x) j_l(kx) x^2 dx for MANY l at once.
+
+    fx: (..., n) sampled on the log-uniform grid xs (n,); ells: 1-D
+    sequence of integer multipoles.  Returns (ks (n,), F (..., nl, n)).
+
+    TPU mapping: ONE rfft of the shared x^{3/2}-dressed input, one
+    (nl, n/2+1) complex multiply against host-precomputed Gamma-ratio
+    kernels, one batched irfft -- the whole multi-l Bessel projection is
+    three fused array ops, no per-l loop on device.  This is the engine
+    behind the exact (non-Limber) C_ell module (models/nonlimber.py).
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    n = xs.size
+    dlnx = float(np.log(xs[1] / xs[0]))
+    ells_t = tuple(int(l) for l in np.asarray(ells))
+    if lnkr is None:
+        lnkr = fftlog_lnkr(xs, mu=ells_t[0] + 0.5)
+    u_np = _sphbessel_multi_kernel(ells_t, n, dlnx, float(lnkr))
+
+    b = fx * jnp.asarray(xs**1.5)
+    k0 = float(np.exp(lnkr) / xs[0] * np.exp(-n * dlnx))
+    ks = k0 * np.exp(np.arange(n) * dlnx)
+
+    on_cpu = jax.default_backend() == "cpu"
+    if b.dtype == jnp.float64 and not on_cpu:
+        cdtype = jnp.complex64
+        b_fft = jnp.fft.rfft(b.astype(jnp.float32))
+    else:
+        cdtype = jnp.complex128 if b.dtype == jnp.float64 else jnp.complex64
+        b_fft = jnp.fft.rfft(b)
+    u = jnp.asarray(u_np, dtype=cdtype)                  # (nl, nm)
+    A = jnp.fft.irfft(jnp.conj(b_fft[..., None, :] * u), n=n, axis=-1)
+    F = jnp.sqrt(jnp.pi / 2.0) * A * jnp.asarray(ks**-1.5)
+    return jnp.asarray(ks), F.astype(fx.dtype)
+
+
 def fftlog_lnkr(xs, mu: float = 0.5):
     """The low-ringing ln(kc*xc) offset for this grid at the given mu."""
     xs = np.asarray(xs, dtype=np.float64)
