@@ -25,8 +25,10 @@ convention <Nc Ns(Ns-1)> = <NcNs><Ns> and <Ns(Ns-1)(Ns-2)> =
 <Ns(Ns-1)><Ns> (exact for Bernoulli centrals + Poisson satellites under
 corr='max'; Bernoulli excludes multi-central terms identically).  CIB
 same-halo tuples exclude the central counted more than once (the same
-shot-noise exclusion as the pair term).  Pairs/triples of *different*
-HOD/CIB tracers factorize (independent-population assumption),
+shot-noise exclusion as the pair term), and ANY two CIB tracers count
+as one population (cross-frequency legs observe the same galaxies --
+the convention of power._cib_square_term).  Pairs/triples of
+*different* HOD tracers factorize (independent-population assumption),
 documented here rather than hidden.
 
 TPU notes: all mass integrals are static-trapz multiply+axis-sum
@@ -149,20 +151,36 @@ class _Leg:
                        else _interp_zmk(ks, tracer.uc, kq))
         elif isinstance(tracer, CIBTracer):
             self.us = _interp_zmk(ks, tracer.us, kq)
+            # per-leg emissivity weights: cross-frequency pairs/triples mix
+            # fc/fs of different frequencies but share ONE galaxy population
+            self.fc = tracer.fc[..., None]
+            self.fs = tracer.fs[..., None]
+
+
+def _same_population(a: _Leg, b: _Leg) -> bool:
+    """Whether two legs sample the SAME underlying galaxy population, so
+    same-halo self-pair exclusions apply.  Identical tracer objects
+    always do; any two CIB tracers do too (different frequencies weight
+    the same galaxies -- the convention of power._cib_square_term, which
+    excludes the central self-pair for every CIB x CIB pairing)."""
+    return a.tracer is b.tracer or (isinstance(a.tracer, CIBTracer)
+                                    and isinstance(b.tracer, CIBTracer))
 
 
 def _pair_term(a: _Leg, b: _Leg):
     """Same-halo pair <T_a(ka) T_b(kb)>: power.one_halo_square_term
-    generalized to two wavenumbers.  Reduces exactly to it at ka == kb."""
+    generalized to two wavenumbers (and, for CIB, two frequencies).
+    Reduces exactly to it at ka == kb."""
     t = a.tracer
     if t is b.tracer and isinstance(t, HODTracer):
         return (((a.uc * b.us + a.us * b.uc) * t.NcNs[..., None]
                  + a.us * b.us * t.NsNsm1[..., None])
                 / t.ngal[..., None, None] ** 2)
-    if t is b.tracer and isinstance(t, CIBTracer):
-        fc, fs = t.fc[..., None], t.fs[..., None]
-        return (fc * fs * b.us + fs * fc * a.us
-                + fs * fs * a.us * b.us)
+    if isinstance(t, CIBTracer) and isinstance(b.tracer, CIBTracer):
+        # central self-pair (fc_a fc_b) excluded: one central observed at
+        # two frequencies is shot noise, not a 1-halo correlation
+        return (a.fc * b.fs * b.us + b.fc * a.fs * a.us
+                + a.fs * b.fs * a.us * b.us)
     return a.term * b.term
 
 
@@ -176,15 +194,16 @@ def _triple_term(a: _Leg, b: _Leg, c: _Leg):
         return ((a.uc * b.us * c.us + a.us * b.uc * c.us
                  + a.us * b.us * c.uc) * ncnsns
                 + a.us * b.us * c.us * ns3) / t.ngal[..., None, None] ** 3
-    if t is b.tracer and t is c.tracer and isinstance(t, CIBTracer):
-        fc, fs = t.fc[..., None], t.fs[..., None]
-        return (fc * fs * fs * b.us * c.us
-                + fs * fc * fs * a.us * c.us
-                + fs * fs * fc * a.us * b.us
-                + fs * fs * fs * a.us * b.us * c.us)
-    # one shared pair + a distinct third leg
+    if all(isinstance(x.tracer, CIBTracer) for x in (a, b, c)):
+        # exactly one leg may be the (unresolved) central; every term with
+        # the central counted twice is excluded, as in the pair term
+        return (a.fc * b.fs * c.fs * b.us * c.us
+                + b.fc * a.fs * c.fs * a.us * c.us
+                + c.fc * a.fs * b.fs * a.us * b.us
+                + a.fs * b.fs * c.fs * a.us * b.us * c.us)
+    # one shared-population pair + a distinct third leg
     for (x, y, z) in ((a, b, c), (b, c, a), (c, a, b)):
-        if x.tracer is y.tracer and x.tracer is not z.tracer:
+        if _same_population(x, y) and not _same_population(x, z):
             return _pair_term(x, y) * z.term
     return a.term * b.term * c.term
 
@@ -208,6 +227,47 @@ def _make_legs(tracers, ms, ks, rho_matter0, k1, k2, k3, nz):
     return legs, kqs
 
 
+def _prep_pi1(ts, legs, kqs, nzm, bh, ms, ks, pzk_lin, rho_matter0, b_in):
+    """The P(k) legs and consistency-completed I_1 legs shared by the
+    2-halo and 3-halo terms (computed ONCE per call -- eager callers of
+    bispectrum_total would otherwise pay the mass integrals twice)."""
+    P = [_interp_zk(ks, jnp.asarray(pzk_lin), kq) for kq in kqs]
+    I1 = [_leg_completed(ts[i], nzm, bh, ms, ks, rho_matter0, kqs[i], b_in[i])
+          for i in range(3)]
+    return P, I1
+
+
+def _b1h_from(legs, kqs, nzm, ms, kstar_damping):
+    integral = _mass_integral(jnp.asarray(nzm)[..., None]
+                              * _triple_term(*legs), ms)
+    if kstar_damping:
+        for kq in kqs:
+            integral = integral * (1.0 - jnp.exp(-((kq / kstar_damping) ** 2)))
+    return integral
+
+
+def _b2h_from(legs, P, I1, nzm, bh, ms):
+    w = (jnp.asarray(nzm) * jnp.asarray(bh))[..., None]
+    out = 0.0
+    for i in range(3):
+        j, l = (i + 1) % 3, (i + 2) % 3
+        I2 = _mass_integral(w * _pair_term(legs[j], legs[l]), ms)
+        out = out + P[i] * I1[i] * I2
+    return out
+
+
+def _b3h_from(legs, kqs, P, I1, nzm, ms, b2h):
+    out = I1[0] * I1[1] * I1[2] * tree_bispectrum(
+        P[0], P[1], P[2], kqs[0], kqs[1], kqs[2])
+    if b2h is not None:
+        w2 = (jnp.asarray(nzm) * jnp.asarray(b2h))[..., None]
+        for l in range(3):
+            i, j = (l + 1) % 3, (l + 2) % 3
+            Ib2 = _mass_integral(w2 * legs[l].term, ms)
+            out = out + I1[i] * I1[j] * Ib2 * P[i] * P[j]
+    return out
+
+
 def bispectrum_1halo(t1, t2, t3, nzm, ms, ks, rho_matter0, k1, k2, k3,
                      kstar_damping=0.01):
     """B_1h(z; k1,k2,k3) = int dm n <T1(k1) T2(k2) T3(k3)>, with the same
@@ -216,12 +276,7 @@ def bispectrum_1halo(t1, t2, t3, nzm, ms, ks, rho_matter0, k1, k2, k3,
     nz = jnp.asarray(nzm).shape[0]
     legs, kqs = _make_legs((t1, t2, t3), ms, ks, rho_matter0,
                            k1, k2, k3, nz)
-    integral = _mass_integral(jnp.asarray(nzm)[..., None]
-                              * _triple_term(*legs), ms)
-    if kstar_damping:
-        for kq in kqs:
-            integral = integral * (1.0 - jnp.exp(-((kq / kstar_damping) ** 2)))
-    return integral
+    return _b1h_from(legs, kqs, nzm, ms, kstar_damping)
 
 
 def bispectrum_2halo(t1, t2, t3, nzm, bh, ms, ks, pzk_lin, rho_matter0,
@@ -232,16 +287,9 @@ def bispectrum_2halo(t1, t2, t3, nzm, bh, ms, ks, pzk_lin, rho_matter0,
     nz = jnp.asarray(nzm).shape[0]
     ts = (t1, t2, t3)
     legs, kqs = _make_legs(ts, ms, ks, rho_matter0, k1, k2, k3, nz)
-    P = [_interp_zk(ks, jnp.asarray(pzk_lin), kq) for kq in kqs]
-    I1 = [_leg_completed(ts[i], nzm, bh, ms, ks, rho_matter0, kqs[i], b_in[i])
-          for i in range(3)]
-    w = (jnp.asarray(nzm) * jnp.asarray(bh))[..., None]
-    out = 0.0
-    for i in range(3):
-        j, l = (i + 1) % 3, (i + 2) % 3
-        I2 = _mass_integral(w * _pair_term(legs[j], legs[l]), ms)
-        out = out + P[i] * I1[i] * I2
-    return out
+    P, I1 = _prep_pi1(ts, legs, kqs, nzm, bh, ms, ks, pzk_lin,
+                      rho_matter0, b_in)
+    return _b2h_from(legs, P, I1, nzm, bh, ms)
 
 
 def bispectrum_3halo(t1, t2, t3, nzm, bh, ms, ks, pzk_lin, rho_matter0,
@@ -253,32 +301,26 @@ def bispectrum_3halo(t1, t2, t3, nzm, bh, ms, ks, pzk_lin, rho_matter0,
     Ib2 = int dm n b2 T (no consistency completion -- the quadratic-bias
     background integral has no closed-form low-mass limit; documented)."""
     nz = jnp.asarray(nzm).shape[0]
-    kqs = [_normalize_kq(k, nz) for k in (k1, k2, k3)]
     ts = (t1, t2, t3)
-    P = [_interp_zk(ks, jnp.asarray(pzk_lin), kq) for kq in kqs]
-    I1 = [_leg_completed(ts[i], nzm, bh, ms, ks, rho_matter0, kqs[i], b_in[i])
-          for i in range(3)]
-    out = I1[0] * I1[1] * I1[2] * tree_bispectrum(
-        P[0], P[1], P[2], kqs[0], kqs[1], kqs[2])
-    if b2h is not None:
-        w2 = (jnp.asarray(nzm) * jnp.asarray(b2h))[..., None]
-        for l in range(3):
-            i, j = (l + 1) % 3, (l + 2) % 3
-            Tl = _interp_zmk(ks, _term(ts[l], ms, rho_matter0), kqs[l])
-            Ib2 = _mass_integral(w2 * Tl, ms)
-            out = out + I1[i] * I1[j] * Ib2 * P[i] * P[j]
-    return out
+    legs, kqs = _make_legs(ts, ms, ks, rho_matter0, k1, k2, k3, nz)
+    P, I1 = _prep_pi1(ts, legs, kqs, nzm, bh, ms, ks, pzk_lin,
+                      rho_matter0, b_in)
+    return _b3h_from(legs, kqs, P, I1, nzm, ms, b2h)
 
 
 def bispectrum_total(t1, t2, t3, nzm, bh, ms, ks, pzk_lin, rho_matter0,
                      k1, k2, k3, kstar_damping=0.01,
                      b_in=(None, None, None), b2h=None):
-    return (bispectrum_1halo(t1, t2, t3, nzm, ms, ks, rho_matter0,
-                             k1, k2, k3, kstar_damping)
-            + bispectrum_2halo(t1, t2, t3, nzm, bh, ms, ks, pzk_lin,
-                               rho_matter0, k1, k2, k3, b_in)
-            + bispectrum_3halo(t1, t2, t3, nzm, bh, ms, ks, pzk_lin,
-                               rho_matter0, k1, k2, k3, b_in, b2h))
+    """1h + 2h + 3h, with the legs, P(k) interpolations, and I_1 mass
+    integrals computed once and shared across the three terms."""
+    nz = jnp.asarray(nzm).shape[0]
+    ts = (t1, t2, t3)
+    legs, kqs = _make_legs(ts, ms, ks, rho_matter0, k1, k2, k3, nz)
+    P, I1 = _prep_pi1(ts, legs, kqs, nzm, bh, ms, ks, pzk_lin,
+                      rho_matter0, b_in)
+    return (_b1h_from(legs, kqs, nzm, ms, kstar_damping)
+            + _b2h_from(legs, P, I1, nzm, bh, ms)
+            + _b3h_from(legs, kqs, P, I1, nzm, ms, b2h))
 
 
 # ------------------------------------------------------------ projection

@@ -24,36 +24,14 @@ def angular_correlation(ells, cls, thetas_rad):
     three-term recurrence as one lax.scan over l (P_l for all thetas is
     O(nl nt), no special functions).  Pinned against scipy
     eval_legendre in tests/test_cov_lensing.py.
+
+    Implementation: the (m, n) = (0, 0) Wigner small-d matrices ARE the
+    Legendre polynomials, so this delegates to the generic spin-weighted
+    scan in models/shear.py rather than carrying a second copy of the
+    same recurrence.
     """
-    import jax
-    ells = np.asarray(ells)
-    assert ells.ndim == 1 and np.all(np.diff(ells) == 1), \
-        "ells must be consecutive integers"
-    l0 = int(ells[0])
-    x = jnp.cos(jnp.asarray(thetas_rad))
-    cls = jnp.asarray(cls)
-
-    # run the recurrence from l = 0 regardless of l0; weights select the
-    # provided range
-    nl_total = int(ells[-1]) + 1
-    wcls = cls * ((2.0 * jnp.asarray(ells, dtype=cls.dtype) + 1.0)
-                  / (4.0 * jnp.pi))                  # (..., nl)
-    w = jnp.zeros((nl_total,) + cls.shape[:-1] + (1,), dtype=cls.dtype)
-    w = w.at[l0:].set(jnp.moveaxis(wcls, -1, 0)[..., None])
-
-    # accumulate sum_l w_l P_l(x) with a scan carrying (P_{l-1}, P_l):
-    # P_{l+1} = ((2l+1) x P_l - l P_{l-1}) / (l+1)
-    def body(carry, wl):
-        pm1, p, l, acc = carry
-        acc = acc + wl * p
-        pnext = ((2.0 * l + 1.0) * x * p - l * pm1) / (l + 1.0)
-        return (p, pnext, l + 1.0, acc), None
-
-    p0 = jnp.ones_like(x)
-    init = (jnp.zeros_like(x), p0, jnp.asarray(0.0),
-            jnp.zeros(cls.shape[:-1] + x.shape))
-    (_, _, _, acc), _ = jax.lax.scan(body, init, w)
-    return acc
+    from .shear import wigner_d_sum
+    return wigner_d_sum(ells, cls, thetas_rad, mn=(0, 0))
 
 
 def bin_annuli(ells, cls, bin_edges):

@@ -392,7 +392,7 @@ class HaloModel(Cosmology):
     # ---- spectra (hmvec.py:500-572) ----
     def get_power_1halo(self, name="nfw", name2=None):
         t1 = self._tracer(name)
-        t2 = self._tracer(name if name2 is None else name2)
+        t2 = t1 if name2 in (None, name) else self._tracer(name2)
         return pwr.power_1halo(t1, t2, self.nzm, self.ms, self.ks,
                                self.rho_matter_z(0.0),
                                self.p["kstar_damping"])
@@ -401,7 +401,7 @@ class HaloModel(Cosmology):
                         b1_in=None, b2_in=None):
         del verbose
         t1 = self._tracer(name)
-        t2 = self._tracer(name if name2 is None else name2)
+        t2 = t1 if name2 in (None, name) else self._tracer(name2)
         return pwr.power_2halo(t1, t2, self.nzm, self.bh, self.ms, self.Pzk,
                                self.rho_matter_z(0.0), b1_in, b2_in)
 
@@ -521,7 +521,7 @@ class HaloModel(Cosmology):
         covariance module is Gaussian-only."""
         from . import cov as covm
         t1 = self._tracer(name1)
-        t2 = self._tracer(name1 if name2 is None else name2)
+        t2 = t1 if name2 in (None, name1) else self._tracer(name2)
         term = pwr.one_halo_square_term(t1, t2, self.ms,
                                         self.rho_matter_z(0.0))
         t_zkk = covm.trispectrum_1h_terms(self.nzm, self.ms, term, term)

@@ -132,8 +132,18 @@ def bessel_deltas_over_x2(phi_t, chis, ells, taper_frac: float = 0.03):
     of phi_t -- and the caller passes phi_t = phi_kappa * chi^2, which is
     bounded at chi -> 0 (phi_kappa ~ 1/chi), so the FFTLog input has no
     edge spike either.  Exact identity, no approximation.
+
+    Requires l >= 2: the recurrence consumes j_{l-2}, so l in {0, 1}
+    would need j_{-1}/j_{-2} legs this three-term form does not carry
+    (substituting j_0 there is silently wrong by orders of magnitude,
+    measured ~200x at l = 1).  Lensing observables only have l >= 2
+    anyway; a ValueError keeps the failure loud.
     """
     ells = [int(l) for l in ells]
+    if min(ells) < 2:
+        raise ValueError(
+            f"bessel_deltas_over_x2 requires all ells >= 2 (got min "
+            f"{min(ells)}): the j_l/x^2 recurrence needs the j_(l-2) leg")
     union = sorted({ln for l in ells for ln in (max(l - 2, 0), l, l + 2)})
     ks, F = bessel_deltas(phi_t, chis, union, taper_frac)
     idx = {l: i for i, l in enumerate(union)}

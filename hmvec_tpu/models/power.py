@@ -147,8 +147,18 @@ def _term(tracer, ms, rho_matter0, lowklim=False, dt=None):
 def one_halo_square_term(tracer1, tracer2, ms, rho_matter0, dt=None):
     """The (z, m, k) pair term integrated by power_1halo -- also the
     building block of the connected 1-halo trispectrum
-    (cov.trispectrum_1h_terms)."""
-    if isinstance(tracer1, HODTracer) and isinstance(tracer2, HODTracer):
+    (cov.trispectrum_1h_terms).
+
+    Deliberate deviation from the reference: its HOD branch ignores
+    ``name2`` entirely (hmvec.py:509-511 returns
+    ``_get_hod_square(name)`` whenever BOTH names are HODs), so a cross
+    spectrum of two distinct galaxy samples silently came out as sample
+    1's auto term.  Here the same-object pairing keeps the factorial-
+    moment exclusion form and two DISTINCT samples factorize
+    (<N1><N2> under the independent-population assumption, the same
+    convention as the generic mixed-tracer branch and the bispectrum
+    module)."""
+    if tracer1 is tracer2 and isinstance(tracer1, HODTracer):
         return _hod_square_term(tracer1, dt)
     if isinstance(tracer1, CIBTracer) and isinstance(tracer2, CIBTracer):
         return _cib_square_term(tracer1, tracer2, dt)

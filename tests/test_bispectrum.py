@@ -221,3 +221,63 @@ def test_cib_triple_inline_oracle(pair):
             val *= 1.0 - np.exp(-((kk[0] / hm.p["kstar_damping"]) ** 2))
         expected[iz] = val
     np.testing.assert_allclose(bj[:, 0], expected, rtol=1e-8)
+
+
+def test_total_equals_sum_of_terms(pair):
+    """Regression for the shared-work refactor: terms='total' must equal
+    the sum of the three individually requested terms exactly."""
+    hm, _ = pair
+    k1, k2, k3 = SCALENE
+    tot = np.asarray(hm.get_bispectrum(k1, k2, k3, "g", terms="total"))
+    parts = sum(np.asarray(hm.get_bispectrum(k1, k2, k3, "g", terms=t))
+                for t in ("1h", "2h", "3h"))
+    np.testing.assert_allclose(tot, parts, rtol=1e-12)
+
+
+def test_cib_cross_frequency_population_convention(pair):
+    """Cross-frequency CIB legs share ONE galaxy population: the same-halo
+    pair/triple terms keep the central-self-pair exclusion of
+    power._cib_square_term instead of factorizing as if two independent
+    populations were observed.  Inline numpy contraction oracle."""
+    from hmvec_tpu.models import power as pwr
+    hm, _ = pair
+    t545 = (hm.cib_tracers.get("cib545")
+            or hm.add_cib_tracer("cib545", 545.0))
+    t217 = hm.add_cib_tracer("cib217", 217.0)
+
+    # pair convention at equal wavenumbers == power.one_halo_square_term
+    kq = np.array([0.4])
+    bj = np.asarray(hm.get_bispectrum(kq, kq, kq, "cib217", "cib545",
+                                      "cib545", terms="1h"))
+    fc = [np.asarray(t.fc) for t in (t217, t545, t545)]
+    fs = [np.asarray(t.fs) for t in (t217, t545, t545)]
+    us = [np.asarray(t.us) for t in (t217, t545, t545)]
+    lks = np.log(KS)
+    nzm = np.asarray(hm.nzm)
+    expected = np.zeros(ZS.size)
+    for iz in range(ZS.size):
+        u = [np.array([np.interp(np.log(kq[0]), lks, uu[iz, im])
+                       for im in range(MS.size)]) for uu in us]
+        trip = (fc[0][iz] * fs[1][iz] * fs[2][iz] * u[1] * u[2]
+                + fc[1][iz] * fs[0][iz] * fs[2][iz] * u[0] * u[2]
+                + fc[2][iz] * fs[0][iz] * fs[1][iz] * u[0] * u[1]
+                + fs[0][iz] * fs[1][iz] * fs[2][iz] * u[0] * u[1] * u[2])
+        val = np.trapezoid(nzm[iz] * trip, MS)
+        val *= (1.0 - np.exp(-((kq[0] / hm.p["kstar_damping"]) ** 2))) ** 3
+        expected[iz] = val
+    np.testing.assert_allclose(bj[:, 0], expected, rtol=1e-8)
+
+    # and the 2-wavenumber pair term reduces to the power-spectrum pair
+    # term of the SAME two distinct-frequency tracers at ka == kb
+    # (evaluated AT grid points of KS so the per-piece lerps are exact --
+    # lerp(u1)*lerp(u2) != lerp(u1*u2) between nodes)
+    from hmvec_tpu.models import bispectrum as bspm
+    knodes = np.asarray(KS)[[40, 70]]
+    kq2 = bspm._normalize_kq(knodes, ZS.size)
+    legA = bspm._Leg(t217, MS, float(hm.rho_matter_z(0.0)), KS, kq2)
+    legB = bspm._Leg(t545, MS, float(hm.rho_matter_z(0.0)), KS, kq2)
+    got_pair = np.asarray(bspm._pair_term(legA, legB))
+    sq = np.asarray(pwr.one_halo_square_term(
+        t217, t545, MS, float(hm.rho_matter_z(0.0))))
+    want_pair = sq[:, :, [40, 70]]
+    np.testing.assert_allclose(got_pair, want_pair, rtol=1e-7)

@@ -430,3 +430,53 @@ def test_cl_cov_ssc_explicit_loop(hc_lim):
     np.testing.assert_allclose(got, expected, rtol=1e-9)
     np.testing.assert_allclose(got, got.T, rtol=1e-12)
     assert np.all(np.linalg.eigvalsh(got) > -1e-20 * got.max())
+
+
+# ---------------- cross-sample HOD pairing ----------------
+
+def test_hod_cross_sample_square_term_factorizes():
+    """Two DISTINCT HOD samples factorize (<N1><N2>), the same object
+    keeps the factorial-moment exclusion form -- a documented deviation
+    from the reference, whose HOD branch ignores name2 entirely
+    (hmvec.py:509-511) and silently returns sample 1's AUTO term for a
+    cross spectrum of two different galaxy samples."""
+    from hmvec_tpu.models import power as pwr
+    rng = np.random.default_rng(7)
+    nz, nm, nk = 2, 5, 4
+    def mk(scale):
+        Nc = jnp.asarray(rng.uniform(0.1, 1.0, (nz, nm)) * scale)
+        Ns = jnp.asarray(rng.uniform(0.0, 3.0, (nz, nm)) * scale)
+        return pwr.HODTracer(
+            Nc=Nc, Ns=Ns, NsNsm1=Ns**2, NcNs=Nc * Ns,
+            ngal=jnp.asarray(rng.uniform(1e-4, 1e-3, (nz,))),
+            bg=jnp.asarray(rng.uniform(1.0, 2.0, (nz,))),
+            us=jnp.asarray(rng.uniform(0.2, 1.0, (nz, nm, nk))), uc=None)
+    t1, t2 = mk(1.0), mk(0.5)
+    ms = np.geomspace(1e11, 1e15, nm)
+    cross = np.asarray(pwr.one_halo_square_term(t1, t2, ms, 1.0))
+    prod = np.asarray(pwr._hod_term(t1) * pwr._hod_term(t2))
+    np.testing.assert_allclose(cross, prod, rtol=1e-13)
+    auto = np.asarray(pwr.one_halo_square_term(t1, t1, ms, 1.0))
+    excl = np.asarray(pwr._hod_square_term(t1))
+    np.testing.assert_allclose(auto, excl, rtol=1e-13)
+    # the two conventions genuinely differ (the exclusion form drops
+    # the Nc*Nc self-pair and doubles the Nc*Ns cross)
+    assert not np.allclose(auto, np.asarray(pwr._hod_term(t1)) ** 2)
+
+
+def test_hod_same_name_auto_uses_exclusion_form():
+    """HaloModel.get_power_1halo('g', 'g') must keep the factorial-moment
+    auto form even though _tracer() builds a fresh object per call (the
+    class API reuses t1 when the names match)."""
+    from hmvec_tpu.models import power as pwr
+    zs = np.array([0.5])
+    ks = np.geomspace(1e-2, 10, 32)
+    ms = np.geomspace(1e11, 1e15, 40)
+    hm = HaloModel(zs, ks, ms=ms)
+    hm.add_hod("g", ngal=np.array([1e-4]))
+    p_auto = np.asarray(hm.get_power_1halo("g", "g"))
+    t = hm._tracer("g")
+    integ = np.trapezoid(np.asarray(hm.nzm)[..., None]
+                         * np.asarray(pwr._hod_square_term(t)), ms, axis=-2)
+    damp = 1.0 - np.exp(-((ks / hm.p["kstar_damping"]) ** 2))
+    np.testing.assert_allclose(p_auto, integ * damp[None, :], rtol=1e-10)

@@ -159,3 +159,15 @@ def test_cosmology_class_api(setup):
     cl = np.asarray(hc.C_gg_exact([10], KS, pk0, GZS, GDNDZ, bias=2.0))
     ref = np.asarray(nlm.C_gg_exact(bg, [10], KS, pk0, GZS, GDNDZ, bias=2.0))
     np.testing.assert_allclose(cl, ref, rtol=1e-12)
+
+
+def test_lensing_row_requires_l_ge_2(setup):
+    """The j_l/x^2 recurrence has no j_{-1}/j_{-2} legs: l < 2 must raise
+    (substituting j_0 is silently wrong by ~200x at l = 1)."""
+    _, bg, _, pk0 = setup
+    chis = nlm.chi_loggrid(n=256)
+    phi = nlm.galaxy_kernel(bg, chis, GZS, GDNDZ)
+    with pytest.raises(ValueError, match="ells >= 2"):
+        nlm.bessel_deltas_over_x2(phi, chis, [1, 10, 40])
+    with pytest.raises(ValueError, match="ells >= 2"):
+        nlm.C_kk_exact(bg, np.array([1, 20]), KS, pk0, lzs1=1.5, chis=chis)
