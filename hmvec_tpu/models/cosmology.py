@@ -399,7 +399,7 @@ class Cosmology:
         return cmb_lensing_limber(self, lmax, nonlinear=nonlinear)
 
     def get_cmb_cls(self, lmax=3000, lens_potential_accuracy=4,
-                    nonlinear=True, approx=False):
+                    nonlinear=True, approx=False, lens_method="resummed"):
         """Primary CMB power spectra (reference cosmology.py:67-81).
 
         Precision tier: a host-supplied table (ctor ``cls_table``;
@@ -415,10 +415,14 @@ class Cosmology:
         few-percent accuracy through the damping tail; the lensing
         potential blends the solver's exact (non-Limber) LOS projection
         at L < 80 into the Limber path above L = 130 (``nonlinear``
-        selects the nonlinear matter power there); and ``'total'`` is the
-        first-order flat-sky lensing convolution of the two
-        (models/lensed_cls.py) -- peak smoothing and the lensed-BB
-        plateau at percent-to-few-percent accuracy.  The unlensed solve
+        selects the nonlinear matter power there); and ``'total'`` lenses
+        the two with the flat-sky correlation-function method resummed to
+        all orders in the displacement variance (models/lensed_cf.py,
+        ``lens_method='resummed'``, the default -- the resummation is
+        what keeps the damping tail bounded where l^2 R is order unity),
+        or the lowest-order convolution (models/lensed_cls.py,
+        ``lens_method='first_order'``; the two agree to ~0.5% where
+        lensing is weak, tests/test_lensed_cf.py).  The unlensed solve
         runs with +400 l of headroom so the lensing convolution support
         is complete at lmax.  The dict carries an ``'approx': True``
         marker.
@@ -433,7 +437,14 @@ class Cosmology:
                     "with approx=True for the built-in few-percent "
                     "boltzlite solver (models/boltzlite.py).")
             from . import boltzlite
-            from .lensed_cls import lens_cls_flat_sky
+            if lens_method == "resummed":
+                from .lensed_cf import lens_cls_flat_sky_resummed
+                lens_fn = lambda unl, clpp, lmax_out: np.asarray(
+                    lens_cls_flat_sky_resummed(unl, clpp, lmax_out=lmax_out))
+            elif lens_method == "first_order":
+                from .lensed_cls import lens_cls_flat_sky as lens_fn
+            else:
+                raise ValueError(f"unknown lens_method {lens_method!r}")
             lpad = lmax + 400
             unl, clpp_exact = boltzlite.compute_cls(dict(self.p),
                                                     lmax=lpad,
@@ -449,7 +460,7 @@ class Cosmology:
             # it is sub-0.1% and carries the nonlinear matter power)
             wts = np.clip((ells - 80.0) / 50.0, 0.0, 1.0)
             clpp = wts * clpp + (1.0 - wts) * clpp_exact[:lpad + 1]
-            total = lens_cls_flat_sky(unl, clpp, lmax_out=lmax)
+            total = lens_fn(unl, clpp, lmax_out=lmax)
             dd = np.zeros((lmax + 1, 3))
             dd[2:] = 0.0
             dd[2:, 0] = (clpp[2:lmax + 1] * (ells[2:lmax + 1]

@@ -1,0 +1,229 @@
+"""Lensed CMB spectra, resummed: the flat-sky correlation-function method.
+
+The reference gets lensed Cls from CAMB ('total',
+/root/reference/hmvec/cosmology.py:67-81).  models/lensed_cls.py serves
+the lowest-order-in-C_phiphi convolution; THIS module resums the
+Gaussian displacement variance to all orders (exact in sigma^2, first
+order in the anisotropic C_gl,2), the flat-sky limit of the
+Seljak-1996 / Challinor-Lewis correlation-function method.  That is the
+difference that matters in the damping tail: at l ~ 2500 the first-order
+(1 - l^2 R) prefactor overshoots (l^2 R ~ 0.5 is not small), while
+e^{-l^2 sigma^2/2} stays bounded.
+
+Derivation (first principles -- no transcribed fit tables).  For a field
+whose correlation function carries an e^{i n phi_l} angular factor
+(n = 0: T and xi_+; n = 2: TE cross; n = 4: xi_-), Gaussian lensing
+displacements give
+
+    xi~_n(th) = int l dl/2pi C_l e^{-l^2 sigma^2(th)/2}
+                [ J_n(l th) + (l^2 C_gl,2(th)/4)
+                              (J_{n-2}(l th) + J_{n+2}(l th)) ] + O(Cgl2^2)
+
+from expanding  <e^{i l . (d - d')}> = exp(-l^2 sigma^2/2
+- (l^2/2) C_gl,2 cos 2phi)  to first order in C_gl,2 and using
+int dphi/2pi e^{i x cos phi + i n phi} = i^n J_n(x) (the i^{n +- 2} =
+-i^n sign is what turns the cos 2phi term into the +(J_{n-2}+J_{n+2})/4
+combination).  The displacement correlations follow from d = grad phi:
+
+    <d . d'>(th)        = A(th)  = sum_l l^3 C_l^pp/2pi  J_0(l th)
+    quadrupolar part    C_gl,2(th) = sum_l l^3 C_l^pp/2pi  J_2(l th)
+    sigma^2(th)         = A(0) - A(th)
+
+Everything is evaluated in DIFFERENCE form: Delta xi_n(th) =
+sum_l (l/2pi) C_l [lensed kernel - J_n], back-transformed by
+Delta C_l = 2pi int th dth Delta xi_n(th) J_n(l th), so C~ = C + Delta C
+is EXACTLY C when C_pp = 0 and quadrature error only touches the ~10%
+lensing correction, not the full spectrum.
+
+TPU mapping: the (l, theta) geometry is never materialized -- a
+`lax.scan` over static l-chunks evaluates J_0/J_2/J_4/J_6 on the fly
+from the Chebyshev J0 kernel (ops/special.j0) + one autodiff J1 + the
+upward three-term recurrence (small-x Taylor branch below x = 0.2 where
+upward recurrence loses relative accuracy; absolute error stays ~1e-13),
+accumulating all four correlation functions per chunk: pure fused
+multiply-adds, jit- and grad-safe, f64 on CPU/TPU (one table build per
+cosmology -- not a hot path).
+
+Oracles (tests/test_lensed_cf.py): an independent numpy/scipy.special.jn
+twin at 1e-10; epsilon-linearization agreement with the INDEPENDENT
+first-order convolution module (lensed_cls.py); exact pass-through at
+C_pp = 0; lensed-BB consistency between the two methods at low l.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import special as sp
+
+__all__ = ["lens_cls_flat_sky_resummed", "displacement_correlations"]
+
+_CHUNK = 128
+
+
+def _jn_even_upto6(x):
+    """(J0, J2, J4, J6)(x) for x >= 0.
+
+    J0 from the Chebyshev/modulus-phase kernel (~4e-13), J1 by autodiff,
+    J2..J6 by the upward recurrence J_{k+1} = (2k/x) J_k - J_{k-1}.
+    Upward recurrence loses RELATIVE accuracy in the decaying regime
+    x << n (absolute error stays at the ~1e-13 seed level, amplified by
+    <~ prod 2k/x); below x = 0.2 the 3-term ascending series is exact to
+    ~3e-8 relative and takes over.
+    """
+    j0 = sp.j0(x)
+    j1 = sp.j1(x)
+    xs = jnp.where(x > 1e-30, x, 1.0)
+    inv = 1.0 / xs
+    j2 = 2.0 * j1 * inv - j0
+    j3 = 4.0 * j2 * inv - j1
+    j4 = 6.0 * j3 * inv - j2
+    j5 = 8.0 * j4 * inv - j3
+    j6 = 10.0 * j5 * inv - j4
+
+    # ascending series J_n = (x/2)^n/n! [1 - h/(n+1) + h^2/(2(n+1)(n+2))],
+    # h = x^2/4; truncation < ~3e-8 relative at x = 0.2
+    h = 0.25 * x * x
+    def series(n, fact):
+        lead = (0.5 * x) ** n / fact
+        return lead * (1.0 - h / (n + 1.0)
+                       + h * h / (2.0 * (n + 1.0) * (n + 2.0)))
+    small = x < 0.2
+    j2 = jnp.where(small, series(2, 2.0), j2)
+    j4 = jnp.where(small, series(4, 24.0), j4)
+    j6 = jnp.where(small, series(6, 720.0), j6)
+    return j0, j2, j4, j6
+
+
+def _pad_chunks(arr, nl):
+    """Zero-pad the l axis (leading) to a multiple of _CHUNK and reshape
+    to (nchunk, _CHUNK, ...)."""
+    pad = (-nl) % _CHUNK
+    arr = jnp.pad(arr, [(0, pad)] + [(0, 0)] * (arr.ndim - 1))
+    return arr.reshape((arr.shape[0] // _CHUNK, _CHUNK) + arr.shape[1:])
+
+
+def displacement_correlations(clpp, thetas):
+    """(sigma2(th), cgl2(th), R) from C_l^phiphi (raw, index = l).
+
+    sigma2(th) = sum_l (l^3 C^pp/2pi)(1 - J0(l th)),
+    cgl2(th)   = sum_l (l^3 C^pp/2pi) J2(l th),
+    R = sigma2(inf)/2 = sum_l l^3 C^pp/4pi  (the lensed_cls.py total).
+    """
+    clpp = jnp.asarray(clpp)
+    nl = clpp.shape[0]
+    ls = jnp.arange(nl, dtype=jnp.float64)
+    w = ls**3 * clpp / (2.0 * jnp.pi)
+    thetas = jnp.asarray(thetas)
+
+    lc = _pad_chunks(ls, nl)
+    wc = _pad_chunks(w, nl)
+
+    def body(carry, lw):
+        a, b = carry
+        lsc, wsc = lw
+        x = lsc[:, None] * thetas[None, :]
+        j0, j2, _, _ = _jn_even_upto6(x)
+        return (a + wsc @ (1.0 - j0), b + wsc @ j2), None
+
+    init = (jnp.zeros_like(thetas), jnp.zeros_like(thetas))
+    (sig2, cgl2), _ = jax.lax.scan(body, init, (lc, wc))
+    return sig2, cgl2, 0.5 * jnp.sum(w)
+
+
+def _delta_xis(cl_tt, cl_ee, cl_bb, cl_te, thetas, sig2, cgl2):
+    """Difference correlation functions (Delta xi_T, xi_+, xi_-, xi_X)
+    on the theta grid; cl_* indexed by integer l (l = 0, 1 ignored)."""
+    nl = cl_tt.shape[0]
+    ls = jnp.arange(nl, dtype=jnp.float64)
+    lw = jnp.where(ls >= 2.0, ls / (2.0 * jnp.pi), 0.0)
+    wt = lw * cl_tt
+    wp = lw * (cl_ee + cl_bb)
+    wm = lw * (cl_ee - cl_bb)
+    wx = lw * cl_te
+
+    lc = _pad_chunks(ls, nl)
+    stack = _pad_chunks(jnp.stack([wt, wp, wm, wx], axis=-1), nl)
+
+    def body(acc, lw_):
+        lsc, wsc = lw_
+        x = lsc[:, None] * thetas[None, :]                 # (chunk, nth)
+        j0, j2, j4, j6 = _jn_even_upto6(x)
+        damp = jnp.exp(-0.5 * lsc[:, None] ** 2 * sig2[None, :])
+        q = 0.25 * lsc[:, None] ** 2 * cgl2[None, :]
+        # n = 0 (T and xi_+): J0 + 2q J2 ; n = 4: J4 + q (J2 + J6)
+        # n = 2 (X): J2 + q (J0 + J4)
+        k0 = damp * (j0 + 2.0 * q * j2) - j0
+        k4 = damp * (j4 + q * (j2 + j6)) - j4
+        k2 = damp * (j2 + q * (j0 + j4)) - j2
+        acc = (acc[0] + wsc[:, 0] @ k0,
+               acc[1] + wsc[:, 1] @ k0,
+               acc[2] + wsc[:, 2] @ k4,
+               acc[3] + wsc[:, 3] @ k2)
+        return acc, None
+
+    z = jnp.zeros_like(thetas)
+    (dt, dp, dm, dx), _ = jax.lax.scan(body, (z, z, z, z), (lc, stack))
+    return dt, dp, dm, dx
+
+
+def _back_transform(d_xis, thetas, wthetas, lmax_out):
+    """Delta C_l = 2pi int th dth Delta xi_n(th) J_n(l th) for the four
+    channels (n = 0, 0, 4, 2)."""
+    dt, dp, dm, dx = d_xis
+    tw = thetas * wthetas
+    ls = jnp.arange(lmax_out + 1, dtype=jnp.float64)
+    lc = _pad_chunks(ls, ls.shape[0])
+
+    def body(_, lsc):
+        x = lsc[:, None] * thetas[None, :]
+        j0, j2, j4, _ = _jn_even_upto6(x)
+        row = (2.0 * jnp.pi) * jnp.stack(
+            [j0 @ (tw * dt), j0 @ (tw * dp), j4 @ (tw * dm),
+             j2 @ (tw * dx)], axis=-1)                     # (chunk, 4)
+        return None, row
+
+    _, rows = jax.lax.scan(body, None, lc)
+    out = rows.reshape(-1, 4)[:lmax_out + 1]
+    return out[:, 0], out[:, 1], out[:, 2], out[:, 3]
+
+
+def lens_cls_flat_sky_resummed(cl_unlensed, clpp, lmax_out=None,
+                               n_theta: int = 8192, theta_max=np.pi):
+    """Lensed (lmax_out+1, 4) [TT, EE, BB, TE] from unlensed scalar Cls,
+    resummed in sigma^2 (first order in C_gl,2).
+
+    Same interface as lensed_cls.lens_cls_flat_sky: cl_unlensed
+    (lmax_in+1, 4) raw C_l, clpp (lmax_pp+1,) raw C_phiphi.  The theta
+    quadrature is Gauss-Legendre on [0, theta_max]; n_theta must resolve
+    ~2 lmax_in theta_max / pi oscillation pairs (the default handles
+    lmax ~ 3500).  jit- and grad-safe in (cl_unlensed, clpp).
+    """
+    cl_unlensed = jnp.asarray(cl_unlensed, dtype=jnp.float64)
+    clpp = jnp.asarray(clpp, dtype=jnp.float64)
+    lmax_in = cl_unlensed.shape[0] - 1
+    if lmax_out is None:
+        lmax_out = lmax_in
+
+    t_np, w_np = np.polynomial.legendre.leggauss(n_theta)
+    thetas = jnp.asarray(0.5 * float(theta_max) * (t_np + 1.0))
+    wthetas = jnp.asarray(0.5 * float(theta_max) * w_np)
+
+    sig2, cgl2, _ = displacement_correlations(clpp, thetas)
+    d_xis = _delta_xis(cl_unlensed[:, 0], cl_unlensed[:, 1],
+                       cl_unlensed[:, 2], cl_unlensed[:, 3],
+                       thetas, sig2, cgl2)
+    dct, dcp, dcm, dcx = _back_transform(d_xis, thetas, wthetas, lmax_out)
+
+    base = cl_unlensed[:lmax_out + 1]
+    ells = jnp.arange(lmax_out + 1)
+    keep = (ells >= 2)[:, None]
+    out = jnp.stack([
+        base[:, 0] + dct,
+        base[:, 1] + 0.5 * (dcp + dcm),
+        base[:, 2] + 0.5 * (dcp - dcm),
+        base[:, 3] + dcx,
+    ], axis=-1)
+    return jnp.where(keep, out, 0.0)
