@@ -21,7 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 # recompiling the big fused pipelines per module; cache hits cut repeat
 # runs from ~28 min to minutes (VERDICT r1 weak #7).
 jax.config.update("jax_compilation_cache_dir", "/tmp/hmvec_tpu_jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# threshold overridable for cache experiments (suite time is a flat
+# compile tail -- DEVNOTES; 0.0 caches even sub-second programs)
+jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                  float(os.environ.get("HMVEC_CACHE_MIN_SECS", "0.0")))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import pytest  # noqa: E402
