@@ -47,6 +47,9 @@ from .models.bispectrum import (f2_kernel, tree_bispectrum,  # noqa: F401,E402
                                 bispectrum_total, projected_bispectrum)
 from .models.shear import (xi_plus, xi_minus, gamma_t,  # noqa: F401,E402
                            wigner_d_sum, kappa_to_shear_cl_factor)
+from .models.lensed_cf import (  # noqa: F401,E402
+    lens_cls_flat_sky_resummed)
+from .models.lensed_cls import lens_cls_flat_sky  # noqa: F401,E402
 from .models.nonlimber import (C_gg_exact, C_kg_exact,  # noqa: F401,E402
                                C_kk_exact, bessel_deltas,
                                bessel_deltas_j2pp, bessel_deltas_over_x2)

@@ -202,25 +202,31 @@ def _interp2_loglog(Tz, lks, lk1, lk2):
     return axis_interp(A.T, lk1).T      # (nl1, nl2)
 
 
-def cl_cov_t1h(ells, zs, ks, t_zkk, Wz1s, Wz2s, hzs, chis, fsky=1.0):
+def cl_cov_t1h(ells, zs, ks, t_zkk, Wz1s, Wz2s, hzs, chis, fsky=1.0,
+               Wz3s=None, Wz4s=None):
     """Connected (1-halo trispectrum) covariance of C_ell bandpowers:
 
-        Cov(C^12_ell, C^12_ell') = (1/(4 pi fsky))
-            int dz H^3 (W1 W2)^2 / chi^6  T^1h(k_ell, k_ell', z),
+        Cov(C^12_ell, C^34_ell') = (1/(4 pi fsky))
+            int dz H^3 (W1 W2)(W3 W4) / chi^6  T^1h(k_ell, k_ell', z),
 
     the Limber-projected Cooray-Hu/Takada-Jain non-Gaussian term, with
     the SAME window/H/chi conventions as limber_integral (C_ell =
     int dz H W1 W2 P / chi^2; converting to the per-dchi kernels
     q_i = H W_i gives the H^3 once dchi -> dz).  t_zkk from
-    trispectrum_1h / trispectrum_1h_terms.  EXTENSION: the reference's
-    covariance module is Gaussian-only.
+    trispectrum_1h / trispectrum_1h_terms (pass term12 != term34 for the
+    cross-covariance of two different spectra; Wz3s/Wz4s default to
+    Wz1s/Wz2s).  EXTENSION: the reference's covariance module is
+    Gaussian-only.
     """
     ells = jnp.asarray(ells)
     zs = jnp.asarray(zs)
     lks = jnp.log(jnp.asarray(ks))
     chis = jnp.asarray(chis)
     hzs = jnp.asarray(hzs)
-    pref = (hzs**3 * (jnp.asarray(Wz1s) * jnp.asarray(Wz2s)) ** 2
+    Wz3s = Wz1s if Wz3s is None else Wz3s
+    Wz4s = Wz2s if Wz4s is None else Wz4s
+    pref = (hzs**3 * (jnp.asarray(Wz1s) * jnp.asarray(Wz2s))
+            * (jnp.asarray(Wz3s) * jnp.asarray(Wz4s))
             / chis**6 / (4.0 * jnp.pi * fsky))
     lke = jnp.log((ells[:, None] + 0.5) / chis[None, :])   # (nl, nz)
 

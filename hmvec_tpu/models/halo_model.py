@@ -513,25 +513,40 @@ class HaloModel(Cosmology):
         return dndz, dndz @ wz
 
     def get_cl_cov_t1h(self, ells, name1, name2=None, Wz1s=None, Wz2s=None,
-                       fsky=1.0):
-        """Connected (1-halo trispectrum) covariance of C_ell for the
-        tracer pair, with the same window conventions as limber_integral
-        (W defaults to 1, e.g. the C_yy case; pass lensing_window outputs
-        etc. for projected densities).  Extension: the reference's
-        covariance module is Gaussian-only."""
+                       fsky=1.0, name3=None, name4=None, Wz3s=None,
+                       Wz4s=None):
+        """Connected (1-halo trispectrum) covariance of C_ell bandpowers,
+        Cov(C^{12}_ell, C^{34}_ell'), with the same window conventions as
+        limber_integral (W defaults to 1, e.g. the C_yy case; pass
+        lensing_window outputs etc. for projected densities).  names 3/4
+        default to 1/2 (the auto-covariance of one spectrum); passing
+        them gives the CROSS-covariance between two different spectra
+        (e.g. Cov(C_yy, C_gg), the term that correlates tSZ and galaxy
+        bandpowers through shared massive halos).  Extension: the
+        reference's covariance module is Gaussian-only."""
         from . import cov as covm
-        t1 = self._tracer(name1)
-        t2 = t1 if name2 in (None, name1) else self._tracer(name2)
-        term = pwr.one_halo_square_term(t1, t2, self.ms,
-                                        self.rho_matter_z(0.0))
-        t_zkk = covm.trispectrum_1h_terms(self.nzm, self.ms, term, term)
+
+        def tracer_pair(na, nb):
+            ta = self._tracer(na)
+            tb = ta if nb in (None, na) else self._tracer(nb)
+            return pwr.one_halo_square_term(ta, tb, self.ms,
+                                            self.rho_matter_z(0.0))
+
+        term12 = tracer_pair(name1, name2)
+        if name3 is None and name4 is None:
+            term34 = term12
+        else:
+            term34 = tracer_pair(name3 if name3 is not None else name1,
+                                 name4 if name4 is not None else name2)
+        t_zkk = covm.trispectrum_1h_terms(self.nzm, self.ms, term12, term34)
         hzs = self.h_of_z(self.zs)
         chis = self.comoving_radial_distance(self.zs)
         ones = jnp.ones_like(jnp.asarray(self.zs))
         Wz1s = ones if Wz1s is None else Wz1s
         Wz2s = ones if Wz2s is None else Wz2s
         return covm.cl_cov_t1h(ells, self.zs, self.ks, t_zkk, Wz1s, Wz2s,
-                               hzs, chis, fsky)
+                               hzs, chis, fsky,
+                               Wz3s=Wz3s, Wz4s=Wz4s)
 
     def get_cl_cov_ssc(self, ells, name1, name2=None, Wz1s=None, Wz2s=None,
                        fsky=1.0):

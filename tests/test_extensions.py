@@ -480,3 +480,52 @@ def test_hod_same_name_auto_uses_exclusion_form():
                          * np.asarray(pwr._hod_square_term(t)), ms, axis=-2)
     damp = 1.0 - np.exp(-((ks / hm.p["kstar_damping"]) ** 2))
     np.testing.assert_allclose(p_auto, integ * damp[None, :], rtol=1e-10)
+
+
+def test_cl_cov_t1h_cross_spectrum(hc_lim):
+    """Cov(C^{11}, C^{33}) between two DIFFERENT spectra: transposition
+    symmetry (swapping which spectrum is 'first' transposes the matrix),
+    default-argument equivalence, and an explicit-loop numpy check of
+    the asymmetric trispectrum projection."""
+    from hmvec_tpu.models import cov as covm
+    from hmvec_tpu.models import power as pwr
+    hc = hc_lim
+    hc.add_battaglia_pres_profile("y", family="pres", nxs=400, xmax=10)
+    ells = np.array([200.0, 800.0, 2500.0])
+
+    auto = np.asarray(hc.get_cl_cov_t1h(ells, "nfw", fsky=0.4))
+    auto_explicit = np.asarray(hc.get_cl_cov_t1h(
+        ells, "nfw", name3="nfw", name4="nfw", fsky=0.4))
+    np.testing.assert_allclose(auto, auto_explicit, rtol=1e-12)
+
+    c_my = np.asarray(hc.get_cl_cov_t1h(ells, "nfw", name3="y", name4="y",
+                                        fsky=0.4))
+    c_ym = np.asarray(hc.get_cl_cov_t1h(ells, "y", name3="nfw", name4="nfw",
+                                        fsky=0.4))
+    np.testing.assert_allclose(c_my, c_ym.T, rtol=1e-10)
+    assert np.all(np.isfinite(c_my)) and np.all(c_my > 0)
+
+    # explicit numpy evaluation of one entry
+    tm = hc._tracer("nfw")
+    ty = hc._tracer("y")
+    term_m = np.asarray(pwr.one_halo_square_term(tm, tm, hc.ms,
+                                                 hc.rho_matter_z(0.0)))
+    term_y = np.asarray(pwr.one_halo_square_term(ty, ty, hc.ms,
+                                                 hc.rho_matter_z(0.0)))
+    chis = np.asarray(hc.comoving_radial_distance(hc.zs))
+    hzs = np.asarray(hc.h_of_z(hc.zs))
+    nzm = np.asarray(hc.nzm)
+    lks = np.log(np.asarray(KS))
+    ia, ib = 1, 2
+    integ = np.zeros(ZL.size)
+    for iz in range(ZL.size):
+        ka = np.log((ells[ia] + 0.5) / chis[iz])
+        kb = np.log((ells[ib] + 0.5) / chis[iz])
+        fa = np.array([np.interp(ka, lks, term_m[iz, im])
+                       for im in range(MS.size)])
+        fb = np.array([np.interp(kb, lks, term_y[iz, im])
+                       for im in range(MS.size)])
+        T = np.trapezoid(nzm[iz] * fa * fb, MS)
+        integ[iz] = hzs[iz] ** 3 / chis[iz] ** 6 * T
+    expected = np.trapezoid(integ, ZL) / (4.0 * np.pi * 0.4)
+    np.testing.assert_allclose(c_my[ia, ib], expected, rtol=2e-3)
