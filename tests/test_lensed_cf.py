@@ -68,7 +68,7 @@ def test_linearization_matches_first_order_module(spectra):
     cl, clpp = spectra
     eps = 1e-2
     res = np.asarray(lcf.lens_cls_flat_sky_resummed(cl, eps * clpp,
-                                                    n_theta=6000))
+                                                    n_theta=3000))
     first = lens_cls_flat_sky(cl, eps * clpp)
     ls = np.arange(LMAX + 1)
     sel = (ls >= 40) & (ls <= 900)   # away from both methods' edges
@@ -87,7 +87,7 @@ def test_resummation_bounded_in_tail(spectra):
     peak-smoothing signature: lensing REDUCES |d ln C/d ln l| contrast."""
     cl, clpp = spectra
     res = np.asarray(lcf.lens_cls_flat_sky_resummed(cl, 40.0 * clpp,
-                                                    n_theta=6000))
+                                                    n_theta=3000))
     ls = np.arange(LMAX + 1)
     sel = (ls >= 100) & (ls <= 1000)
     # damping-tail suppression: power moves out of the tail, but the
