@@ -51,7 +51,8 @@ from .models.lensed_cf import (  # noqa: F401,E402
     lens_cls_flat_sky_resummed)
 from .models.lensed_cls import lens_cls_flat_sky  # noqa: F401,E402
 from .models.nonlimber import (C_gg_exact, C_kg_exact,  # noqa: F401,E402
-                               C_kk_exact, bessel_deltas,
+                               C_kk_exact, C_gg_hybrid, C_kk_hybrid,
+                               bessel_deltas,
                                bessel_deltas_j2pp, bessel_deltas_over_x2)
 from .models.rsd import (kaiser_pk_mu, rsd_multipoles,  # noqa: F401,E402
                          kaiser_multipole_factors, correlation_multipoles,

@@ -364,6 +364,19 @@ class Cosmology:
         kw.setdefault("growth_mode", self.growth_mode)
         return nlm.C_kg_exact(self.bg, ells, ks, pk0, gzs, gdndz, **kw)
 
+    def C_gg_hybrid(self, ells, ks, pk0, zs_nl, pzk_nl, gzs, gdndz, **kw):
+        """Exact-low-ell + Limber-high-ell galaxy spectrum for a FULL
+        nonlinear P_gg (models/nonlimber.C_gg_hybrid)."""
+        from . import nonlimber as nlm
+        return nlm.C_gg_hybrid(self.bg, ells, ks, pk0, zs_nl, pzk_nl,
+                               gzs, gdndz, **kw)
+
+    def C_kk_hybrid(self, ells, ks, pk0, zs_nl, pzk_nl, **kw):
+        """Exact-low-ell + Limber-high-ell convergence spectrum for a
+        FULL nonlinear P_mm (models/nonlimber.C_kk_hybrid)."""
+        from . import nonlimber as nlm
+        return nlm.C_kk_hybrid(self.bg, ells, ks, pk0, zs_nl, pzk_nl, **kw)
+
     def C_kk_exact(self, ells, ks, pk0, **kw):
         from . import nonlimber as nlm
         kw.setdefault("growth_mode", self.growth_mode)

@@ -47,6 +47,7 @@ __all__ = [
     "bessel_deltas_over_x2", "galaxy_kernel", "lensing_kernel",
     "cl_from_deltas",
     "C_gg_exact", "C_kg_exact", "C_kk_exact",
+    "C_gg_hybrid", "C_kk_hybrid",
 ]
 
 
@@ -329,3 +330,78 @@ def C_kk_exact(bg, ells, ks, pk0, lzs1=None, ldndz1=None, lzs2=None,
         _, d2 = _kappa_deltas(bg, chis, ells_t, lzs2, ldndz2, growth_mode,
                               table)
     return cl_from_deltas(ksg, d1, d2, ks, pk0)
+
+
+# ----------------------------------------------------------------------
+# Hybrid exact + Limber: exact low-ell behaviour for NONLINEAR
+# (non-separable) spectra via the standard additive correction
+#
+#   C_hybrid = C_Limber[P_full] + ( C_exact[P_lin sep] - C_Limber[P_lin sep] )
+#
+# The bracket is the Limber projection error of the separable linear
+# part -- exactly the piece that dominates the total Limber error at
+# low ell (the nonlinear residual lives at high k, where Limber is
+# already sub-percent), and it decays as O(1/ell^2) so the hybrid
+# converges to the pure Limber of the full spectrum at high ell.  The
+# exact side may carry RSD and magnification (absent from the Limber
+# tier by construction), so those enter exactly where they matter.
+# ----------------------------------------------------------------------
+
+def _sep_pzk(bg, zs_nl, ks, pk0, growth_mode, table, bias=1.0):
+    """bias^2 D(z)^2 pk0(k) on the Limber grid (the separable twin of the
+    full nonlinear P fed to the Limber term)."""
+    D = _growth_ratio(bg, jnp.asarray(zs_nl), growth_mode, table)
+    return (bias**2 * D[:, None] ** 2) * jnp.asarray(pk0)[None, :]
+
+
+def C_gg_hybrid(bg, ells, ks, pk0, zs_nl, pzk_nl, gzs, gdndz, bias=1.0,
+                rsd: bool = False, smag=None, szs=None,
+                growth_mode: str = "closed", chis=None, table=None,
+                zmin=None, zmax=None):
+    """Galaxy auto-spectrum with exact low-ell projection of the FULL
+    nonlinear spectrum ``pzk_nl`` (on (zs_nl, ks)).
+
+    ``pzk_nl`` is the already-biased P_gg(z, k) (e.g. halo-model 1h+2h);
+    ``bias`` is the LINEAR bias used for the low-ell exact correction
+    (at low ell the halo-model P_gg -> b^2 P_lin, so pass the effective
+    window-averaged b; a few-percent mismatch only perturbs a term that
+    is itself a small correction).  RSD/magnification enter through the
+    exact part only -- the Limber tier has no analogue (reference
+    cosmology.py:549-561), and both are low-ell effects for broad
+    windows.
+    """
+    from . import limber as lim
+    if growth_mode == "ode" and table is None:
+        table = bgmod.growth_table(bg)
+    cl_nl = lim.C_gg(bg, ells, zs_nl, ks, pzk_nl, gzs, gdndz,
+                     zmin=zmin, zmax=zmax)
+    pzk_sep = _sep_pzk(bg, zs_nl, ks, pk0, growth_mode, table, bias)
+    cl_lin_limber = lim.C_gg(bg, ells, zs_nl, ks, pzk_sep, gzs, gdndz,
+                             zmin=zmin, zmax=zmax)
+    cl_lin_exact = C_gg_exact(bg, ells, ks, pk0, gzs, gdndz, bias=bias,
+                              rsd=rsd, smag=smag, szs=szs,
+                              growth_mode=growth_mode, chis=chis,
+                              table=table)
+    return cl_nl + (cl_lin_exact - cl_lin_limber)
+
+
+def C_kk_hybrid(bg, ells, ks, pk0, zs_nl, pzk_nl, lzs1=None, ldndz1=None,
+                lzs2=None, ldndz2=None, growth_mode: str = "closed",
+                chis=None, table=None):
+    """Convergence auto/cross-spectrum with exact low-ell projection of
+    the FULL nonlinear matter spectrum ``pzk_nl`` (on (zs_nl, ks)); the
+    low-ell correction additionally carries the exact l(l+1)/k^2 lensing
+    transfer the Limber limit truncates (see C_kk_exact)."""
+    from . import limber as lim
+    if growth_mode == "ode" and table is None:
+        table = bgmod.growth_table(bg)
+    cl_nl = lim.C_kk(bg, ells, zs_nl, ks, pzk_nl, lzs1=lzs1, ldndz1=ldndz1,
+                     lzs2=lzs2, ldndz2=ldndz2)
+    pzk_sep = _sep_pzk(bg, zs_nl, ks, pk0, growth_mode, table)
+    cl_lin_limber = lim.C_kk(bg, ells, zs_nl, ks, pzk_sep, lzs1=lzs1,
+                             ldndz1=ldndz1, lzs2=lzs2, ldndz2=ldndz2)
+    cl_lin_exact = C_kk_exact(bg, ells, ks, pk0, lzs1=lzs1, ldndz1=ldndz1,
+                              lzs2=lzs2, ldndz2=ldndz2,
+                              growth_mode=growth_mode, chis=chis,
+                              table=table)
+    return cl_nl + (cl_lin_exact - cl_lin_limber)

@@ -171,3 +171,52 @@ def test_lensing_row_requires_l_ge_2(setup):
         nlm.bessel_deltas_over_x2(phi, chis, [1, 10, 40])
     with pytest.raises(ValueError, match="ells >= 2"):
         nlm.C_kk_exact(bg, np.array([1, 20]), KS, pk0, lzs1=1.5, chis=chis)
+
+
+# ---------------- hybrid exact + Limber for nonlinear spectra ----------------
+
+def test_hybrid_separable_reduces_to_exact(setup):
+    """When the 'nonlinear' spectrum IS the separable linear one, the two
+    Limber terms cancel exactly and the hybrid equals the exact C_l."""
+    _, bg, _, pk0 = setup
+    zs_nl = np.linspace(0.05, 1.5, 40)
+    from hmvec_tpu.models import background as bgm2
+    D = np.asarray(bgm2.growth_unnormalized(bg, 1.0 / (1.0 + zs_nl)))
+    D0 = float(bgm2.growth_unnormalized(bg, jnp.asarray(1.0)))
+    bias = 1.7
+    pzk_sep = bias**2 * (D / D0)[:, None] ** 2 * pk0[None, :]
+    hyb = np.asarray(nlm.C_gg_hybrid(bg, ELLS, KS, pk0, zs_nl, pzk_sep,
+                                     GZS, GDNDZ, bias=bias))
+    exact = np.asarray(nlm.C_gg_exact(bg, ELLS, KS, pk0, GZS, GDNDZ,
+                                      bias=bias))
+    np.testing.assert_allclose(hyb, exact, rtol=1e-12)
+
+
+def test_hybrid_tracks_limber_at_high_ell(setup):
+    """With a genuinely non-separable boost, the hybrid converges to the
+    Limber of the FULL spectrum at high ell (bracket ~ 1/ell^2) while
+    departing from it at low ell by the known linear Limber error."""
+    _, bg, _, pk0 = setup
+    from hmvec_tpu.models import background as bgm2, limber as lim
+    zs_nl = np.linspace(0.05, 1.5, 40)
+    D = np.asarray(bgm2.growth_unnormalized(bg, 1.0 / (1.0 + zs_nl)))
+    D0 = float(bgm2.growth_unnormalized(bg, jnp.asarray(1.0)))
+    # toy nonlinear boost: scale- and z-dependent (non-separable)
+    boost = 1.0 + (np.asarray(KS)[None, :] / 1.0) ** 1.5 \
+        / (1.0 + zs_nl[:, None])
+    pzk_nl = (D / D0)[:, None] ** 2 * pk0[None, :] * boost
+    ells_hi = [150, 300]
+    hyb = np.asarray(nlm.C_gg_hybrid(bg, ells_hi, KS, pk0, zs_nl, pzk_nl,
+                                     GZS, GDNDZ))
+    limb = np.asarray(lim.C_gg(bg, ells_hi, zs_nl, KS, pzk_nl, GZS, GDNDZ))
+    np.testing.assert_allclose(hyb, limb, rtol=2e-3)
+    # at low ell the correction is the linear Limber error: percent-level
+    # positive-definite structure, not noise
+    ells_lo = [2, 10]
+    hyb_lo = np.asarray(nlm.C_gg_hybrid(bg, ells_lo, KS, pk0, zs_nl, pzk_nl,
+                                        GZS, GDNDZ))
+    limb_lo = np.asarray(lim.C_gg(bg, ells_lo, zs_nl, KS, pzk_nl, GZS,
+                                  GDNDZ))
+    rel = np.abs(hyb_lo / limb_lo - 1.0)
+    assert rel[0] > 0.02            # Limber genuinely wrong at ell = 2
+    assert np.all(np.isfinite(hyb_lo)) and np.all(hyb_lo > 0)
