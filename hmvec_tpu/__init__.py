@@ -46,7 +46,8 @@ from .models.bispectrum import (f2_kernel, tree_bispectrum,  # noqa: F401,E402
                                 bispectrum_2halo, bispectrum_3halo,
                                 bispectrum_total, projected_bispectrum)
 from .models.shear import (xi_plus, xi_minus, gamma_t,  # noqa: F401,E402
-                           wigner_d_sum, kappa_to_shear_cl_factor)
+                           wigner_d_sum, kappa_to_shear_cl_factor,
+                           xi_gaussian_cov, wigner_d_outer_sum)
 from .models.lensed_cf import (  # noqa: F401,E402
     lens_cls_flat_sky_resummed)
 from .models.lensed_cls import lens_cls_flat_sky  # noqa: F401,E402

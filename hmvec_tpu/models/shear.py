@@ -111,6 +111,108 @@ def wigner_d_sum(ells, cls, thetas_rad, mn=(0, 0)):
     return acc
 
 
+def wigner_d_outer_sum(ells, wls, thetas_rad, mn1=(0, 0), mn2=None,
+                       thetas2_rad=None):
+    """sum_l w_l d^l_{mn1}(theta_i) d^l_{mn2}(theta'_j) -> (..., nt1, nt2).
+
+    The real-space Gaussian-covariance kernel: one lax.scan carries BOTH
+    spin recurrences and accumulates the outer product per l (the (l,
+    theta) d-matrices are never materialized).  wls: (..., nl) weights
+    on consecutive integer ells.
+    """
+    if mn2 is None:
+        mn2 = mn1
+    for mn in (mn1, mn2):
+        if tuple(int(v) for v in mn) not in _SEEDS:
+            raise ValueError(f"unsupported (m, n) = {tuple(mn)}; "
+                             f"available: {sorted(_SEEDS)}")
+    ells = np.asarray(ells)
+    assert ells.ndim == 1 and np.all(np.diff(ells) == 1), \
+        "ells must be consecutive integers"
+    lmin = max(max(abs(int(v)) for v in mn1),
+               max(abs(int(v)) for v in mn2))
+    x1 = jnp.cos(jnp.asarray(thetas_rad))
+    x2 = x1 if thetas2_rad is None else jnp.cos(jnp.asarray(thetas2_rad))
+    wls = jnp.asarray(wls)
+
+    nl_total = int(ells[-1]) + 1 - lmin
+    w = jnp.zeros((nl_total,) + wls.shape[:-1], dtype=wls.dtype)
+    keep = ells >= lmin
+    w = w.at[ells[keep] - lmin].set(jnp.moveaxis(wls[..., keep], -1, 0))
+
+    def step(m, n, dm1, d, l, x):
+        fm, fn = float(m), float(n)
+        num = ((2.0 * l + 1.0) * (l * (l + 1.0) * x - fm * fn) * d
+               - (l + 1.0) * jnp.sqrt((l**2 - fm**2) * (l**2 - fn**2)) * dm1)
+        den = l * jnp.sqrt(((l + 1.0) ** 2 - fm**2)
+                           * ((l + 1.0) ** 2 - fn**2))
+        return num / den
+
+    m1, n1 = int(mn1[0]), int(mn1[1])
+    m2, n2 = int(mn2[0]), int(mn2[1])
+    # seeds start at each pair's own lmin; below it d == 0 identically,
+    # so seed at the shared lmin with zeros for the higher-spin pair
+    def seeds(mn, x):
+        lm = max(abs(mn[0]), abs(mn[1]))
+        s0, s1 = _SEEDS[(int(mn[0]), int(mn[1]))]
+        return lm, s0(x), s1(x)
+
+    lm1, a0, a1 = seeds(mn1, x1)
+    lm2, b0, b1 = seeds(mn2, x2)
+    # advance the lower-lmin pair up to the shared lmin on host-unrolled
+    # steps (at most 2 steps: spin combinations here differ by <= 2)
+    while lm1 < lmin:
+        a0, a1 = a1, step(m1, n1, a0, a1, float(lm1 + 1), x1)
+        lm1 += 1
+    while lm2 < lmin:
+        b0, b1 = b1, step(m2, n2, b0, b1, float(lm2 + 1), x2)
+        lm2 += 1
+
+    def body(carry, wl):
+        am1, a, bm1, b, l, acc = carry
+        acc = acc + wl[..., None, None] * a[:, None] * b[None, :]
+        anext = step(m1, n1, am1, a, l, x1)
+        bnext = step(m2, n2, bm1, b, l, x2)
+        return (a, anext, b, bnext, l + 1.0, acc), None
+
+    # the l = lmin term pairs the SEEDS; the scan then walks w[1:]
+    acc0 = (w[0][..., None, None] * a0[:, None] * b0[None, :]
+            + jnp.zeros(w.shape[1:] + (x1.shape[0], x2.shape[0])))
+    init = (a0, a1, b0, b1, jnp.asarray(float(lmin) + 1.0), acc0)
+    (_, _, _, _, _, acc), _ = jax.lax.scan(body, init, w[1:])
+    return acc
+
+
+_XI_MN = {"plus": (2, 2), "minus": (2, -2), "gammat": (2, 0), "w": (0, 0)}
+
+
+def xi_gaussian_cov(ells, cl_tot_1, cl_tot_2, cl_cross_a, cl_cross_b,
+                    thetas_rad, kind1="plus", kind2="plus", fsky=1.0):
+    """Gaussian covariance of two real-space two-point functions:
+
+        Cov(xi_a(th_i), xi_b(th_j)) = sum_l (2l+1)/(16 pi^2 fsky)
+            d^l_{a}(th_i) d^l_{b}(th_j)
+            [C^tot_1(l) C^tot_2(l) + C^x_a(l) C^x_b(l)]
+
+    from the Knox per-l covariance of the underlying spectra propagated
+    through the curved-sky transforms (kinds: 'plus', 'minus', 'gammat',
+    'w').  For an auto-statistic (e.g. xi_+ of one sample) pass
+    cl_tot_1 = cl_tot_2 = cl_cross_a = cl_cross_b = C^EE_tot (the familiar
+    2 (C+N)^2 / ((2l+1) fsky) per-l weight); for gamma_t pass
+    cl_tot_1 = C^gg_tot, cl_tot_2 = C^EE_tot, cl_cross = C^gE.  Noise
+    must already be included in the *_tot inputs (shape noise per
+    component for EE, shot noise for gg).  EXTENSION: the reference's
+    covariance module is harmonic-space only (cov.py:33-63).
+    """
+    k1 = _XI_MN[kind1]
+    k2 = _XI_MN[kind2]
+    ls = jnp.asarray(np.asarray(ells), dtype=jnp.result_type(float))
+    clsum = (jnp.asarray(cl_tot_1) * jnp.asarray(cl_tot_2)
+             + jnp.asarray(cl_cross_a) * jnp.asarray(cl_cross_b))
+    wls = (2.0 * ls + 1.0) / (16.0 * jnp.pi**2 * fsky) * clsum
+    return wigner_d_outer_sum(ells, wls, thetas_rad, mn1=k1, mn2=k2)
+
+
 def kappa_to_shear_cl_factor(ells):
     """C^{gamma gamma}_l / C^{kappa kappa}_l = (l+2)(l-1)/(l(l+1)).
 

@@ -138,3 +138,81 @@ def test_shear_grad_and_jit_safe():
           - np.asarray(shear.gamma_t(ells, cls, th - eps,
                                      input_kind="convergence"))) / (2 * eps)
     np.testing.assert_allclose(np.asarray(h), fd, rtol=1e-5)
+
+
+# ---------------- real-space Gaussian covariance ----------------
+
+def test_xi_gaussian_cov_vs_explicit_loop():
+    """wigner_d_outer_sum against an explicit scipy-Jacobi double loop for
+    every exposed kind pairing, plus the physical sanity of the assembled
+    covariance (symmetric PSD-ish diagonal for the auto case)."""
+    from hmvec_tpu.models.shear import xi_gaussian_cov, wigner_d_outer_sum
+    from hmvec_tpu.twin.wigner import wigner_d
+    rng = np.random.default_rng(3)
+    lmax = 60
+    ells = np.arange(2, lmax + 1)
+    ls = ells.astype(float)
+    cl = 1e-9 * (ls / 100.0) ** -1.3 * (1.0 + 0.2 * rng.standard_normal(ls.size)) ** 2
+    th = np.deg2rad(np.array([0.3, 1.0, 3.0]))
+
+    wls = (2.0 * ls + 1.0) / (16.0 * np.pi**2 * 0.5) * (2.0 * cl**2)
+    for mn1, mn2 in (((2, 2), (2, 2)), ((2, 2), (2, -2)),
+                     ((2, 0), (2, 0)), ((0, 0), (0, 0)),
+                     ((0, 0), (2, 2))):
+        got = np.asarray(wigner_d_outer_sum(ells, wls, th, mn1=mn1, mn2=mn2))
+        want = np.zeros((th.size, th.size))
+        for l, w in zip(ells, wls):
+            d1 = wigner_d(l, mn1[0], mn1[1], th)
+            d2 = wigner_d(l, mn2[0], mn2[1], th)
+            want += w * np.outer(d1, d2)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-30)
+
+    cov = np.asarray(xi_gaussian_cov(ells, cl, cl, cl, cl, th,
+                                     kind1="plus", kind2="plus", fsky=0.5))
+    np.testing.assert_allclose(cov, cov.T, rtol=1e-12)
+    assert np.all(np.diag(cov) > 0)
+    # off-diagonals bounded by the Cauchy-Schwarz of the diagonal
+    s = np.sqrt(np.diag(cov))
+    assert np.all(np.abs(cov) <= np.outer(s, s) * (1.0 + 1e-12))
+
+
+def test_xi_gaussian_cov_w_reduces_to_legendre():
+    """kind='w' must reproduce the explicit Legendre-sum covariance."""
+    from hmvec_tpu.models.shear import xi_gaussian_cov
+    from scipy.special import eval_legendre
+    lmax = 40
+    ells = np.arange(0, lmax + 1)
+    ls = ells.astype(float)
+    cl = 1.0 / (ls + 10.0) ** 2
+    th = np.deg2rad(np.array([0.5, 2.0]))
+    got = np.asarray(xi_gaussian_cov(ells, cl, cl, cl, cl, th,
+                                     kind1="w", kind2="w", fsky=1.0))
+    want = np.zeros((2, 2))
+    for l in ells:
+        P = eval_legendre(l, np.cos(th))
+        want += (2 * l + 1.0) / (16.0 * np.pi**2) * 2.0 * cl[l] ** 2 \
+            * np.outer(P, P)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_xi_gaussian_cov_gammat_mixed_spectra():
+    """gamma_t covariance uses C^gg_tot C^EE_tot + (C^gE)^2 per l; check
+    against the explicit loop with three distinct spectra."""
+    from hmvec_tpu.models.shear import xi_gaussian_cov
+    from hmvec_tpu.twin.wigner import wigner_d
+    lmax = 50
+    ells = np.arange(2, lmax + 1)
+    ls = ells.astype(float)
+    cgg = 1e-7 * (ls / 100.0) ** -1.0
+    cee = 1e-9 * (ls / 100.0) ** -1.4
+    cge = 0.6 * np.sqrt(cgg * cee)
+    th = np.deg2rad(np.array([0.4, 1.5, 4.0]))
+    got = np.asarray(xi_gaussian_cov(ells, cgg, cee, cge, cge, th,
+                                     kind1="gammat", kind2="gammat",
+                                     fsky=0.3))
+    want = np.zeros((3, 3))
+    for i, l in enumerate(ells):
+        d = wigner_d(l, 2, 0, th)
+        want += (2 * l + 1.0) / (16.0 * np.pi**2 * 0.3) \
+            * (cgg[i] * cee[i] + cge[i] ** 2) * np.outer(d, d)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
