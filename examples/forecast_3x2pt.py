@@ -1,0 +1,124 @@
+"""End-to-end 3x2pt forecast: halo-model spectra -> binned data vector ->
+Gaussian + super-sample + 1-halo-trispectrum covariance -> Fisher.
+
+Ties together pieces the reference exposes only separately (or not at
+all): HOD + matter spectra (hmvec.py:500-572), Limber projections
+(cosmology.py:536-568), the Knox bandpower covariance (cov.py:33-63),
+and this package's non-Gaussian extensions (models/cov.py: SSC +
+connected 1-halo trispectrum) -- showing how the non-Gaussian terms
+degrade the (As, omch2) constraints of a DES-like survey patch.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+
+from hmvec_tpu import HaloModel, GaussianCov, shot_noise
+from hmvec_tpu.models import limber as lim
+
+# survey: one lens/source bin, DES-like patch
+FSKY = 0.12
+NGAL_ARCMIN2 = 6.0
+SHAPE_NOISE = 0.26
+ZSRC = 0.9
+
+zs = np.linspace(0.25, 1.1, 12)
+ks = np.geomspace(1e-3, 20.0, 128)
+ms = np.geomspace(2e11, 1e16, 60)
+gzs = np.linspace(0.3, 0.95, 40)
+gdndz = np.exp(-0.5 * ((gzs - 0.6) / 0.12) ** 2)
+
+bin_edges = np.geomspace(60, 2000, 9)
+ells = np.arange(int(bin_edges[0]), int(bin_edges[-1]) + 1)
+
+
+def data_vector(hc):
+    """Binned (C_gg, C_kg, C_kk) for one HaloModel instance."""
+    pgg = hc.get_power("g")
+    pgm = hc.get_power("g", "nfw")
+    pmm = hc.get_power("nfw")
+    ells_f = jnp.asarray(ells, dtype=jnp.float64)
+    cgg = lim.C_gg(hc.bg, ells_f, zs, ks, pgg, gzs, gdndz)
+    ckg = lim.C_kg(hc.bg, ells_f, zs, ks, pgm, gzs, gdndz, lzs=ZSRC)
+    ckk = lim.C_kk(hc.bg, ells_f, zs, ks, pmm, lzs1=ZSRC, lzs2=ZSRC)
+    return cgg, ckg, ckk
+
+
+def build(params=None):
+    hc = HaloModel(zs, ks, ms=ms, params=params)
+    hc.add_hod("g", ngal=np.full(zs.size, 4e-4))
+    return hc
+
+
+hc = build()
+cgg, ckg, ckk = (np.asarray(c) for c in data_vector(hc))
+
+# ---- Gaussian (Knox) block covariance via the reference-parity class ----
+gc = GaussianCov(bin_edges)
+ngg = np.full(ells.size, shot_noise(NGAL_ARCMIN2))
+nkk = np.full(ells.size, SHAPE_NOISE**2 / 2.0 / (NGAL_ARCMIN2 * 1.18e7))
+gc.add_cls("g", "g", ells, cgg, ells, ngg)
+gc.add_cls("k", "g", ells, ckg)
+gc.add_cls("k", "k", ells, ckk, ells, nkk)
+
+blocks = [("g", "g"), ("k", "g"), ("k", "k")]
+nb = len(gc.ls)
+cov = np.zeros((3 * nb, 3 * nb))
+for i, (x, y) in enumerate(blocks):
+    for j, (w, z) in enumerate(blocks):
+        cov[i * nb:(i + 1) * nb, j * nb:(j + 1) * nb] = np.diag(
+            np.asarray(gc.get_cov(x, y, w, z, FSKY)))
+
+# ---- non-Gaussian additions on the gg block (windows in the
+# limber_integral convention: normalized dndz for the galaxy density) ----
+Wg = gdndz / np.trapezoid(gdndz, gzs)
+Wz = np.interp(zs, gzs, Wg, left=0.0, right=0.0)
+lmids = gc.ls
+ssc = np.asarray(hc.get_cl_cov_ssc(lmids, "g", Wz1s=Wz, Wz2s=Wz, fsky=FSKY))
+t1h = np.asarray(hc.get_cl_cov_t1h(lmids, "g", Wz1s=Wz, Wz2s=Wz, fsky=FSKY))
+cov_ng = cov.copy()
+cov_ng[:nb, :nb] += ssc + t1h
+
+# ---- Fisher on (As, omch2) by central differences of the data vector ----
+P0 = {"As": 2.2e-9, "omch2": 0.1203}
+
+
+def _bin(c):
+    from hmvec_tpu.models.cov import bin_annuli
+    return bin_annuli(ells, np.asarray(c), bin_edges)
+
+
+def dvec(params):
+    h = build(params)
+    return np.concatenate([np.asarray(_bin(c)) for c in data_vector(h)])
+
+
+def fisher(covmat):
+    steps = {"As": 0.03e-9, "omch2": 0.002}
+    grads = []
+    for name, h in steps.items():
+        up = dict(P0); up[name] = P0[name] + h
+        dn = dict(P0); dn[name] = P0[name] - h
+        grads.append((dvec(up) - dvec(dn)) / (2 * h))
+    G = np.stack(grads)          # (2, 3 nb)
+    icov = np.linalg.inv(covmat)
+    return G @ icov @ G.T
+
+
+if __name__ == "__main__":
+    F_g = fisher(cov)
+    F_ng = fisher(cov_ng)
+    sig_g = np.sqrt(np.diag(np.linalg.inv(F_g)))
+    sig_ng = np.sqrt(np.diag(np.linalg.inv(F_ng)))
+    print("binned data vector: 3 x", nb, "bandpowers")
+    print(f"Gaussian-only  sigma(As) = {sig_g[0]:.3e}   "
+          f"sigma(omch2) = {sig_g[1]:.4f}")
+    print(f"+SSC +T1h      sigma(As) = {sig_ng[0]:.3e}   "
+          f"sigma(omch2) = {sig_ng[1]:.4f}")
+    infl = sig_ng / sig_g
+    print(f"non-Gaussian inflation: As x{infl[0]:.2f}, omch2 x{infl[1]:.2f}")
+    assert np.all(infl >= 0.999), "NG terms cannot tighten constraints"
+    assert np.all(np.isfinite(cov_ng))
+    print("OK")
