@@ -108,6 +108,20 @@ def fisher(covmat):
 
 
 if __name__ == "__main__":
+    # ---- NLA intrinsic-alignment contamination of the shear block ----
+    # (models/ia.py; a delta-source has no IA overlap, so use a narrow
+    # source dndz around ZSRC for the IA terms)
+    from hmvec_tpu.models import ia as iam
+    szs = np.linspace(0.5, 1.3, 30)
+    sdndz = np.exp(-0.5 * ((szs - ZSRC) / 0.1) ** 2)
+    pmm = hc.get_power("nfw")
+    out_ia = iam.shear_cls_with_ia(hc.bg, jnp.asarray(ells, jnp.float64),
+                                   zs, ks, pmm, szs, sdndz, A_ia=1.0,
+                                   eta_ia=0.0)
+    frac = np.asarray((out_ia["GI"] + out_ia["II"]) / out_ia["GG"])
+    print(f"NLA (A_IA=1) biases C_EE by {frac[0]*100:+.1f}% (l={ells[0]}) "
+          f"to {frac[-1]*100:+.1f}% (l={ells[-1]})")
+
     F_g = fisher(cov)
     F_ng = fisher(cov_ng)
     sig_g = np.sqrt(np.diag(np.linalg.inv(F_g)))

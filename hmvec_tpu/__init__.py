@@ -48,6 +48,9 @@ from .models.bispectrum import (f2_kernel, tree_bispectrum,  # noqa: F401,E402
 from .models.shear import (xi_plus, xi_minus, gamma_t,  # noqa: F401,E402
                            wigner_d_sum, kappa_to_shear_cl_factor,
                            xi_gaussian_cov, wigner_d_outer_sum)
+from .models.ia import (nla_amplitude, ia_window,  # noqa: F401,E402
+                        magnification_window, shear_cls_with_ia,
+                        C_II, C_kI, C_gI, C_gg_mag, C_kg_mag)
 from .models.lensed_cf import (  # noqa: F401,E402
     lens_cls_flat_sky_resummed)
 from .models.lensed_cls import lens_cls_flat_sky  # noqa: F401,E402

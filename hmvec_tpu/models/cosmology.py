@@ -352,6 +352,44 @@ class Cosmology:
     def C_yy(self, ells, zs, ks, Ppp, **kw):
         return limb.C_yy(self.bg, ells, zs, ks, Ppp, **kw)
 
+    # ---- intrinsic alignments + magnification (EXTENSION; models/ia.py) --
+    def C_II(self, ells, zs, ks, Pmm, gzs, dndz1, **kw):
+        """NLA intrinsic-intrinsic spectrum (models/ia.py)."""
+        from . import ia as iam
+        kw.setdefault("growth_mode", self.growth_mode)
+        return iam.C_II(self.bg, ells, zs, ks, Pmm, gzs, dndz1, **kw)
+
+    def C_kI(self, ells, zs, ks, Pmm, gzs, sdndz, **kw):
+        """NLA GI spectrum: lensing x intrinsic (models/ia.py)."""
+        from . import ia as iam
+        kw.setdefault("growth_mode", self.growth_mode)
+        return iam.C_kI(self.bg, ells, zs, ks, Pmm, gzs, sdndz, **kw)
+
+    def C_gI(self, ells, zs, ks, Pgm, gzs, gdndz, sdndz, **kw):
+        """Lens density x source intrinsic alignment (models/ia.py)."""
+        from . import ia as iam
+        kw.setdefault("growth_mode", self.growth_mode)
+        return iam.C_gI(self.bg, ells, zs, ks, Pgm, gzs, gdndz, sdndz, **kw)
+
+    def shear_cls_with_ia(self, ells, zs, ks, Pmm, gzs, sdndz1, **kw):
+        """{'GG','GI','II','total'} observed shear spectra (models/ia.py)."""
+        from . import ia as iam
+        kw.setdefault("growth_mode", self.growth_mode)
+        return iam.shear_cls_with_ia(self.bg, ells, zs, ks, Pmm, gzs,
+                                     sdndz1, **kw)
+
+    def C_gg_mag(self, ells, zs, ks, Pgg, Pgm, Pmm, gzs, gdndz, s_mag, **kw):
+        """Clustering with magnification bias (models/ia.py)."""
+        from . import ia as iam
+        return iam.C_gg_mag(self.bg, ells, zs, ks, Pgg, Pgm, Pmm, gzs,
+                            gdndz, s_mag, **kw)
+
+    def C_kg_mag(self, ells, zs, ks, Pgm, Pmm, gzs, gdndz, s_mag, **kw):
+        """Lensing x galaxies with lens magnification (models/ia.py)."""
+        from . import ia as iam
+        return iam.C_kg_mag(self.bg, ells, zs, ks, Pgm, Pmm, gzs, gdndz,
+                            s_mag, **kw)
+
     # ---- exact (non-Limber) linear-theory projections ----
     def C_gg_exact(self, ells, ks, pk0, gzs, gdndz, **kw):
         """Exact low-ell linear galaxy C_l (EXTENSION; models/nonlimber.py)."""
