@@ -111,6 +111,45 @@ def wigner_d_sum(ells, cls, thetas_rad, mn=(0, 0)):
     return acc
 
 
+def wigner_d_rows(lmax, xs, mn=(0, 0)):
+    """Materialized d^l_{mn}(x) table, shape (lmax+1, nx), l = 0..lmax.
+
+    Same three-term recurrence as :func:`wigner_d_sum`, but the scan
+    STORES each row instead of contracting it — the building block for
+    quadrature-based mode-coupling matrices (models/master.py), where the
+    (l, x) table feeds an MXU matmul.  Rows with l < max(|m|, |n|) are
+    identically zero.
+    """
+    m, n = int(mn[0]), int(mn[1])
+    if (m, n) not in _SEEDS:
+        raise ValueError(f"unsupported (m, n) = {(m, n)}; "
+                         f"available: {sorted(_SEEDS)}")
+    lmin = max(abs(m), abs(n))
+    x = jnp.asarray(xs)
+    fm, fn = float(m), float(n)
+
+    def body(carry, l):
+        dm1, d = carry
+        num = ((2.0 * l + 1.0) * (l * (l + 1.0) * x - fm * fn) * d
+               - (l + 1.0) * jnp.sqrt((l**2 - fm**2) * (l**2 - fn**2)) * dm1)
+        den = l * jnp.sqrt(((l + 1.0) ** 2 - fm**2)
+                           * ((l + 1.0) ** 2 - fn**2))
+        # carry holds (d^{l-1}, d^l); emit d^{l-1} and advance to d^{l+1}
+        return (d, num / den), dm1
+
+    seed0_fn, seed1_fn = _SEEDS[(m, n)]
+    d_lo, d_hi = seed0_fn(x), seed1_fn(x)
+    nrec = int(lmax) - lmin + 1
+    if nrec <= 0:
+        return jnp.zeros((int(lmax) + 1, x.shape[0]), dtype=x.dtype)
+    _, rows = jax.lax.scan(
+        body, (d_lo, d_hi),
+        jnp.arange(lmin + 1, lmin + 1 + nrec, dtype=x.dtype))
+    # rows[i] is d^{lmin+i}; prepend the zero rows below lmin
+    return jnp.concatenate(
+        [jnp.zeros((lmin, x.shape[0]), dtype=x.dtype), rows], axis=0)
+
+
 def wigner_d_outer_sum(ells, wls, thetas_rad, mn1=(0, 0), mn2=None,
                        thetas2_rad=None):
     """sum_l w_l d^l_{mn1}(theta_i) d^l_{mn2}(theta'_j) -> (..., nt1, nt2).
