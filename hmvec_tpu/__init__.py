@@ -52,7 +52,8 @@ from .models.ia import (nla_amplitude, ia_window,  # noqa: F401,E402
                         magnification_window, shear_cls_with_ia,
                         C_II, C_kI, C_gI, C_gg_mag, C_kg_mag)
 from .models.master import (coupling_matrix, couple_cls,  # noqa: F401,E402
-                            decouple_bandpowers, bin_operator, cap_mask_cl)
+                            decouple_bandpowers, bin_operator, cap_mask_cl,
+                            gaussian_covariance_nka, decoupled_covariance)
 from .models.lensed_cf import (  # noqa: F401,E402
     lens_cls_flat_sky_resummed)
 from .models.lensed_cls import lens_cls_flat_sky  # noqa: F401,E402

@@ -155,6 +155,53 @@ def decouple_bandpowers(M, pseudo_cl, lmax, edges, weights=None):
     return jnp.linalg.solve(B @ M @ P, B @ jnp.asarray(pseudo_cl))
 
 
+def coupling_kernel_xi(lmax, mask_cl):
+    """Xi_{l1 l2} = sum_l3 (2l3+1)/(4pi) W_l3 (l1 l2 l3; 0 0 0)^2 —
+    the coupling matrix without the (2l2+1) factor (symmetric); the
+    per-mode kernel of the NKA Gaussian covariance."""
+    mask_cl = jnp.asarray(mask_cl)
+    xs, ws = _gl_nodes(lmax, mask_cl.shape[0] - 1, dtype=np.float64)
+    xi = mask_correlation(mask_cl, xs)
+    D = wigner_d_rows(lmax, xs, (0, 0))
+    return 0.5 * (D * (ws * xi)[None, :]) @ D.T
+
+
+def gaussian_covariance_nka(lmax, mask_sq_cl, cl13, cl24, cl14, cl23):
+    """Mode-coupled Gaussian covariance of two masked pseudo-spectra,
+
+        Cov(C~^{12}_l, C~^{34}_l') ~= Xi_{ll'}[W_{w^2}]
+            x ( C13_l C24_l' + C13_l' C24_l
+              + C14_l C23_l' + C14_l' C23_l ) / 2,
+
+    the narrow-kernel approximation (Efstathiou 2004; the same shape
+    NaMaster's gaussian_covariance uses) for four fields sharing one
+    mask w.  ``mask_sq_cl`` is the power spectrum of w^2 (equal to the
+    mask's own W_l for a binary mask).  The input spectra must include
+    noise.  Full-sky limit: Xi = delta_{ll'}/(2l+1), recovering Knox
+    exactly.  This is the covariance OF THE COUPLED pseudo-spectra;
+    propagate through :func:`decouple_bandpowers`'s linear map (see
+    :func:`decoupled_covariance`) for bandpower errors.  EXTENSION
+    beyond the reference's fsky-Knox covariance (cov.py:33-63).
+    """
+    Xi = coupling_kernel_xi(lmax, mask_sq_cl)
+    cl13 = jnp.asarray(cl13)
+    cl24 = jnp.asarray(cl24)
+    cl14 = jnp.asarray(cl14)
+    cl23 = jnp.asarray(cl23)
+    sym = 0.5 * (cl13[:, None] * cl24[None, :] + cl13[None, :] * cl24[:, None]
+                 + cl14[:, None] * cl23[None, :]
+                 + cl14[None, :] * cl23[:, None])
+    return Xi * sym
+
+
+def decoupled_covariance(M, cov, lmax, edges, weights=None):
+    """Propagate a pseudo-C_l covariance through the binned MASTER
+    decoupling: K = (B M P)^{-1} B, returns K cov K^T (nb, nb)."""
+    B, P = bin_operator(lmax, edges, weights)
+    K = jnp.linalg.solve(B @ M @ P, B)
+    return K @ jnp.asarray(cov) @ K.T
+
+
 def cap_mask_cl(lmax, theta_cap_rad):
     """Mask power spectrum W_l of an azimuthal polar cap (mask = 1 for
     theta < theta_cap, else 0), in closed form:

@@ -150,3 +150,94 @@ def test_bin_operator_identity():
     w = 1.0 + np.arange(31.0)
     Bw, Pw = M.bin_operator(30, np.array([0, 10, 20, 31]), weights=w)
     np.testing.assert_allclose(np.asarray(Bw @ Pw), np.eye(3), atol=1e-14)
+
+
+# ---------------------------------------------------------------------------
+# NKA Gaussian covariance vs the EXACT masked-spectrum covariance
+# ---------------------------------------------------------------------------
+
+def test_nka_covariance_vs_exact_azimuthal():
+    """For an azimuthal (m-preserving) weight mask the covariance of the
+    pseudo-spectrum is exactly computable via the Gaunt coupling
+    K^m_{l l1}; the NKA must track it to a few % on the diagonal.  The
+    same K-route mean also pins the coupling matrix through a fully
+    independent formula."""
+    from sympy.physics.wigner import wigner_3j
+
+    LMAXC, LMASK = 8, 4
+    b = np.zeros(LMASK + 1)
+    b[0] = 0.8 * np.sqrt(4 * np.pi)
+    b[1:] = [0.35, 0.25, -0.15, 0.1]
+
+    xs, ws = np.polynomial.legendre.leggauss(60)
+
+    def legv(L, x):
+        return np.polynomial.legendre.Legendre.basis(L)(x)
+
+    wtheta = sum(b[L] * np.sqrt((2 * L + 1) / (4 * np.pi)) * legv(L, xs)
+                 for L in range(LMASK + 1))
+    Wmask = b**2 / (2 * np.arange(LMASK + 1) + 1)
+    LSQ = 2 * LMASK
+    bsq = np.array([2 * np.pi * np.sqrt((2 * L + 1) / (4 * np.pi))
+                    * np.sum(ws * wtheta**2 * legv(L, xs))
+                    for L in range(LSQ + 1)])
+    Wsq = bsq**2 / (2 * np.arange(LSQ + 1) + 1)
+
+    ls = np.arange(LMAXC + 1)
+    C = 10.0 / (1.0 + ls) ** 2
+
+    def tj(*a):
+        return float(wigner_3j(*a))
+
+    D = {}
+    for m in range(LMAXC + 1):
+        K = np.zeros((LMAXC + 1, LMAXC + 1))
+        for l in range(m, LMAXC + 1):
+            for l1 in range(m, LMAXC + 1):
+                K[l, l1] = sum(
+                    b[L] * (-1) ** m
+                    * np.sqrt((2 * l + 1) * (2 * l1 + 1) * (2 * L + 1)
+                              / (4 * np.pi))
+                    * tj(l1, L, l, 0, 0, 0) * tj(l1, L, l, m, 0, -m)
+                    for L in range(LMASK + 1))
+        D[m] = K @ np.diag(C) @ K.T
+
+    mean = np.array([sum((2 if m > 0 else 1) * D[m][l, l]
+                         for m in range(l + 1)) / (2 * l + 1)
+                     for l in range(LMAXC + 1)])
+    cov = np.zeros((LMAXC + 1, LMAXC + 1))
+    for l in range(LMAXC + 1):
+        for lp in range(LMAXC + 1):
+            cov[l, lp] = (2.0 / ((2 * l + 1) * (2 * lp + 1))
+                          * sum((2 if m > 0 else 1) * D[m][l, lp] ** 2
+                                for m in range(min(l, lp) + 1)))
+
+    # independent-formula parity of the coupling matrix (Gaunt route)
+    M00 = np.asarray(M.coupling_matrix(LMAXC, Wmask, (0, 0)))
+    np.testing.assert_allclose(M00 @ C, mean, rtol=1e-12)
+
+    nka = np.asarray(M.gaussian_covariance_nka(LMAXC, Wsq, C, C, C, C))
+    ratio = np.diag(nka) / np.diag(cov)
+    assert np.all((ratio > 0.9) & (ratio < 1.1)), ratio
+    assert np.linalg.norm(nka - cov) / np.linalg.norm(cov) < 0.1
+
+
+def test_nka_full_sky_is_knox():
+    lmax = 20
+    wl = np.zeros(2 * lmax + 1)
+    wl[0] = 4.0 * np.pi            # w = 1 -> w^2 = 1
+    ls = np.arange(lmax + 1.0)
+    c13 = 1.0 / (1 + ls) ** 2
+    c24 = 2.0 / (1 + ls) ** 1.5
+    c14 = 0.5 / (1 + ls) ** 2.2
+    c23 = 0.7 / (1 + ls) ** 1.8
+    cov = np.asarray(M.gaussian_covariance_nka(lmax, wl, c13, c24, c14, c23))
+    want = np.diag((c13 * c24 + c14 * c23) / (2 * ls + 1))
+    np.testing.assert_allclose(cov, want, atol=1e-13)
+    # decoupled through full-sky binning = plain bin average of the diag
+    edges = np.array([2, 8, 14, 21])
+    m00 = M.coupling_matrix(lmax, wl, (0, 0))
+    covb = np.asarray(M.decoupled_covariance(m00, cov, lmax, edges))
+    B, _ = M.bin_operator(lmax, edges)
+    np.testing.assert_allclose(covb, np.asarray(B) @ want @ np.asarray(B).T,
+                               atol=1e-13)
