@@ -66,10 +66,26 @@ from .models.rsd import (kaiser_pk_mu, rsd_multipoles,  # noqa: F401,E402
                          mean_pairwise_velocity)
 from .models.mass_conversion import (mdelta_from_mdelta,  # noqa: F401,E402
                                      mdelta_from_mdelta_unvectorized)
-from .models.mass_function import simple_f_nu, NlnMsub  # noqa: F401,E402
-from .models.hod import (Mhalo_stellar_core, avg_Ns,  # noqa: F401,E402
+from .models.mass_function import (simple_f_nu, NlnMsub,  # noqa: F401,E402
+                                   R_from_M, f_nu, bias_tinker)
+from .models.hod import (Mhalo_stellar_core, avg_Nc, avg_Ns,  # noqa: F401,E402
                          hod_default_mfunc, avg_nc_zheng05,
-                         avg_ns_zheng05, build_hod_zheng05)
+                         avg_ns_zheng05, build_hod_zheng05,
+                         ngal_from_mthresh, Mstellar_halo, Mhalo_stellar,
+                         avg_NcNs, avg_NsNsm1)
+from .models.ksz import (get_interpolated_cls, pge_err_core,  # noqa: F401,E402
+                         chi, chi_ion, ne0_shaw)
+from .models.limber import limber_integral  # noqa: F401,E402
+from .models.cosmology import a2z, get_eds_model  # noqa: F401,E402
+from .ops.special import Wkr, Wkr_taylor  # noqa: F401,E402
+from .ops.rootfind import (invert_monotone,  # noqa: F401,E402
+                           vectorized_bisection_search)
+from .ops.quadrature import interp  # noqa: F401,E402
+from .models.linear_power import (EHEngine,  # noqa: F401,E402
+                                  TabulatedEngine)
+
+# reference tinker.py module-level name (tinker.py:26)
+bias = bias_tinker
 from .ops.sine_transform import (generic_profile_fft,  # noqa: F401,E402
                                  fft_integral, analytic_fft_integral,
                                  uk_fft, uk_brute_force)
@@ -79,4 +95,4 @@ from .pipeline import (make_pmm_fn, make_lensing_cls_fn,  # noqa: F401,E402
                        make_electron_fn, make_hod_fn, make_ksz_snr_fn,
                        make_ksz_survey_fn, make_batched_fn, fisher_jacobian)
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # kept in sync with pyproject.toml

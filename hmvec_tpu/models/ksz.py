@@ -58,6 +58,10 @@ def chi_ion(Yp, NHe=0):
     return (1.0 - Yp * (1.0 - NHe / 4.0)) / (1.0 - Yp / 2.0)
 
 
+# reference-named alias (ksz.py:71)
+chi = chi_ion
+
+
 def ne0_shaw(ombh2, Yp, NHe=0, me=1.14, gasfrac=0.9):
     """Mean electron density today in 1/m^3 (Shaw et al, 1109.0553 Eq 3;
     reference ksz.py:75-84).  Constant chain folded host-side."""

@@ -121,6 +121,25 @@ def fsigmaz_tinker(sigma2, zs, delta=200.0):
     return nus * alpha * _tinker_f_nu_unnorm(nus, jnp.asarray(zs)[:, None])
 
 
+def f_nu(nu, zs, delta=200.0, norm_consistency=True):
+    """Tinker 2010 f(nu) with the reference's free-function signature
+    (tinker.py:43-67).
+
+    Unlike the reference, the alpha(z) consistency normalization is computed
+    on device from the recipe (no file lookup), and ``zs`` may have any shape
+    broadcastable against ``nu`` (the reference passes (nz, 1)).
+    """
+    zs = jnp.asarray(zs)
+    un = _tinker_f_nu_unnorm(jnp.asarray(nu), zs)
+    if not norm_consistency:
+        return un
+    nus_g = jnp.asarray(_ALPHA_NUS)
+    w = jnp.asarray(_ALPHA_W)
+    fn = _tinker_f_nu_unnorm(nus_g, zs[..., None])
+    alpha = 1.0 / ((fn * bias_tinker(nus_g, delta)) @ w)
+    return un * alpha
+
+
 def simple_f_nu_tinker2008(nu, delta=200.0):
     """Tinker 2008 f (tinker.py:70-78)."""
     sigma = DELTAC / nu

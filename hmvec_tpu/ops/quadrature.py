@@ -34,6 +34,27 @@ def simpson(y, x=None, *, weights=None, axis=-1):
     return jnp.moveaxis(y, axis, -1) @ w
 
 
+def interp(x, y, bounds_error=False, fill_value=0.0):
+    """Reference-signature 1-d linear interpolator factory (utils.py:6-7).
+
+    Returns a callable evaluating jnp.interp on the fixed (x, y) table with
+    ``fill_value`` outside the range (the reference's scipy interp1d default
+    configuration).  ``bounds_error=True`` is not supported under jit
+    (shape-dependent raise) and is rejected eagerly.
+    """
+    if bounds_error:
+        raise NotImplementedError("bounds_error=True is not jit-compatible; "
+                                  "use fill_value instead")
+    xt = jnp.asarray(x)
+    yt = jnp.asarray(y)
+
+    def _eval(xn):
+        return jnp.interp(jnp.asarray(xn), xt, yt,
+                          left=fill_value, right=fill_value)
+
+    return _eval
+
+
 def trapz_traced(y, x, axis=-1):
     """Trapezoid where ``x`` is a traced 1-d jnp array (differentiable grid)."""
     dx = jnp.diff(x)

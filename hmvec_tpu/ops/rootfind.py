@@ -52,6 +52,22 @@ def invert_monotone(func, targets, lo, hi, num_iter: int = 90,
     return (lo + hi) / 2.0
 
 
+def vectorized_bisection_search(x, inv_func, ybounds, monotonicity="increasing",
+                                rtol=1e-4, verbose=False,
+                                hang_check_num_iter=20):
+    """Reference-signature wrapper over :func:`invert_monotone`
+    (utils.py:9-51): solve inv_func(y) = x for y in ybounds.
+
+    The reference iterates with a data-dependent rtol stop; here a fixed 90
+    bisection trips shrink any practical bracket below f64 resolution (more
+    converged than any requested ``rtol``), so ``rtol``, ``verbose`` and
+    ``hang_check_num_iter`` are accepted for signature parity but unused.
+    """
+    del rtol, verbose, hang_check_num_iter
+    return invert_monotone(inv_func, x, ybounds[0], ybounds[1],
+                           increasing=(monotonicity == "increasing"))
+
+
 def solve_bisection_root(f, lo, hi, num_iter: int = 90,
                          unroll: int | None = None):
     """Find f(y)=0 for f monotone-decreasing elementwise on [lo, hi]."""

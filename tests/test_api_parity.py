@@ -212,3 +212,82 @@ def test_get_pk_interpolator():
     PKr, za, ka = c.get_pk_interpolator(zs, kmax=10.0, var="total",
                                         return_z_k=True)
     assert za.shape == (2,) and ka[-1] == 10.0
+
+
+def test_reference_public_symbol_sweep():
+    """Every module-level public def/class in the reference package resolves
+    from the hmvec_tpu top level (mechanical sweep; renames are explicit).
+
+    This guards the migration promise: a reference user's `from hmvec import
+    X` has a documented `hmvec_tpu.X` (MIGRATION.md maps the exceptions).
+    """
+    import re
+    import pathlib
+    import hmvec_tpu as h
+
+    # explicit mappings / intentional absences
+    renamed = {
+        # the reference's KnoxCov is a truncated method lifted out of some
+        # class (`self._bin_cls` is undefined in cov.py:65-88); the
+        # completed equivalent is knox_cov / GaussianCov.get_cov
+        "KnoxCov": "knox_cov",
+        # reference tinker.py module name kept as the alias `bias`
+        "bias": "bias",
+        # self-test helper in the reference utils, not API
+        "test_bisection_search": None,
+        # scipy-spline P(z,k) interpolator; the jax-native equivalent is
+        # TabulatedEngine (tensor-product Catmull-Rom, measured parity in
+        # tests/test_tabulated_semantics.py)
+        "get_matter_power_interpolator_generic": "TabulatedEngine",
+    }
+    ref = pathlib.Path("/root/reference/hmvec")
+    missing = []
+    for f in ["cosmology", "cov", "fft", "hmvec", "ksz", "params",
+              "tinker", "utils"]:
+        src = (ref / f"{f}.py").read_text()
+        for m in re.finditer(r"^(?:def|class)\s+(\w+)", src, re.M):
+            name = m.group(1)
+            if name.startswith("_"):
+                continue
+            target = renamed.get(name, name)
+            if target is None:
+                continue
+            if not hasattr(h, target):
+                missing.append(f"{f}.{name}")
+    assert not missing, missing
+
+
+def test_reference_named_free_functions_numerics():
+    """The newly exported reference-named helpers compute the documented
+    quantities (spot numerics, not just importability)."""
+    import hmvec_tpu as h
+
+    # R_from_M: (3M/4 pi delta rho)^(1/3)  (hmvec.py:627-628)
+    M, rho, delta = 1e14, 2.775e11 * 0.31, 200.0
+    np.testing.assert_allclose(float(h.R_from_M(M, rho, delta)),
+                               (3 * M / (4 * np.pi * delta * rho)) ** (1 / 3),
+                               rtol=1e-12)
+
+    # chi: ionization factor (ksz.py:71-73)
+    Yp = 0.24
+    np.testing.assert_allclose(float(h.chi(Yp)),
+                               (1 - Yp) / (1 - Yp / 2), rtol=1e-12)
+
+    # f_nu: Tinker-2010 shape; consistency norm enforces int b f dnu = 1
+    nus = np.geomspace(1e-4, 50.0, 4096)
+    zv = np.array([0.0])
+    fn = np.asarray(h.f_nu(nus[None, :], zv[:, None]))
+    bn = np.asarray(h.bias(nus))[None, :]
+    total = np.trapz(fn * bn, nus, axis=-1)
+    np.testing.assert_allclose(total, 1.0, rtol=1e-3)
+
+    # vectorized_bisection_search: invert y^3 on [0, 4] for x in [1, 8]
+    xs = np.array([1.0, 8.0, 27.0])
+    ys = np.asarray(h.vectorized_bisection_search(
+        xs, lambda y: y**3, (0.0, 4.0)))
+    np.testing.assert_allclose(ys, [1.0, 2.0, 3.0], rtol=1e-10)
+
+    # interp: fill 0 outside the table (utils.py:6-7)
+    f = h.interp(np.array([0.0, 1.0]), np.array([1.0, 3.0]))
+    np.testing.assert_allclose(np.asarray(f(np.array([-1.0, 0.5, 2.0]))),
+                               [0.0, 2.0, 0.0])
