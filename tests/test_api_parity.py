@@ -274,12 +274,20 @@ def test_reference_named_free_functions_numerics():
                                (1 - Yp) / (1 - Yp / 2), rtol=1e-12)
 
     # f_nu: Tinker-2010 shape; consistency norm enforces int b f dnu = 1
-    nus = np.geomspace(1e-4, 50.0, 4096)
-    zv = np.array([0.0])
+    # (integrate on the same static grid the norm uses, tinker.py:63-66)
+    nus = np.logspace(-8, 2, 10000)
+    zv = np.array([0.0, 2.0])
     fn = np.asarray(h.f_nu(nus[None, :], zv[:, None]))
     bn = np.asarray(h.bias(nus))[None, :]
     total = np.trapz(fn * bn, nus, axis=-1)
-    np.testing.assert_allclose(total, 1.0, rtol=1e-3)
+    np.testing.assert_allclose(total, 1.0, rtol=1e-6)
+    # norm_consistency=False returns the unnormalized form (the norm is a
+    # per-z scalar; compare two healthy columns -- the tail underflows)
+    fn_un = np.asarray(h.f_nu(nus[None, :], zv[:, None],
+                              norm_consistency=False))
+    cols = [4000, 6000]
+    ratio = fn[:, cols] / fn_un[:, cols]
+    np.testing.assert_allclose(ratio[:, 0], ratio[:, 1], rtol=1e-12)
 
     # vectorized_bisection_search: invert y^3 on [0, 4] for x in [1, 8]
     xs = np.array([1.0, 8.0, 27.0])
