@@ -512,6 +512,34 @@ class HaloModel(Cosmology):
         wz = jnp.asarray(trapz_weights(np.asarray(self.zs)))
         return dndz, dndz @ wz
 
+    def cluster_counts_obs(self, q, sigma_noise, fsky=1.0, **scaling):
+        """(dN/dz, N_total) of clusters DETECTED above SNR ``q`` through a
+        lognormal-scatter Y-M relation (models/cluster_counts.py).
+
+        ``sigma_noise``: survey noise sigma_N(z) in the relation's Y units
+        (scalar or per-z); ``scaling``: lnYstar/alpha/beta/Mpivot/sigma_lnY/
+        sigma_meas_ln overrides.  EXTENSION beyond the reference's sharp
+        threshold (bin/tests.py:73-131)."""
+        from .cluster_counts import dndz_detected
+        from . import background as _bg
+        ez = _bg.e_of_z(self.bg, self.zs)
+        return dndz_detected(self.zs, self.ms, self.nzm,
+                             self.comoving_radial_distance(self.zs),
+                             self.h_of_z(self.zs), ez, q, sigma_noise,
+                             fsky=fsky, **scaling)
+
+    def cluster_counts_q_bins(self, q_edges, sigma_noise, fsky=1.0,
+                              z_edges=None, **scaling):
+        """Expected counts per (z, SNR) bin for a number-count likelihood
+        (models/cluster_counts.py.counts_q_bins)."""
+        from .cluster_counts import counts_q_bins
+        from . import background as _bg
+        ez = _bg.e_of_z(self.bg, self.zs)
+        return counts_q_bins(self.zs, self.ms, self.nzm,
+                             self.comoving_radial_distance(self.zs),
+                             self.h_of_z(self.zs), ez, q_edges, sigma_noise,
+                             fsky=fsky, z_edges=z_edges, **scaling)
+
     def get_cl_cov_t1h(self, ells, name1, name2=None, Wz1s=None, Wz2s=None,
                        fsky=1.0, name3=None, name4=None, Wz3s=None,
                        Wz4s=None):

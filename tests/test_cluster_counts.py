@@ -1,0 +1,126 @@
+"""Observable-mass cluster counts: twin parity, limits, grads.
+
+Oracle: hmvec_tpu/twin/cluster_counts.py (explicit per-(z,m) loops,
+scipy erfc, np.trapz).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hmvec_tpu.models.halo_model import HaloModel
+from hmvec_tpu.models import cluster_counts as cc
+from hmvec_tpu.twin.cluster_counts import (twin_completeness,
+                                           twin_dndz_detected,
+                                           twin_counts_q_bins)
+
+SCALING = dict(lnYstar=np.log(2.4e-4), alpha=1.79, beta=2.0 / 3.0,
+               Mpivot=6e14, sigma_lnY=0.25)
+
+
+@pytest.fixture(scope="module")
+def hm():
+    zs = np.linspace(0.1, 1.5, 12)
+    ms = np.geomspace(1e13, 5e15, 60)
+    ks = np.geomspace(1e-3, 10.0, 64)
+    return HaloModel(zs, ks, ms=ms)
+
+
+def _grids(hm):
+    zs = np.asarray(hm.zs)
+    ms = np.asarray(hm.ms)
+    nzm = np.asarray(hm.nzm)
+    chis = np.asarray(hm.comoving_radial_distance(hm.zs))
+    hzs = np.asarray(hm.h_of_z(hm.zs))
+    ez = hzs / hzs_to_h0(hm)
+    return zs, ms, nzm, chis, hzs, ez
+
+
+def hzs_to_h0(hm):
+    # h_of_z is H in 1/Mpc; H0 in 1/Mpc for E(z)
+    return float(hm.h_of_z(np.array([0.0]))[0])
+
+
+def test_completeness_matches_twin_and_bounds(hm):
+    zs, ms, nzm, chis, hzs, ez = _grids(hm)
+    comp = np.asarray(cc.completeness(ms, ez, q=5.0, sigma_noise=1e-4,
+                                      **SCALING))
+    tw = twin_completeness(ms, ez, 5.0, 1e-4, **SCALING)
+    np.testing.assert_allclose(comp, tw, rtol=1e-12, atol=1e-300)
+    assert np.all((comp >= 0) & (comp <= 1))
+    # monotone in mass at fixed z
+    assert np.all(np.diff(comp, axis=1) >= -1e-14)
+
+
+def test_dndz_detected_matches_twin(hm):
+    zs, ms, nzm, chis, hzs, ez = _grids(hm)
+    dndz, N = cc.dndz_detected(zs, ms, nzm, chis, hzs, ez, q=5.0,
+                               sigma_noise=1e-4, fsky=0.4, **SCALING)
+    tw_dndz, tw_N = twin_dndz_detected(zs, ms, nzm, chis, hzs, ez, 5.0,
+                                       1e-4, 0.4, **SCALING)
+    np.testing.assert_allclose(np.asarray(dndz), tw_dndz, rtol=1e-10)
+    np.testing.assert_allclose(float(N), tw_N, rtol=1e-10)
+    assert float(N) > 0
+
+
+def test_sharp_limit_recovers_mass_threshold(hm):
+    """sigma_lnY -> 0: counts equal the sharp cut at M_lim(z) (same grid
+    trapz with a step completeness)."""
+    zs, ms, nzm, chis, hzs, ez = _grids(hm)
+    sc = dict(SCALING, sigma_lnY=1e-6)
+    dndz, _ = cc.dndz_detected(zs, ms, nzm, chis, hzs, ez, q=5.0,
+                               sigma_noise=1e-4, fsky=1.0, **sc)
+    mlim = np.asarray(cc.mass_limit(zs, ez, 5.0, 1e-4, **sc))
+    from hmvec_tpu.utils.weights import trapz_weights
+    w = trapz_weights(ms)
+    step = (ms[None, :] >= mlim[:, None]).astype(float)
+    expected = (4.0 * np.pi * chis**2 / hzs) * ((nzm * step) @ w)
+    # grid-level step vs smooth-erfc disagree only at the threshold cell
+    np.testing.assert_allclose(np.asarray(dndz), expected, rtol=0.12)
+    # and the mass limit satisfies the defining relation exactly
+    lnyb = np.asarray(cc.ln_ybar(mlim[:1], ez[:1], sc["lnYstar"],
+                                 sc["alpha"], sc["beta"], sc["Mpivot"]))
+    np.testing.assert_allclose(lnyb[0, 0], np.log(5.0 * 1e-4), rtol=1e-10)
+
+
+def test_q_bins_match_twin_and_telescope(hm):
+    zs, ms, nzm, chis, hzs, ez = _grids(hm)
+    q_edges = np.array([5.0, 6.0, 8.0, np.inf])
+    grid = np.asarray(cc.counts_q_bins(zs, ms, nzm, chis, hzs, ez, q_edges,
+                                       sigma_noise=1e-4, fsky=0.4, **SCALING))
+    tw = twin_counts_q_bins(zs, ms, nzm, chis, hzs, ez, q_edges, 1e-4, 0.4,
+                            **SCALING)
+    np.testing.assert_allclose(grid, tw, rtol=1e-10)
+    # telescoping: bins sum to the single-threshold dN/dz at q_edges[0]
+    dndz, _ = cc.dndz_detected(zs, ms, nzm, chis, hzs, ez, q=5.0,
+                               sigma_noise=1e-4, fsky=0.4, **SCALING)
+    np.testing.assert_allclose(grid.sum(axis=1), np.asarray(dndz),
+                               rtol=1e-10)
+    # z-binned variant shape + positivity
+    zb = cc.counts_q_bins(zs, ms, nzm, chis, hzs, ez, q_edges,
+                          sigma_noise=1e-4, fsky=0.4,
+                          z_edges=np.array([0.1, 0.7, 1.5]), **SCALING)
+    assert zb.shape == (2, 3) and bool(jnp.all(zb >= 0))
+
+
+def test_halo_model_methods_and_grad(hm):
+    dndz, N = hm.cluster_counts_obs(5.0, 1e-4, fsky=0.4, **SCALING)
+    assert dndz.shape == np.asarray(hm.zs).shape and float(N) > 0
+
+    zs, ms, nzm, chis, hzs, ez = _grids(hm)
+
+    def total(alpha, sigma):
+        sc = dict(SCALING, alpha=alpha, sigma_lnY=sigma)
+        _, N = cc.dndz_detected(zs, ms, nzm, chis, hzs, ez, q=5.0,
+                                sigma_noise=1e-4, fsky=0.4, **sc)
+        return N
+
+    g = jax.grad(total, argnums=(0, 1))(SCALING["alpha"],
+                                        SCALING["sigma_lnY"])
+    assert all(np.isfinite(float(x)) for x in g)
+    # steeper slope alpha pushes Ybar down at M < Mpivot -> fewer detections
+    eps = 1e-4
+    fd = (total(SCALING["alpha"] + eps, SCALING["sigma_lnY"])
+          - total(SCALING["alpha"] - eps, SCALING["sigma_lnY"])) / (2 * eps)
+    np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-5)
