@@ -85,7 +85,13 @@ def completeness(ms, ez, q, sigma_noise, lnYstar=None, alpha=None, beta=None,
     lnyb = ln_ybar(ms, ez, lnYstar, alpha, beta, Mpivot)
     sig = jnp.sqrt(jnp.asarray(sigma_lnY) ** 2 + jnp.asarray(sigma_meas_ln) ** 2)
     lim = jnp.log(q * jnp.atleast_1d(jnp.asarray(sigma_noise)))[..., None]
-    return 0.5 * erfc((lim - lnyb) / (jnp.sqrt(2.0) * sig))
+    # double-where: an infinite threshold (q = inf bin edge) must give
+    # survival 0 with ZERO gradient -- the naive path chains
+    # d/dsigma erfc((inf - lnyb)/sigma) into exp(-inf) * inf = NaN
+    finite = jnp.isfinite(lim)
+    lim_safe = jnp.where(finite, lim, 0.0)
+    surv = 0.5 * erfc((lim_safe - lnyb) / (jnp.sqrt(2.0) * sig))
+    return jnp.where(finite, surv, 0.0)
 
 
 def dndz_detected(zs, ms, nzm, chis, hzs, ez, q, sigma_noise, fsky=1.0,

@@ -124,3 +124,18 @@ def test_halo_model_methods_and_grad(hm):
     fd = (total(SCALING["alpha"] + eps, SCALING["sigma_lnY"])
           - total(SCALING["alpha"] - eps, SCALING["sigma_lnY"])) / (2 * eps)
     np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-5)
+
+
+def test_grad_finite_through_inf_edge(hm):
+    """sigma-gradient of the binned counts must be finite with an inf top
+    edge (double-where guard in completeness)."""
+    zs, ms, nzm, chis, hzs, ez = _grids(hm)
+    q_edges = np.array([5.0, 8.0, np.inf])
+
+    def tot(sigma):
+        sc = dict(SCALING, sigma_lnY=sigma)
+        return cc.counts_q_bins(zs, ms, nzm, chis, hzs, ez, q_edges,
+                                sigma_noise=1e-4, fsky=0.4, **sc).sum()
+
+    g = jax.grad(tot)(SCALING["sigma_lnY"])
+    assert np.isfinite(float(g))
