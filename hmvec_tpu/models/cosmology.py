@@ -178,6 +178,19 @@ class Cosmology:
                                   mode=self.growth_mode))
         return bg_bias + fnl * (beta / alpha)
 
+    def alpha_fnl(self, zs, ks, deltac=None):
+        """alpha(z, k) of the fNL bias relation db = 2 fnl deltac (b-1)/alpha
+        on the (nz, nk) grid — the same quantity bias_fnl divides by
+        (reference cosmology.py:132-136), vectorized over z for the
+        halo-model 2-halo threading (power.power_2halo(fnl=...))."""
+        del deltac
+        zs = jnp.atleast_1d(jnp.asarray(zs))
+        D = bgmod.d_growth(self.bg, 1.0 / (1.0 + zs), norm="anorm",
+                           mode=self.growth_mode)
+        return ((2.0 * jnp.asarray(ks) ** 2 * self.Tk(ks, "eisenhu_osc"))[None, :]
+                / (3.0 * self.bg.omm0 * bgmod.h_of_z(self.bg, 0.0) ** 2)
+                * D[:, None])
+
     # ---- linear power ----
     def Tk(self, ks, type="eisenhu_osc"):
         return transfer_eh98(self.bg, ks, type)

@@ -398,16 +398,25 @@ class HaloModel(Cosmology):
                                self.p["kstar_damping"])
 
     def get_power_2halo(self, name="nfw", name2=None, verbose=False,
-                        b1_in=None, b2_in=None):
+                        b1_in=None, b2_in=None, fnl=None, deltac=1.42):
+        """2-halo spectrum; ``fnl`` threads the scale-dependent bias
+        through each leg's mass integral (models/power.py _leg_fnl) —
+        EXTENSION: the reference provides bias_fnl only as a free function
+        for manual application (cosmology.py:132-136)."""
         del verbose
         t1 = self._tracer(name)
         t2 = t1 if name2 in (None, name) else self._tracer(name2)
+        alpha_zk = (self.alpha_fnl(self.zs, self.ks)
+                    if fnl is not None else None)
         return pwr.power_2halo(t1, t2, self.nzm, self.bh, self.ms, self.Pzk,
-                               self.rho_matter_z(0.0), b1_in, b2_in)
+                               self.rho_matter_z(0.0), b1_in, b2_in,
+                               fnl=fnl, alpha_zk=alpha_zk, deltac=deltac)
 
-    def get_power(self, name="nfw", name2=None, verbose=False, b1=None, b2=None):
+    def get_power(self, name="nfw", name2=None, verbose=False, b1=None,
+                  b2=None, fnl=None, deltac=1.42):
         return (self.get_power_1halo(name, name2)
-                + self.get_power_2halo(name, name2, verbose, b1, b2))
+                + self.get_power_2halo(name, name2, verbose, b1, b2,
+                                       fnl=fnl, deltac=deltac))
 
     # ---- bispectra (extension beyond the reference; models/bispectrum.py) ----
     def _b2_grid(self, include_b2):

@@ -200,9 +200,39 @@ def _leg(tracer, nzm, bh, ms, rho_matter0, dt=None):
     return integral, consistency, b
 
 
+def _leg_fnl(tracer, nzm, bh, ms, rho_matter0, dt=None):
+    """(b-1)-weighted 2-halo leg — the local-fNL response.
+
+    The scale-dependent bias correction db(m,z,k) = 2 fnl deltac
+    (b(m,z) - 1) / alpha(z,k) (Dalal et al. 2008) enters the leg integral
+    exactly like b but weighted by (b - 1); the consistency completion is
+    the same trick with (b - 1).  For a matter leg the completed low-k
+    limit is int n (b-1) m/rho dm = (int n b m/rho) - (int n m/rho) = 0
+    (bias consistency minus mass conservation), so matter legs carry NO
+    large-k-limit offset; HOD legs complete to (bg - 1).
+    """
+    integral, consistency, b = _leg(tracer, nzm, jnp.asarray(bh) - 1.0,
+                                    ms, rho_matter0, dt)
+    if isinstance(tracer, HODTracer):
+        b = b - 1.0
+    elif not isinstance(tracer, (PressureTracer, CIBTracer)):
+        b = 0.0
+    return integral, consistency, b
+
+
 def power_2halo(tracer1, tracer2, nzm, bh, ms, pzk_lin, rho_matter0,
-                b1_in=None, b2_in=None, fast_assembly=False):
-    """P_2h(z,k) with the low-k consistency subtraction (hmvec.py:528-572)."""
+                b1_in=None, b2_in=None, fast_assembly=False,
+                fnl=None, alpha_zk=None, deltac=1.42):
+    """P_2h(z,k) with the low-k consistency subtraction (hmvec.py:528-572).
+
+    ``fnl``: optional local primordial non-Gaussianity amplitude.  The
+    reference exposes the scale-dependent bias only as a free function for
+    manual post-hoc application (cosmology.py:132-136, examples/fnl.py);
+    here it threads through the mass integral of each 2-halo leg, so HOD x
+    HOD, HOD x matter and HOD x electron spectra all pick up the correct
+    per-tracer k-dependence.  Requires ``alpha_zk`` (nz, nk) from
+    Cosmology.alpha_fnl.
+    """
     dt = jnp.float32 if fast_assembly else None
     i1, c1, b1 = _leg(tracer1, nzm, bh, ms, rho_matter0, dt)
     i2, c2, b2 = _leg(tracer2, nzm, bh, ms, rho_matter0, dt)
@@ -210,7 +240,20 @@ def power_2halo(tracer1, tracer2, nzm, bh, ms, pzk_lin, rho_matter0,
         b1 = jnp.asarray(b1_in).reshape(-1, 1)
     if b2_in is not None:
         b2 = jnp.asarray(b2_in).reshape(-1, 1)
-    return pzk_lin * (i1 + b1 - c1) * (i2 + b2 - c2)
+    e1 = i1 + b1 - c1
+    e2 = i2 + b2 - c2
+    if fnl is not None:
+        if alpha_zk is None:
+            raise ValueError("fnl needs alpha_zk (Cosmology.alpha_fnl)")
+        pref = 2.0 * fnl * deltac / _cast(jnp.asarray(alpha_zk), dt)
+        if1, cf1, bf1 = _leg_fnl(tracer1, nzm, bh, ms, rho_matter0, dt)
+        e1 = e1 + pref * (if1 + bf1 - cf1)
+        if tracer2 is tracer1:
+            if2, cf2, bf2 = if1, cf1, bf1
+        else:
+            if2, cf2, bf2 = _leg_fnl(tracer2, nzm, bh, ms, rho_matter0, dt)
+        e2 = e2 + pref * (if2 + bf2 - cf2)
+    return pzk_lin * e1 * e2
 
 
 def power_total(tracer1, tracer2, nzm, bh, ms, ks, pzk_lin, rho_matter0,

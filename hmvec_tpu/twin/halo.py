@@ -211,7 +211,35 @@ class TwinHaloModel(TwinCosmology):
             b = 1.0
         return integral, consistency, b
 
-    def get_power_2halo(self, name="nfw", name2=None, b1_in=None, b2_in=None):
+    def _2halo_leg_fnl(self, name):
+        """(b-1)-weighted leg for the fNL scale-dependent bias (explicit
+        per-(z,k) loops; independent of models/power._leg_fnl)."""
+        w = trapz_weights(self.ms)
+        term = self._term(name)
+        out_i = np.empty((self.zs.size, self.ks.size))
+        out_c = np.empty_like(out_i)
+        term0 = np.broadcast_to(self._term(name, lowklim=True), term.shape)
+        for iz in range(self.zs.size):
+            wb = self.nzm[iz] * (self.bh[iz] - 1.0)
+            for ik in range(self.ks.size):
+                out_i[iz, ik] = np.dot(wb * term[iz, :, ik], w)
+                out_c[iz, ik] = np.dot(wb * term0[iz, :, ik], w)
+        if name in self.pk_profiles:
+            return out_i, np.zeros_like(out_i), 0.0
+        if name in self.hods:
+            return out_i, out_c, self.hods[name]["bg"][:, None] - 1.0
+        return out_i, out_c, 0.0
+
+    def alpha_fnl(self, zs, ks):
+        """2 k^2 T(k) D_anorm(z) / (3 Om H0^2) on the (nz, nk) grid."""
+        D = self.d_growth(1.0 / (1.0 + np.atleast_1d(zs)), norm="anorm")
+        h0 = self.hubble_parameter(0.0) / 299792.458  # 1/Mpc
+        Tk = self.transfer(ks, "eisenhu_osc")
+        return (2.0 * np.asarray(ks) ** 2 * Tk)[None, :] / (
+            3.0 * self.omm0 * h0**2) * np.atleast_1d(D)[:, None]
+
+    def get_power_2halo(self, name="nfw", name2=None, b1_in=None, b2_in=None,
+                        fnl=None, deltac=1.42):
         name2 = name if name2 is None else name2
         i1, c1, b1 = self._2halo_leg(name)
         i2, c2, b2 = self._2halo_leg(name2)
@@ -219,7 +247,15 @@ class TwinHaloModel(TwinCosmology):
             b1 = np.asarray(b1_in).reshape(-1, 1)
         if b2_in is not None:
             b2 = np.asarray(b2_in).reshape(-1, 1)
-        return self.Pzk * (i1 + b1 - c1) * (i2 + b2 - c2)
+        e1 = i1 + b1 - c1
+        e2 = i2 + b2 - c2
+        if fnl is not None:
+            pref = 2.0 * fnl * deltac / self.alpha_fnl(self.zs, self.ks)
+            if1, cf1, bf1 = self._2halo_leg_fnl(name)
+            if2, cf2, bf2 = self._2halo_leg_fnl(name2)
+            e1 = e1 + pref * (if1 + bf1 - cf1)
+            e2 = e2 + pref * (if2 + bf2 - cf2)
+        return self.Pzk * e1 * e2
 
     def get_power(self, name="nfw", name2=None, b1=None, b2=None):
         return (self.get_power_1halo(name, name2)
