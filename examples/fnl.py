@@ -13,6 +13,17 @@ def main():
         print(f"fnl={fnl:+d}: b(k=1e-4)={b[0]:.3f}  b(k=1e-2)="
               f"{b[np.argmin(np.abs(ks-1e-2))]:.3f}  b(k=0.1)={b[-1]:.3f}")
 
+    # EXTENSION beyond the reference: fnl threaded through the halo-model
+    # 2-halo mass integrals (per-tracer (b-1)-weighted legs), not just the
+    # linear-bias free function above.
+    zs = np.array([0.5, 1.0])
+    hmod = hm.HaloModel(zs, ks, ms=np.geomspace(2e10, 1e16, 60))
+    hmod.add_hod("g", ngal=np.full(zs.size, 2e-4))
+    p0 = np.asarray(hmod.get_power("g"))
+    p1 = np.asarray(hmod.get_power("g", fnl=20.0))
+    i = np.argmin(np.abs(ks - 1e-3))
+    print(f"P_gg(z=1, k=1e-3) fnl=+20 boost: x{p1[1, i] / p0[1, i]:.2f}")
+
 
 if __name__ == "__main__":
     main()
