@@ -29,8 +29,8 @@ from .mass_conversion import mdelta_from_mdelta
 _nfw_uk_analytic_j = jax.jit(prof.nfw_uk_analytic)
 _mdelta_j = jax.jit(mdelta_from_mdelta)
 _massfn_j = jax.jit(
-    lambda sigma2, zs, ms, rho_m0, mode, pnum: mfm.mass_function_grid(
-        sigma2, zs, ms, rho_m0, mode, pnum),
+    lambda sigma2, zs, ms, rho_m0, mode, pnum, delta: mfm.mass_function_grid(
+        sigma2, zs, ms, rho_m0, mode, pnum, delta),
     static_argnames="mode")
 
 
@@ -52,7 +52,7 @@ class HaloModel(Cosmology):
                  mass_function="sheth-torman", halofit=None, mdef="vir",
                  nfw_numeric=False, skip_nfw=False, accuracy="medium",
                  engine="eh", pk_table=None, cls_table=None,
-                 concmode="duffy"):
+                 concmode="duffy", tinker_delta=None):
         super().__init__(params=params, halofit=halofit, engine=engine,
                          accuracy=accuracy, pk_table=pk_table,
                          cls_table=cls_table)
@@ -61,6 +61,11 @@ class HaloModel(Cosmology):
         self.mdef = mdef
         self.mode = mass_function
         self.concmode = concmode
+        # Tinker overdensity (EXTENSION: the reference clamps delta = 200,
+        # tinker.py:51,71).  None -> the reference's 200; a number -> that
+        # Delta wrt mean matter density; "auto" -> the mdef's own
+        # overdensity (Delta_v(z)/Omega_m(z) for 'vir', 200 for 'mean').
+        self.tinker_delta = tinker_delta
         self.hods: dict = {}
         self.uk_profiles: dict = {}
         self.pk_profiles: dict = {}
@@ -98,12 +103,29 @@ class HaloModel(Cosmology):
     def get_sigma2(self):
         return self.get_sigma2_R(self.R_of_m(self.ms), self.zs)
 
+    def _tinker_delta_grid(self):
+        """Resolve the ctor's ``tinker_delta`` option to the overdensity
+        (wrt mean matter density) fed to the Tinker mass function."""
+        td = self.tinker_delta
+        if td is None:
+            return 200.0                     # reference behavior (tinker.py:51)
+        if isinstance(td, str):
+            if td != "auto":
+                raise ValueError(f"tinker_delta: {td!r}")
+            if self.mdef == "vir":
+                # Bryan-Norman Delta_v is wrt critical; Tinker tables are
+                # wrt mean -> divide by Omega_m(z)
+                return self.deltav(self.zs) / self.omz(self.zs)
+            return 200.0
+        return td
+
     def init_mass_function(self, ms):
         self.ms = jnp.asarray(ms)
         self.sigma2 = self.get_sigma2()
         self.nzm, self.bh = _massfn_j(
             self.sigma2, self.zs, self.ms, self.rho_matter_z(0.0),
-            self.mode, _numeric_params(self.p))
+            self.mode, _numeric_params(self.p),
+            jnp.asarray(self._tinker_delta_grid()))
 
     def get_nzm(self):
         return self.nzm

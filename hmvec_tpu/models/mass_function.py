@@ -71,6 +71,106 @@ _DESPALI_PARAMS = {"st_A": 0.3292, "st_a": 0.7665, "st_p": 0.2488,
                    "st_deltac": DELTAC}
 
 
+# ---- Tinker overdensity-parameter tables -------------------------------
+# The reference hard-asserts delta == 200 in BOTH Tinker mass functions
+# ("FIXME: interpolate for any value of delta", tinker.py:51,71).  This
+# closes that FIXME: the papers' published parameter tables at the nine
+# overdensity nodes (Delta wrt MEAN matter density), interpolated by a
+# natural cubic spline in x = log10(Delta) -- the convention of the
+# papers' own released code (and of hmf/colossus).  Spline second
+# derivatives are precomputed on host; evaluation is a tiny jnp gather +
+# cubic, so Delta may be traced and/or z-dependent (the mdef='vir' case,
+# Delta_mean(z) = Delta_v(z)/Omega_m(z)) with exact gradients.
+_TINKER_DELTAS = np.array(
+    [200.0, 300.0, 400.0, 600.0, 800.0, 1200.0, 1600.0, 2400.0, 3200.0])
+_TINKER_LOGD = np.log10(_TINKER_DELTAS)
+
+# Tinker 2008 Table 2: A, a, b, c of f(sigma)
+_T08_ROWS = np.array([
+    # A      a     b     c
+    [0.186, 1.47, 2.57, 1.19],
+    [0.200, 1.52, 2.25, 1.27],
+    [0.212, 1.56, 2.05, 1.34],
+    [0.218, 1.61, 1.87, 1.45],
+    [0.248, 1.87, 1.59, 1.58],
+    [0.255, 2.13, 1.51, 1.80],
+    [0.260, 2.30, 1.46, 1.97],
+    [0.260, 2.53, 1.44, 2.24],
+    [0.260, 2.66, 1.41, 2.44]])
+
+# Tinker 2010 Table 4: beta0, gamma0, phi0, eta0 of f(nu) (alpha0 omitted
+# -- the bias-consistency integral renormalizes on device at ANY Delta,
+# which is exactly what the published alpha column enforces at z=0)
+_T10_ROWS = np.array([
+    # beta0  gamma0  phi0    eta0
+    [0.589, 0.864, -0.729, -0.243],
+    [0.585, 0.922, -0.789, -0.261],
+    [0.544, 0.987, -0.910, -0.261],
+    [0.543, 1.09, -1.05, -0.273],
+    [0.564, 1.20, -1.20, -0.278],
+    [0.623, 1.34, -1.26, -0.301],
+    [0.637, 1.50, -1.45, -0.301],
+    [0.673, 1.68, -1.50, -0.319],
+    [0.702, 1.81, -1.49, -0.336]])
+
+
+def _natural_spline_d2(ys):
+    """Second derivatives of the natural cubic spline through
+    (_TINKER_LOGD, ys) -- host-side numpy tridiagonal solve."""
+    x = _TINKER_LOGD
+    n = x.size
+    h = np.diff(x)
+    A = np.zeros((n, n))
+    r = np.zeros(n)
+    A[0, 0] = A[-1, -1] = 1.0
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i - 1] / 6.0
+        A[i, i] = (h[i - 1] + h[i]) / 3.0
+        A[i, i + 1] = h[i] / 6.0
+        r[i] = (ys[i + 1] - ys[i]) / h[i] - (ys[i] - ys[i - 1]) / h[i - 1]
+    return np.linalg.solve(A, r)
+
+
+_T08_D2 = np.stack([_natural_spline_d2(_T08_ROWS[:, j]) for j in range(4)])
+_T10_D2 = np.stack([_natural_spline_d2(_T10_ROWS[:, j]) for j in range(4)])
+
+
+def _tinker_spline(rows, d2s, delta):
+    """Evaluate the four parameter splines at ``delta`` (any shape, may be
+    traced).  log10(Delta) is clamped to the published [200, 3200] range.
+    At a table node the natural-spline form returns the node value
+    EXACTLY (a = 1, b = 0 annihilate the curvature terms), so delta = 200
+    reproduces the fixed-parameter reference path bit-for-bit."""
+    xs = jnp.asarray(_TINKER_LOGD)
+    x = jnp.clip(jnp.log10(jnp.asarray(delta, dtype=jnp.result_type(float))),
+                 xs[0], xs[-1])
+    i = jnp.clip(jnp.searchsorted(xs, x, side="right") - 1, 0, xs.size - 2)
+    h = xs[i + 1] - xs[i]
+    a = (xs[i + 1] - x) / h
+    b = (x - xs[i]) / h
+    out = []
+    for j in range(4):
+        y = jnp.asarray(rows[:, j])
+        y2 = jnp.asarray(d2s[j])
+        out.append(a * y[i] + b * y[i + 1]
+                   + ((a**3 - a) * y2[i] + (b**3 - b) * y2[i + 1])
+                   * h**2 / 6.0)
+    return tuple(out)
+
+
+def tinker2008_params(delta):
+    """(A, a, b, c) of the Tinker-2008 f(sigma) at overdensity ``delta``
+    (wrt mean matter density; Table 2 spline)."""
+    return _tinker_spline(_T08_ROWS, _T08_D2, delta)
+
+
+def tinker2010_params(delta):
+    """(beta0, gamma0, phi0, eta0) of the Tinker-2010 f(nu) at overdensity
+    ``delta`` (Table 4 spline; z = 0 values -- the z evolution applies the
+    Delta = 200 exponents of tinker.py:58-61, the standard practice)."""
+    return _tinker_spline(_T10_ROWS, _T10_D2, delta)
+
+
 def bias_tinker(nu, delta=200.0):
     """Tinker et al 2010 Eq 6 bias (tinker.py:26-40)."""
     y = jnp.log10(delta)
@@ -84,13 +184,17 @@ def bias_tinker(nu, delta=200.0):
     return 1.0 - bigA * nua / (nua + DELTAC**a) + bigB * nu**b + bigC * nu**c
 
 
-def _tinker_f_nu_unnorm(nu, zs):
-    """Unnormalized Tinker 2010 f(nu) with the z<=3 clamp (tinker.py:52-62)."""
+def _tinker_f_nu_unnorm(nu, zs, delta=200.0):
+    """Unnormalized Tinker 2010 f(nu) with the z<=3 clamp (tinker.py:52-62).
+
+    ``delta`` may be any value in [200, 3200] (Table-4 spline; the
+    reference asserts delta == 200) and may be z-shaped for 'vir'."""
     zc = jnp.minimum(zs, 3.0)
-    beta = 0.589 * (1.0 + zc) ** 0.20
-    phi = -0.729 * (1.0 + zc) ** -0.08
-    eta = -0.243 * (1.0 + zc) ** 0.27
-    gamma = 0.864 * (1.0 + zc) ** -0.01
+    beta0, gamma0, phi0, eta0 = tinker2010_params(delta)
+    beta = beta0 * (1.0 + zc) ** 0.20
+    phi = phi0 * (1.0 + zc) ** -0.08
+    eta = eta0 * (1.0 + zc) ** 0.27
+    gamma = gamma0 * (1.0 + zc) ** -0.01
     return ((1.0 + (beta * nu) ** (-2.0 * phi))
             * nu ** (2.0 * eta) * jnp.exp(-gamma * nu**2 / 2.0))
 
@@ -109,16 +213,24 @@ def tinker_alpha_consistency(zs, delta=200.0):
     """
     nus = jnp.asarray(_ALPHA_NUS)
     w = jnp.asarray(_ALPHA_W)
-    fnus = _tinker_f_nu_unnorm(nus[None, :], jnp.asarray(zs)[:, None])
-    bs = bias_tinker(nus, delta)[None, :]
+    dcol = jnp.asarray(delta)
+    dcol = dcol[:, None] if dcol.ndim == 1 else dcol
+    fnus = _tinker_f_nu_unnorm(nus[None, :], jnp.asarray(zs)[:, None], dcol)
+    bs = jnp.broadcast_to(bias_tinker(nus[None, :], dcol), fnus.shape)
     return 1.0 / ((fnus * bs) @ w)
 
 
 def fsigmaz_tinker(sigma2, zs, delta=200.0):
-    """nu f(nu) for Tinker 2010 with consistency norm (hmvec.py:142-145)."""
+    """nu f(nu) for Tinker 2010 with consistency norm (hmvec.py:142-145).
+
+    ``delta`` (wrt mean matter density): scalar or (nz,) -- the
+    z-dependent case serves mdef='vir' via Delta_v(z)/Omega_m(z)."""
     nus = DELTAC / jnp.sqrt(sigma2)
+    dcol = jnp.asarray(delta)
+    dcol = dcol[:, None] if dcol.ndim == 1 else dcol
     alpha = tinker_alpha_consistency(zs, delta)[:, None]
-    return nus * alpha * _tinker_f_nu_unnorm(nus, jnp.asarray(zs)[:, None])
+    return nus * alpha * _tinker_f_nu_unnorm(nus, jnp.asarray(zs)[:, None],
+                                             dcol)
 
 
 def f_nu(nu, zs, delta=200.0, norm_consistency=True):
@@ -130,20 +242,33 @@ def f_nu(nu, zs, delta=200.0, norm_consistency=True):
     broadcastable against ``nu`` (the reference passes (nz, 1)).
     """
     zs = jnp.asarray(zs)
-    un = _tinker_f_nu_unnorm(jnp.asarray(nu), zs)
+    un = _tinker_f_nu_unnorm(jnp.asarray(nu), zs, delta)
     if not norm_consistency:
         return un
     nus_g = jnp.asarray(_ALPHA_NUS)
     w = jnp.asarray(_ALPHA_W)
-    fn = _tinker_f_nu_unnorm(nus_g, zs[..., None])
+    fn = _tinker_f_nu_unnorm(nus_g, zs[..., None], delta)
     alpha = 1.0 / ((fn * bias_tinker(nus_g, delta)) @ w)
     return un * alpha
 
 
-def simple_f_nu_tinker2008(nu, delta=200.0):
-    """Tinker 2008 f (tinker.py:70-78)."""
+def simple_f_nu_tinker2008(nu, delta=200.0, zs=None):
+    """Tinker 2008 f (tinker.py:70-78), generalized to any overdensity.
+
+    The reference asserts delta == 200 ("FIXME", tinker.py:71); here
+    (A, a, b, c) come from the Table-2 spline.  ``zs`` (optional -- the
+    reference's version is z = 0 only) applies the paper's redshift
+    evolution, eqs. 5-8: A (1+z)^-0.14, a (1+z)^-0.06, b (1+z)^-alpha
+    with log10 alpha = -(0.75 / log10(delta/75))^1.2, c constant."""
     sigma = DELTAC / nu
-    A, a, b, c = 0.186, 1.47, 2.57, 1.19
+    A, a, b, c = tinker2008_params(delta)
+    if zs is not None:
+        zp1 = 1.0 + jnp.asarray(zs)
+        A = A * zp1**-0.14
+        a = a * zp1**-0.06
+        al = 10.0 ** (-((0.75 / jnp.log10(jnp.asarray(delta) / 75.0))
+                        ** 1.2))
+        b = b * zp1**-al
     return A * (1.0 + (sigma / b) ** -a) * jnp.exp(-c / sigma**2)
 
 
@@ -175,14 +300,20 @@ def nzm(sigma2, ms, fsigmaz, rho_matter0):
     return rho_matter0 * fsigmaz * dln_sigma_dlnm / jnp.asarray(ms)[None, :] ** 2
 
 
-def mass_function_grid(sigma2, zs, ms, rho_matter0, mode, params):
-    """(nzm, bh) for the requested mass-function mode."""
+def mass_function_grid(sigma2, zs, ms, rho_matter0, mode, params,
+                       delta=200.0):
+    """(nzm, bh) for the requested mass-function mode.
+
+    ``delta`` (Tinker only): halo overdensity wrt mean matter density,
+    scalar or (nz,) -- defaults to the reference's fixed 200."""
     if mode == "sheth-torman":
         fs = fsigmaz_sheth_torman(sigma2, params)
         bh = bias_sheth_torman(sigma2, params)
     elif mode == "tinker":
-        fs = fsigmaz_tinker(sigma2, zs)
-        bh = bias_tinker(DELTAC / jnp.sqrt(sigma2))
+        fs = fsigmaz_tinker(sigma2, zs, delta)
+        dcol = jnp.asarray(delta)
+        dcol = dcol[:, None] if dcol.ndim == 1 else dcol
+        bh = bias_tinker(DELTAC / jnp.sqrt(sigma2), dcol)
     elif mode == "press-schechter":
         fs = fsigmaz_sheth_torman(sigma2, _PS_PARAMS)
         bh = bias_sheth_torman(sigma2, _PS_PARAMS)

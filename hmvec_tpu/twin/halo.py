@@ -14,6 +14,31 @@ from ..utils.weights import trapz_weights
 
 DELTAC = 1.686
 
+# Tinker 2008 Table 2 / 2010 Table 4 parameters vs overdensity (wrt mean
+# matter density).  Same published data as models/mass_function, but the
+# interpolation here is INDEPENDENT: scipy CubicSpline with natural
+# boundary conditions in log10(Delta).
+from scipy.interpolate import CubicSpline  # noqa: E402
+
+_T_LOGD = np.log10([200., 300., 400., 600., 800., 1200., 1600., 2400., 3200.])
+_T08_SPL = [CubicSpline(_T_LOGD, col, bc_type="natural") for col in np.array([
+    [0.186, 0.200, 0.212, 0.218, 0.248, 0.255, 0.260, 0.260, 0.260],   # A
+    [1.47, 1.52, 1.56, 1.61, 1.87, 2.13, 2.30, 2.53, 2.66],            # a
+    [2.57, 2.25, 2.05, 1.87, 1.59, 1.51, 1.46, 1.44, 1.41],            # b
+    [1.19, 1.27, 1.34, 1.45, 1.58, 1.80, 1.97, 2.24, 2.44]])]          # c
+_T10_SPL = [CubicSpline(_T_LOGD, col, bc_type="natural") for col in np.array([
+    [0.589, 0.585, 0.544, 0.543, 0.564, 0.623, 0.637, 0.673, 0.702],   # beta0
+    [0.864, 0.922, 0.987, 1.09, 1.20, 1.34, 1.50, 1.68, 1.81],         # gamma0
+    [-0.729, -0.789, -0.910, -1.05, -1.20, -1.26, -1.45, -1.50, -1.49],  # phi0
+    [-0.243, -0.261, -0.261, -0.273, -0.278, -0.301, -0.301, -0.319,
+     -0.336]])]                                                        # eta0
+
+
+def _t_params(spls, delta):
+    x = np.clip(np.log10(np.asarray(delta, dtype=np.float64)),
+                _T_LOGD[0], _T_LOGD[-1])
+    return tuple(s(x) for s in spls)
+
 
 def R_from_M(M, rho, delta):
     return (3.0 * M / 4.0 / np.pi / delta / rho) ** (1.0 / 3.0)
@@ -21,7 +46,7 @@ def R_from_M(M, rho, delta):
 
 class TwinHaloModel(TwinCosmology):
     def __init__(self, zs, ks, ms, params=None, mass_function="sheth-torman",
-                 mdef="vir", accuracy="medium"):
+                 mdef="vir", accuracy="medium", tinker_delta=None):
         super().__init__(params)
         self.zs = np.asarray(zs, dtype=np.float64)
         self.ks = np.asarray(ks, dtype=np.float64)
@@ -29,6 +54,7 @@ class TwinHaloModel(TwinCosmology):
         self.mdef = mdef
         self.mode = mass_function
         self.accuracy = accuracy
+        self.tinker_delta = tinker_delta
         self.Pzk = self.plin(self.zs, self.ks,
                              accuracy="low" if accuracy == "low" else "medium")
         self.init_mass_function()
@@ -77,7 +103,8 @@ class TwinHaloModel(TwinCosmology):
                     * (deltac / sigma) * np.exp(-a * deltac**2 / 2.0 / s2))
         if self.mode == "tinker":
             nus = deltac / np.sqrt(s2)
-            return nus * self.tinker_f_nu(nus, self.zs[:, None])
+            return nus * self.tinker_f_nu(nus, self.zs[:, None],
+                                          self._tinker_delta())
         raise NotImplementedError(self.mode)
 
     @staticmethod
@@ -90,21 +117,40 @@ class TwinHaloModel(TwinCosmology):
         return 1.0 - bigA * nua / (nua + DELTAC**a) + 0.183 * nu**1.5 + bigC * nu**2.4
 
     @staticmethod
-    def _tinker_f_unnorm(nu, zs):
+    def _tinker_f_unnorm(nu, zs, delta=200.0):
         zc = np.minimum(zs, 3.0)
-        beta = 0.589 * (1.0 + zc) ** 0.20
-        phi = -0.729 * (1.0 + zc) ** -0.08
-        eta = -0.243 * (1.0 + zc) ** 0.27
-        gamma = 0.864 * (1.0 + zc) ** -0.01
+        beta0, gamma0, phi0, eta0 = _t_params(_T10_SPL, delta)
+        beta = beta0 * (1.0 + zc) ** 0.20
+        phi = phi0 * (1.0 + zc) ** -0.08
+        eta = eta0 * (1.0 + zc) ** 0.27
+        gamma = gamma0 * (1.0 + zc) ** -0.01
         return ((1.0 + (beta * nu) ** (-2.0 * phi))
                 * nu ** (2.0 * eta) * np.exp(-gamma * nu**2 / 2.0))
 
+    def _tinker_delta(self):
+        td = self.tinker_delta
+        if td is None:
+            return 200.0
+        if isinstance(td, str):
+            if td != "auto":
+                raise ValueError(td)
+            if self.mdef == "vir":
+                return (self.deltav(self.zs) / self.omz(self.zs))[:, None]
+            return 200.0
+        td = np.asarray(td, dtype=np.float64)
+        return td[:, None] if td.ndim == 1 else td
+
     def tinker_f_nu(self, nu, zs, delta=200.0):
         nus_grid = np.logspace(-8, 2, 10000)
-        f_grid = self._tinker_f_unnorm(nus_grid[None, :], np.atleast_1d(zs).reshape(-1, 1))
-        b_grid = self.tinker_bias(nus_grid, delta)
-        alpha = 1.0 / np.trapezoid(f_grid * b_grid[None, :], nus_grid, axis=-1)
-        return alpha.reshape(zs.shape[:1] + (1,) * (nu.ndim - 1)) * self._tinker_f_unnorm(nu, zs)
+        dcol = np.asarray(delta, dtype=np.float64)
+        dcol = dcol[:, None] if dcol.ndim == 1 else dcol
+        f_grid = self._tinker_f_unnorm(nus_grid[None, :],
+                                       np.atleast_1d(zs).reshape(-1, 1), dcol)
+        b_grid = np.broadcast_to(self.tinker_bias(nus_grid[None, :], dcol),
+                                 f_grid.shape)
+        alpha = 1.0 / np.trapezoid(f_grid * b_grid, nus_grid, axis=-1)
+        return (alpha.reshape(zs.shape[:1] + (1,) * (nu.ndim - 1))
+                * self._tinker_f_unnorm(nu, zs, dcol))
 
     def get_nzm(self):
         ln_sigma_inv = -0.5 * np.log(self.sigma2)
@@ -123,7 +169,8 @@ class TwinHaloModel(TwinCosmology):
             return (1.0 + (1.0 / deltac) * ((a * deltac**2 / s2) - 1.0)
                     + (2.0 * pp / deltac) / (1.0 + (a * deltac**2 / s2) ** pp))
         if self.mode == "tinker":
-            return self.tinker_bias(deltac / np.sqrt(s2))
+            return self.tinker_bias(deltac / np.sqrt(s2),
+                                    self._tinker_delta())
         raise NotImplementedError(self.mode)
 
     # ---- profiles ----
