@@ -17,7 +17,9 @@ zs = np.linspace(0.05, 1.2, 24)
 ms = np.geomspace(5e13, 5e15, 80)
 ks = np.geomspace(1e-3, 10.0, 64)
 
-hm = HaloModel(zs, ks, ms=ms, mass_function="tinker")
+# tinker_delta="auto": Tinker-2010 parameters at the z-dependent virial
+# overdensity Delta_v(z)/Omega_m(z) (the reference clamps Delta=200)
+hm = HaloModel(zs, ks, ms=ms, mass_function="tinker", tinker_delta="auto")
 
 SC = dict(lnYstar=np.log(2.4e-4), alpha=1.79, beta=2.0 / 3.0,
           Mpivot=6e14, sigma_lnY=0.25)
