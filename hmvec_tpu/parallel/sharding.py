@@ -506,3 +506,132 @@ def sharded_cls_from_sources(src, bg, ls, ks_fine, mesh: Mesh,
     cee = norm * jnp.einsum("k,lk->l", pzeta * wk, e_l**2)
     cte = norm * jnp.einsum("k,lk->l", pzeta * wk, th_l * e_l)
     return {"ls": jnp.asarray(ls), "tt": ctt, "ee": cee, "te": cte}
+
+
+def make_sharded_matter_bispectrum_fn(zs, ks, ms, k1, k2, k3, mesh: Mesh,
+                                      axis_name: str = "m",
+                                      mass_function: str = "sheth-torman",
+                                      mdef: str = "vir",
+                                      accuracy: str = "medium",
+                                      engine=None, include_b2=False):
+    """params -> B_mmm^{1h+2h+3h}(z, q) with the mass axis sharded.
+
+    The halo-model bispectrum (models/bispectrum.py, extension beyond the
+    reference) carries the heaviest mass reductions in the framework: a
+    triple-product 1-halo integral plus three pair and three b1 legs (and
+    optionally three quadratic-bias legs) per configuration.  Each device
+    evaluates its mass-slice of the NFW grid, interpolates it to the
+    three leg wavenumber sets, and forms all partial integrals; ONE psum
+    over ICI closes every reduction.  The k-interpolation commutes
+    exactly with the (linear) mass integral, so this equals
+    ``bispectrum_total(MatterTracer x3)`` up to float reassociation
+    (equivalence-tested on the virtual CPU mesh,
+    tests/test_sharded_full.py).
+
+    ``k1/k2/k3``: static leg wavenumbers (scalar, (nq,), or (nz, nq) per
+    leg -- triangle closure fixes the F2 angles, models/bispectrum.py).
+    ``include_b2``: add the Sheth-Tormen peak-background-split
+    quadratic-bias 3-halo term.
+    """
+    from ..models import bispectrum as bis
+
+    zs = np.asarray(zs)
+    ks = np.asarray(ks)
+    ms = np.asarray(ms)
+    nd = mesh.devices.size
+    assert ms.size % nd == 0, "mesh size must divide len(ms)"
+    defaults = merge_params()
+    engine = engine or lpm.EHEngine()
+    w_m = trapz_weights(ms)
+    kqs_np = [np.asarray(bis._normalize_kq(jnp.asarray(k), zs.size))
+              for k in (k1, k2, k3)]
+    assert len({kq.shape for kq in kqs_np}) == 1, \
+        "the three legs must share one configuration shape"
+
+    spec_zm = P(None, axis_name)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), spec_zm, spec_zm, spec_zm,
+                  spec_zm, spec_zm, P(None), P(None, None), P(None, None),
+                  P(None, None)),
+        out_specs=P(None, None, None))
+    def _sharded(ms_l, w_l, nzm_l, bh_l, b2_l, cs_l, rss_l, ksj,
+                 kq1, kq2, kq3):
+        uk_l = prof.nfw_uk_analytic(ksj, zs, cs_l, rss_l)
+        # matter term WITHOUT the 1/rho_m0 norm (z-independent; applied
+        # after the psum) -- linear k-interp commutes with the m scaling
+        term_l = ms_l[None, :, None] * uk_l
+        tq = [bis._interp_zmk(ksj, term_l, kq) for kq in (kq1, kq2, kq3)]
+        nzw = nzm_l[..., None]
+        wnb = nzw * bh_l[..., None]
+
+        def red(x):
+            return (x * w_l[None, :, None]).sum(axis=-2)
+
+        # u->1 consistency of the b1 legs (k-independent for matter)
+        c = (nzm_l * bh_l * ms_l[None, :] * w_l[None, :]).sum(-1)
+        rows = [red(nzw * tq[0] * tq[1] * tq[2]),      # B1h
+                red(wnb * tq[1] * tq[2]),              # I2 for P(k1) leg
+                red(wnb * tq[2] * tq[0]),              # I2 for P(k2) leg
+                red(wnb * tq[0] * tq[1]),              # I2 for P(k3) leg
+                red(wnb * tq[0]),                      # I1 integrals
+                red(wnb * tq[1]),
+                red(wnb * tq[2]),
+                jnp.broadcast_to(c[:, None],
+                                 (tq[0].shape[0], tq[0].shape[2]))]
+        if include_b2:
+            w2 = nzw * b2_l[..., None]
+            rows += [red(w2 * tq[0]), red(w2 * tq[1]), red(w2 * tq[2])]
+        return jax.lax.psum(jnp.stack(rows), axis_name)
+
+    def bispec(overrides=None):
+        p = {**defaults, **(overrides or {})}
+        bg = bgmod.background(p)
+        zsj = jnp.asarray(zs)
+        ksj = jnp.asarray(ks)
+        msj = jnp.asarray(ms)
+        gm = _growth_mode_from(overrides, "auto")
+        if accuracy == "low":
+            pzk = lpm.plin_approx(bg, zsj, ksj, growth_mode=gm)
+        else:
+            pzk = engine.pzk_grid(bg, zsj, ksj, growth_mode=gm)
+        ks_s2 = lpm.sigma2_k_grid(p)
+        spzk = engine.plin(bg, zsj, ks_s2, accuracy=accuracy,
+                           growth_mode=gm)
+        rho_m0 = bgmod.rho_matter_z(bg, 0.0)
+        R = mfm.R_from_M(msj, rho_m0, delta=1.0)
+        sigma2 = lpm.sigma2_R(bg, R, zsj, spzk, ks_s2, p["Wkr_taylor_switch"])
+        nzm, bh = mfm.mass_function_grid(sigma2, zsj, msj, rho_m0,
+                                         mass_function, p)
+        omz = bgmod.omz(bg, zsj)
+        rhocritz = bgmod.rho_critical_z(bg, zsj)
+        rhomz = bgmod.rho_matter_z(bg, zsj)
+        cs = prof.concentration_duffy(msj, zsj, mdef, p, p["H0"] / 100.0)
+        rvirs = prof.rvir_grid(msj, zsj, mdef, rhocritz, rhomz, omz)
+        rss = rvirs / cs
+        b2 = (bis.b2_sheth_torman(sigma2, p) if include_b2
+              else jnp.zeros_like(nzm))
+
+        kqs = [jnp.asarray(kq) for kq in kqs_np]
+        parts = _sharded(msj, jnp.asarray(w_m), nzm, bh, b2, cs, rss,
+                         ksj, *kqs)
+        rho = rho_m0
+        b1h = parts[0] / rho**3
+        for kq in kqs:
+            b1h = b1h * (1.0 - jnp.exp(-((kq / p["kstar_damping"]) ** 2)))
+        I2 = [parts[1 + i] / rho**2 for i in range(3)]
+        cc = parts[7] / rho
+        I1 = [parts[4 + i] / rho + 1.0 - cc for i in range(3)]
+        Pq = [bis._interp_zk(ksj, pzk, kq) for kq in kqs]
+        b2h = sum(Pq[i] * I1[i] * I2[i] for i in range(3))
+        b3h = I1[0] * I1[1] * I1[2] * bis.tree_bispectrum(
+            Pq[0], Pq[1], Pq[2], kqs[0], kqs[1], kqs[2])
+        if include_b2:
+            for ll in range(3):
+                i, j = (ll + 1) % 3, (ll + 2) % 3
+                Ib2 = parts[8 + ll] / rho
+                b3h = b3h + I1[i] * I1[j] * Ib2 * Pq[i] * Pq[j]
+        return b1h + b2h + b3h
+
+    return bispec

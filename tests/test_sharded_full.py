@@ -146,3 +146,22 @@ def _sharded_boltzlite_body(jnp, merge_params, bgmod, recomb, bl,
         np.testing.assert_allclose(np.asarray(cl_s[key]),
                                    np.asarray(cl[key]), rtol=1e-10,
                                    err_msg=key)
+
+
+def test_sharded_matter_bispectrum_matches_class_api():
+    """B_mmm 1h+2h+3h (incl. the quadratic-bias term) sharded over the
+    8-device mesh == the single-device class API: the k-interpolation
+    commutes with the mass integral, so agreement is reassociation-level."""
+    from hmvec_tpu.parallel.sharding import make_sharded_matter_bispectrum_fn
+
+    mesh = make_mesh(8)
+    kq = np.geomspace(5e-3, 2.0, 10)
+    fn = jax.jit(make_sharded_matter_bispectrum_fn(
+        ZS, KS, MS, kq, 1.3 * kq, 1.8 * kq, mesh, include_b2=True))
+    b_s = np.asarray(fn({}))
+
+    hm = HaloModel(ZS, KS, ms=MS)
+    b = np.asarray(hm.get_bispectrum(kq, 1.3 * kq, 1.8 * kq,
+                                     include_b2=True))
+    assert b_s.shape == b.shape
+    np.testing.assert_allclose(b_s, b, rtol=1e-9)
