@@ -68,6 +68,7 @@ class HaloModel(Cosmology):
         self.tinker_delta = tinker_delta
         self.hods: dict = {}
         self.uk_profiles: dict = {}
+        self.uk2_profiles: dict = {}   # <u^2> for c-scatter profiles
         self.pk_profiles: dict = {}
         self.cib_tracers: dict = {}
 
@@ -151,14 +152,20 @@ class HaloModel(Cosmology):
 
     # ---- profiles ----
     def add_nfw_profile(self, name, numeric=False, nxs=None, xmax=None,
-                        ignore_existing=False, fast=False):
+                        ignore_existing=False, fast=False,
+                        conc_scatter=None):
         """Analytic (Si/Ci) or numeric (sine-DFT) NFW u(k|m,z)
         (reference: hmvec.py:318-355).
 
         ``fast=True`` uses the fused f32 Pallas kernel
         (ops/pallas_kernels.nfw_uk_fast): ~5x faster on TPU at ~7e-6
         absolute accuracy -- for sampling loops where the f64 gate is not
-        needed."""
+        needed.
+
+        ``conc_scatter`` (EXTENSION -- no reference analogue): lognormal
+        scatter sigma_lnc of c at fixed mass.  Registers <u> as the
+        profile (correct for 2-halo legs and crosses) and <u^2> for the
+        1-halo auto term (profiles.nfw_uk_scatter)."""
         if not ignore_existing:
             assert name not in self.uk_profiles, "Profile name already exists."
         if nxs is None:
@@ -168,6 +175,14 @@ class HaloModel(Cosmology):
         cs = self.concentration()
         rvirs = self.rvir(self.ms[None, :], self.zs[:, None])
         rss = rvirs / cs
+        if conc_scatter is not None:
+            if numeric or fast:
+                raise ValueError("conc_scatter supports the analytic path")
+            uk, uk2 = prof.nfw_uk_scatter(self.ks, self.zs, cs, rvirs,
+                                          conc_scatter)
+            self.uk_profiles[name] = uk
+            self.uk2_profiles[name] = uk2
+            return self.ks, uk
         if numeric:
             _, uk = generic_profile_fft(
                 lambda x: prof.rho_nfw_x(x, rhoscale=1.0)[None, None, :],
@@ -361,7 +376,8 @@ class HaloModel(Cosmology):
                 ngal=h["ngal"], bg=h["bg"],
                 us=self.uk_profiles[h["satellite_profile"]], uc=uc)
         if name in self.uk_profiles:
-            return pwr.MatterTracer(uk=self.uk_profiles[name])
+            return pwr.MatterTracer(uk=self.uk_profiles[name],
+                                    uk2=self.uk2_profiles.get(name))
         if name in self.pk_profiles:
             return pwr.PressureTracer(pk=self.pk_profiles[name])
         if name in self.cib_tracers:

@@ -25,7 +25,13 @@ from ..utils.weights import trapz_weights
 
 
 class MatterTracer(NamedTuple):
-    uk: jnp.ndarray  # (nz, nm, nk)
+    uk: jnp.ndarray  # (nz, nm, nk) -- <u> under c-scatter, else u
+    # Optional second moment <u^2> over a concentration-scatter
+    # distribution (profiles.nfw_uk_scatter).  When present, the 1-halo
+    # AUTO term uses it (the physical <|u|^2> average); cross and 2-halo
+    # terms are linear in u and correctly use <u>.  EXTENSION: the
+    # reference has no concentration scatter.
+    uk2: Optional[jnp.ndarray] = None
 
 
 class PressureTracer(NamedTuple):
@@ -160,6 +166,12 @@ def one_halo_square_term(tracer1, tracer2, ms, rho_matter0, dt=None):
     module)."""
     if tracer1 is tracer2 and isinstance(tracer1, HODTracer):
         return _hod_square_term(tracer1, dt)
+    if (tracer1 is tracer2 and isinstance(tracer1, MatterTracer)
+            and tracer1.uk2 is not None):
+        # concentration scatter: the auto pair term is <u^2>, not <u>^2
+        # (Jensen: <u^2> >= <u>^2 -- scatter boosts the 1-halo tail)
+        fac = _cast(jnp.asarray(ms)[None, :, None] / rho_matter0, dt)
+        return fac * fac * _cast(tracer1.uk2, dt)
     if isinstance(tracer1, CIBTracer) and isinstance(tracer2, CIBTracer):
         return _cib_square_term(tracer1, tracer2, dt)
     if isinstance(tracer1, PressureTracer) and isinstance(tracer2, PressureTracer):

@@ -108,6 +108,34 @@ def nfw_uk_analytic(ks, zs, cs, rss):
     return nfw_uk_x(x, cs)
 
 
+def nfw_uk_scatter(ks, zs, cs, rvirs, sigma_lnc, n_nodes=9):
+    """(<u>, <u^2>) of the NFW profile under lognormal concentration
+    scatter (EXTENSION: the reference has no c-M scatter).
+
+    ln c ~ N(ln cbar, sigma_lnc^2) at fixed mass and r_vir (scatter
+    redistributes the profile shape, r_s,i = r_vir / c_i).  The lognormal
+    expectation is evaluated by ``n_nodes``-point Gauss-Hermite
+    quadrature -- exact for polynomials of degree 2 n_nodes - 1 in the
+    standardized variable, and u(k | e^lnc) is smooth in ln c, so 9
+    nodes give ~1e-7-class accuracy at sigma_lnc <~ 0.5 (pinned against
+    an independent dense-trapz twin in tests/test_conc_scatter.py).
+
+    The first moment <u> is the right profile for all terms linear in u
+    (2-halo legs, cross spectra); the 1-halo AUTO term needs <u^2>
+    (power.one_halo_square_term dispatches on MatterTracer.uk2).
+    """
+    xs_n, ws_n = np.polynomial.hermite.hermgauss(int(n_nodes))
+    ws_n = ws_n / np.sqrt(np.pi)
+    um, u2 = 0.0, 0.0
+    for xi, wi in zip(xs_n, ws_n):
+        # jnp.exp so sigma_lnc may be traced (e.g. a Fisher parameter)
+        ci = cs * jnp.exp(np.sqrt(2.0) * xi * jnp.asarray(sigma_lnc))
+        ui = nfw_uk_analytic(ks, zs, ci, rvirs / ci)
+        um = um + wi * ui
+        u2 = u2 + wi * ui * ui
+    return um, u2
+
+
 def nfw_uk_x(x, cs):
     """Truncated-NFW u as a function of x = k * r_s(comoving) and c.
 

@@ -59,6 +59,7 @@ class TwinHaloModel(TwinCosmology):
                              accuracy="low" if accuracy == "low" else "medium")
         self.init_mass_function()
         self.uk_profiles = {}
+        self.uk2_profiles = {}
         self.pk_profiles = {}
         self.hods = {}
         self.add_nfw_profile("nfw")
@@ -181,17 +182,38 @@ class TwinHaloModel(TwinCosmology):
         return (A * (self.h * self.ms[None, :] / 2.0e12) ** alpha
                 * (1.0 + self.zs[:, None]) ** beta)
 
-    def add_nfw_profile(self, name):
-        cs = self.concentration()
-        rvirs = self.rvir(self.ms[None, :], self.zs[:, None])
+    def _nfw_uk_from_c(self, cs, rvirs):
         rss = (rvirs / cs)[..., None]
         cs3 = cs[..., None]
         mc = np.log(1.0 + cs3) - cs3 / (1.0 + cs3)
         x = self.ks[None, None, :] * rss * (1.0 + self.zs[:, None, None])
         si, ci = sici(x)
         sic, cic = sici((1.0 + cs3) * x)
-        uk = (np.sin(x) * (sic - si) - np.sin(cs3 * x) / ((1.0 + cs3) * x)
-              + np.cos(x) * (cic - ci)) / mc
+        return (np.sin(x) * (sic - si) - np.sin(cs3 * x) / ((1.0 + cs3) * x)
+                + np.cos(x) * (cic - ci)) / mc
+
+    def add_nfw_profile(self, name, conc_scatter=None):
+        cs = self.concentration()
+        rvirs = self.rvir(self.ms[None, :], self.zs[:, None])
+        if conc_scatter is not None:
+            # INDEPENDENT quadrature of the lognormal expectation: dense
+            # trapz over ln c in +-6 sigma (the jax side uses
+            # Gauss-Hermite nodes)
+            ts = np.linspace(-6.0, 6.0, 481)
+            pdf = np.exp(-0.5 * ts**2) / np.sqrt(2.0 * np.pi)
+            dt = ts[1] - ts[0]
+            w = np.full(ts.size, dt)
+            w[0] = w[-1] = dt / 2.0
+            um, u2 = 0.0, 0.0
+            for t, wi in zip(ts, w * pdf):
+                ui = self._nfw_uk_from_c(cs * np.exp(conc_scatter * t),
+                                         rvirs)
+                um = um + wi * ui
+                u2 = u2 + wi * ui * ui
+            self.uk_profiles[name] = um
+            self.uk2_profiles[name] = u2
+            return um
+        uk = self._nfw_uk_from_c(cs, rvirs)
         self.uk_profiles[name] = uk
         return uk
 
@@ -235,6 +257,10 @@ class TwinHaloModel(TwinCosmology):
                       / hod["ngal"][..., None, None] ** 2)
         elif name in self.pk_profiles and name2 in self.pk_profiles:
             square = self._pressure_term(name) ** 2
+        elif name == name2 and name in self.uk2_profiles:
+            # concentration scatter: auto term carries <u^2>
+            square = ((self.ms[None, :, None] / self.rho_matter_z(0.0)) ** 2
+                      * self.uk2_profiles[name])
         else:
             square = self._term(name) * self._term(name2)
         integrand = self.nzm[..., None] * square

@@ -1,0 +1,87 @@
+"""Lognormal concentration scatter for NFW profiles (EXTENSION).
+
+<u> (linear terms) and <u^2> (1-halo auto term) under ln c ~
+N(ln cbar, sigma^2): 9-node Gauss-Hermite on the jax side vs an
+INDEPENDENT 481-point dense-trapz lognormal expectation in the twin.
+The reference has no concentration scatter at all.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hmvec_tpu.models.halo_model import HaloModel
+from hmvec_tpu.models import profiles as prof
+from hmvec_tpu.twin.halo_ext import TwinHaloModelExt
+
+ZS = np.linspace(0.2, 1.5, 3)
+KS = np.geomspace(1e-3, 50, 48)
+MS = np.geomspace(1e11, 1e16, 24)
+SIG = 0.35
+
+
+def _pair():
+    hm = HaloModel(ZS, KS, ms=MS)
+    hm.add_nfw_profile("nfws", conc_scatter=SIG)
+    tw = TwinHaloModelExt(ZS, KS, MS)
+    tw.add_nfw_profile("nfws", conc_scatter=SIG)
+    return hm, tw
+
+
+def test_moments_vs_twin():
+    hm, tw = _pair()
+    np.testing.assert_allclose(np.asarray(hm.uk_profiles["nfws"]),
+                               tw.uk_profiles["nfws"], rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(hm.uk2_profiles["nfws"]),
+                               tw.uk2_profiles["nfws"], rtol=2e-6)
+
+
+def test_power_parity_and_cross():
+    hm, tw = _pair()
+    # auto: 1h carries <u^2>, 2h carries <u>
+    np.testing.assert_allclose(np.asarray(hm.get_power("nfws")),
+                               tw.get_power("nfws"), rtol=1e-5)
+    # cross with the unscattered profile: linear in each -> <u> * u
+    np.testing.assert_allclose(np.asarray(hm.get_power("nfws", "nfw")),
+                               tw.get_power("nfws", "nfw"), rtol=1e-5)
+
+
+def test_zero_scatter_limit():
+    hm = HaloModel(ZS, KS, ms=MS)
+    hm.add_nfw_profile("nfws", conc_scatter=1e-9)
+    np.testing.assert_allclose(np.asarray(hm.uk_profiles["nfws"]),
+                               np.asarray(hm.uk_profiles["nfw"]),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(hm.uk2_profiles["nfws"]),
+                               np.asarray(hm.uk_profiles["nfw"]) ** 2,
+                               rtol=1e-8)
+
+
+def test_jensen_and_onehalo_boost():
+    """<u^2> >= <u>^2 everywhere, so scatter BOOSTS the 1-halo auto term;
+    the mean profile still normalizes to u(k->0) = 1."""
+    hm, _ = _pair()
+    uk = np.asarray(hm.uk_profiles["nfws"])
+    uk2 = np.asarray(hm.uk2_profiles["nfws"])
+    assert np.all(uk2 >= uk**2 - 1e-12)
+    # u(k->0) -> 1: at kmin = 1e-3 the truncated profile deviates by
+    # O((k r_s (1+c))^2) ~ 1e-4 for the heaviest halos
+    np.testing.assert_allclose(uk[..., 0], 1.0, atol=3e-3)
+    p1_s = np.asarray(hm.get_power_1halo("nfws"))
+    hm2 = HaloModel(ZS, KS, ms=MS)
+    p1 = np.asarray(hm2.get_power_1halo("nfw"))
+    assert p1_s[-1, -1] > p1[-1, -1]
+
+
+def test_grad_wrt_sigma():
+    """sigma_lnc may be traced (a Fisher/forecast parameter)."""
+    hm = HaloModel(ZS, KS, ms=MS)
+    cs = hm.concentration()
+    rvirs = hm.rvir(hm.ms[None, :], hm.zs[:, None])
+
+    def f(sig):
+        um, u2 = prof.nfw_uk_scatter(hm.ks, hm.zs, cs, rvirs, sig)
+        return jnp.sum(um) + jnp.sum(u2)
+
+    g = jax.grad(f)(0.3)
+    assert np.isfinite(float(g)) and float(g) != 0.0
