@@ -302,4 +302,16 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # One whole-run retry: the axon tunnel occasionally throws transient
+    # HTTP-500 / connection errors mid-compile; without this a single
+    # flake loses the entire bench artifact.  A retry re-pays TPU compiles
+    # (remote executables are not persistently cacheable) but preserves
+    # the run.  Real failures still fail: the retry crashes the same way.
+    try:
+        sys.exit(main())
+    except SystemExit:
+        raise
+    except Exception as e:
+        print(f"# bench run crashed ({type(e).__name__}: {e}); "
+              f"retrying once from scratch", file=sys.stderr)
+        sys.exit(main())
