@@ -314,6 +314,17 @@ def mass_function_grid(sigma2, zs, ms, rho_matter0, mode, params,
         dcol = jnp.asarray(delta)
         dcol = dcol[:, None] if dcol.ndim == 1 else dcol
         bh = bias_tinker(DELTAC / jnp.sqrt(sigma2), dcol)
+    elif mode == "tinker2008":
+        # Tinker-2008 f(sigma) (the reference ships it only as the free
+        # function simple_f_nu, tinker.py:70-78, z = 0 and delta = 200
+        # only) with the paper's eq. 5-8 z evolution and the Table-2
+        # spline in Delta; paired with the Tinker-2010 bias, the standard
+        # combination (both calibrated on the same simulation suite).
+        dcol = jnp.asarray(delta)
+        dcol = dcol[:, None] if dcol.ndim == 1 else dcol
+        fs = simple_f_nu_tinker2008(DELTAC / jnp.sqrt(sigma2), dcol,
+                                    jnp.asarray(zs)[:, None])
+        bh = bias_tinker(DELTAC / jnp.sqrt(sigma2), dcol)
     elif mode == "press-schechter":
         fs = fsigmaz_sheth_torman(sigma2, _PS_PARAMS)
         bh = bias_sheth_torman(sigma2, _PS_PARAMS)

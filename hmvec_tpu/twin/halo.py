@@ -106,6 +106,14 @@ class TwinHaloModel(TwinCosmology):
             nus = deltac / np.sqrt(s2)
             return nus * self.tinker_f_nu(nus, self.zs[:, None],
                                           self._tinker_delta())
+        if self.mode == "tinker2008":
+            sigma = np.sqrt(s2)
+            dl = np.asarray(self._tinker_delta(), dtype=np.float64)
+            A, a, b, c = _t_params(_T08_SPL, dl)
+            zp1 = 1.0 + self.zs[:, None]
+            al = 10.0 ** (-((0.75 / np.log10(dl / 75.0)) ** 1.2))
+            return (A * zp1**-0.14 * (1.0 + (sigma / (b * zp1**-al)) ** -(a * zp1**-0.06))
+                    * np.exp(-c / s2))
         raise NotImplementedError(self.mode)
 
     @staticmethod
@@ -169,7 +177,7 @@ class TwinHaloModel(TwinCosmology):
                 _, a, pp = self._ST_FORM[self.mode]
             return (1.0 + (1.0 / deltac) * ((a * deltac**2 / s2) - 1.0)
                     + (2.0 * pp / deltac) / (1.0 + (a * deltac**2 / s2) ** pp))
-        if self.mode == "tinker":
+        if self.mode in ("tinker", "tinker2008"):
             return self.tinker_bias(deltac / np.sqrt(s2),
                                     self._tinker_delta())
         raise NotImplementedError(self.mode)

@@ -136,3 +136,42 @@ def test_grad_through_auto_delta():
 
     g = jax.grad(total)(0.31)
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+# ---- Tinker-2008 as a HaloModel mass-function mode (EXTENSION) ---------
+
+def test_tinker2008_mode_matches_twin():
+    """'tinker2008' (nzm, bh) parity vs the independent scipy-spline twin,
+    incl. the eq. 5-8 z evolution, at a non-node Delta."""
+    h = HaloModel(ZS, KS, ms=MS, mass_function="tinker2008",
+                  tinker_delta=350.0)
+    t = TwinHaloModelExt(ZS, KS, ms=MS, mass_function="tinker2008",
+                         tinker_delta=350.0)
+    np.testing.assert_allclose(np.asarray(h.nzm), t.nzm, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(h.bh), t.bh, rtol=1e-8)
+
+
+def test_tinker2008_z0_delta200_is_published_form():
+    """At z ~ 0 and Delta = 200 the mode reduces to the reference's own
+    simple_f_nu constants (tinker.py:74-77)."""
+    zs = np.array([0.0])
+    h = HaloModel(zs, KS, ms=MS, mass_function="tinker2008")
+    sigma = np.sqrt(np.asarray(h.sigma2))
+    A, a, b, c = 0.186, 1.47, 2.57, 1.19
+    f_expected = A * (1.0 + (sigma / b) ** -a) * np.exp(-c / sigma**2)
+    ln_sigma_inv = -0.5 * np.log(np.asarray(h.sigma2))
+    dln = np.gradient(ln_sigma_inv, np.log(MS), axis=-1)
+    nzm_expected = (np.asarray(h.rho_matter_z(0.0)) * f_expected * dln
+                    / MS[None, :] ** 2)
+    np.testing.assert_allclose(np.asarray(h.nzm), nzm_expected, rtol=1e-10)
+
+
+def test_tinker2008_tracks_tinker2010_mass_function():
+    """The two calibrations agree to tens of percent over the calibrated
+    mass range -- a physics envelope, not an identity."""
+    h08 = HaloModel(ZS, KS, ms=MS, mass_function="tinker2008")
+    h10 = HaloModel(ZS, KS, ms=MS, mass_function="tinker")
+    n08, n10 = np.asarray(h08.nzm), np.asarray(h10.nzm)
+    sel = (MS[None, :] > 1e12) & (MS[None, :] < 1e15) & (ZS[:, None] < 1.5)
+    ratio = n08[np.broadcast_to(sel, n08.shape)] / n10[np.broadcast_to(sel, n10.shape)]
+    assert np.all((ratio > 0.5) & (ratio < 2.0)), (ratio.min(), ratio.max())
