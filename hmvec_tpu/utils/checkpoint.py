@@ -36,8 +36,13 @@ def save_halo_model(hm, path: str):
     }
     for name, uk in hm.uk_profiles.items():
         arrays[f"uk__{name}"] = uk
+    for name, uk2 in getattr(hm, "uk2_profiles", {}).items():
+        arrays[f"uk2__{name}"] = uk2       # <u^2> of conc-scatter profiles
     for name, pk in hm.pk_profiles.items():
         arrays[f"pk__{name}"] = pk
+    for name, cib in getattr(hm, "cib_tracers", {}).items():
+        for field in ("fc", "fs", "us"):
+            arrays[f"cib__{name}__{field}"] = getattr(cib, field)
     for name, hod in hm.hods.items():
         for key in ("Nc", "Ns", "NsNsm1", "NcNs", "ngal", "bg"):
             arrays[f"hod__{name}__{key}"] = hod[key]
@@ -56,14 +61,24 @@ def restore_halo_model(hm, path: str):
     hm.sigma2 = data["sigma2"]
     hm.nzm = data["nzm"]
     hm.bh = data["bh"]
+    cib_fields: dict = {}
     for key, val in data.items():
-        if key.startswith("uk__"):
+        if key.startswith("uk2__"):
+            hm.uk2_profiles[key[5:]] = val
+        elif key.startswith("uk__"):
             hm.uk_profiles[key[4:]] = val
         elif key.startswith("pk__"):
             hm.pk_profiles[key[4:]] = val
+        elif key.startswith("cib__"):
+            _, name, field = key.split("__")
+            cib_fields.setdefault(name, {})[field] = val
         elif key.startswith("hod__"):
             _, name, field = key.split("__")
             hod = hm.hods.setdefault(name, {"satellite_profile": "nfw",
                                             "central_profile": None})
             hod[field] = val
+    if cib_fields:
+        from ..models.power import CIBTracer
+        for name, fields in cib_fields.items():
+            hm.cib_tracers[name] = CIBTracer(**fields)
     return hm

@@ -41,3 +41,24 @@ def test_halo_model_checkpoint_roundtrip(tmp_path):
     p1 = np.asarray(hm.get_power("g"))
     p2 = np.asarray(hm2.get_power("g"))
     np.testing.assert_allclose(p1, p2, rtol=1e-13)
+
+
+def test_checkpoint_roundtrips_uk2_and_cib(tmp_path):
+    """Conc-scatter <u^2> moments and CIB tracers survive save/restore
+    (both are round-3 extensions the original roundtrip predates)."""
+    zs = np.array([0.3, 1.0])
+    ks = np.geomspace(1e-3, 10, 40)
+    ms = np.geomspace(1e11, 1e16, 24)
+    hm = HaloModel(zs, ks, ms=ms)
+    hm.add_nfw_profile("nfw_sc", conc_scatter=0.3)
+    hm.add_cib_tracer("cib545", 545.0)
+    path = str(tmp_path / "hm.npz")
+    save_halo_model(hm, path)
+
+    hm2 = HaloModel(zs, ks, ms=ms, skip_nfw=True)
+    restore_halo_model(hm2, path)
+    assert "nfw_sc" in hm2.uk2_profiles
+    np.testing.assert_allclose(np.asarray(hm2.get_power("nfw_sc")),
+                               np.asarray(hm.get_power("nfw_sc")), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(hm2.get_power("cib545")),
+                               np.asarray(hm.get_power("cib545")), rtol=1e-13)
