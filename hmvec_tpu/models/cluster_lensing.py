@@ -36,7 +36,8 @@ def sigma_nfw(R, rs, rhoscale):
 
 def _gauss_legendre(n):
     import numpy as np
-    x, w = np.polynomial.legendre.leggauss(n)
+    from ..utils.weights import leggauss_cached
+    x, w = leggauss_cached(n)
     return jnp.asarray(x), jnp.asarray(w)
 
 

@@ -207,7 +207,8 @@ def lens_cls_flat_sky_resummed(cl_unlensed, clpp, lmax_out=None,
     if lmax_out is None:
         lmax_out = lmax_in
 
-    t_np, w_np = np.polynomial.legendre.leggauss(n_theta)
+    from ..utils.weights import leggauss_cached
+    t_np, w_np = leggauss_cached(n_theta)
     thetas = jnp.asarray(0.5 * float(theta_max) * (t_np + 1.0))
     wthetas = jnp.asarray(0.5 * float(theta_max) * w_np)
 

@@ -54,7 +54,8 @@ def _gl_nodes(lmax, lmax_mask, dtype=np.float64):
     """Host-side Gauss-Legendre nodes/weights exact for the coupling
     integrand (degree 2*lmax + lmax_mask)."""
     q = (2 * int(lmax) + int(lmax_mask)) // 2 + 1
-    xs, ws = np.polynomial.legendre.leggauss(q)
+    from ..utils.weights import leggauss_cached
+    xs, ws = leggauss_cached(q)
     return jnp.asarray(xs.astype(dtype)), jnp.asarray(ws.astype(dtype))
 
 

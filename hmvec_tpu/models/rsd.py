@@ -66,7 +66,8 @@ def rsd_multipoles(ks, pk, b, f, sigma_v=0.0, ells=(0, 2, 4),
     (Gauss-Legendre is exact on the degree-8 polynomial integrand).
     Returns a dict {ell: (..., nk)}.
     """
-    x_np, w_np = np.polynomial.legendre.leggauss(n_mu)
+    from ..utils.weights import leggauss_cached
+    x_np, w_np = leggauss_cached(n_mu)
     mus = jnp.asarray(x_np)
     w = jnp.asarray(w_np)
     ps = kaiser_pk_mu(ks, mus, pk, b, f, sigma_v, fog)  # (..., nmu, nk)

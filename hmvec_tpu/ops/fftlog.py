@@ -292,7 +292,8 @@ def projected_correlation(ks, pk, n_t: int = 192, t_max: float = 9.0):
     rs = np.asarray(rs_j)
     lnrs = jnp.asarray(np.log(rs))
     # Gauss-Legendre nodes on [0, t_max] (host-side, static)
-    t_np, w_np = np.polynomial.legendre.leggauss(n_t)
+    from ..utils.weights import leggauss_cached
+    t_np, w_np = leggauss_cached(n_t)
     t = jnp.asarray(0.5 * t_max * (t_np + 1.0))
     wt = jnp.asarray(0.5 * t_max * w_np)
     ch = jnp.cosh(t)                                   # (nt,)

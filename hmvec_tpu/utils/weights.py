@@ -58,7 +58,32 @@ def simpson_weights(x: np.ndarray) -> np.ndarray:
     return w
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def leggauss_cached(n: int):
+    """Gauss-Legendre nodes/weights on [-1, 1], memoized.
+
+    Large n: scipy's roots_legendre (Newton + asymptotic initial
+    guesses) instead of numpy's leggauss (companion-matrix
+    eigendecomposition) -- same nodes to ~1e-16 but ~35x faster;
+    leggauss(8192) costs ~70 s of HOST time on a 1-core box and was
+    silently re-paid on every lensed-Cls call.  Small n: numpy's exact
+    legacy nodes (cheap there, and several oracles pin quadrature
+    results at 1e-12 where the ~1e-16 node difference is visible).
+    Memoized because the node sets are a handful of static sizes reused
+    across calls/tests."""
+    n = int(n)
+    if n < 512:
+        x, w = np.polynomial.legendre.leggauss(n)
+    else:
+        from scipy.special import roots_legendre
+        x, w = roots_legendre(n)
+    return np.asarray(x), np.asarray(w)
+
+
 def gauss_legendre(n: int):
     """Gauss-Legendre nodes/weights on [0, 1]."""
-    t, w = np.polynomial.legendre.leggauss(n)
+    t, w = leggauss_cached(n)
     return (t + 1.0) / 2.0, w / 2.0

@@ -259,7 +259,11 @@ def test_exact_lens_potential(unl860):
 def test_get_cmb_cls_approx_wiring(monkeypatch):
     """approx=True returns the labeled dict without a table; the Cls come
     from boltzlite (stubbed here -- physics is covered by the slow test)
-    and the lens potential from the Limber path."""
+    and the lens potential from the Limber path (ALSO stubbed with a
+    closed form: the nonlinear-Limber physics is covered by
+    test_cov_lensing/test_nonlimber; here only the blend + conversion
+    wiring is under test, and the real HMcode-Limber grid dominated this
+    test's wall time)."""
     from hmvec_tpu.models import boltzlite as bl
     from hmvec_tpu.models.cosmology import Cosmology
 
@@ -274,19 +278,44 @@ def test_get_cmb_cls_approx_wiring(monkeypatch):
             return out, clpp
         return out
 
+    def fake_limber(self, lmax, nonlinear=False):
+        # rows from ell=2, like the real cmb_lensing_limber
+        ls = np.arange(2, lmax + 1, dtype=np.float64)
+        clkk = 2.5e-9 / (1.0 + (ls / 60.0) ** 2)
+        return ls, clkk
+
+    # stub the lens convolution too (physics: test_lensed_cf) and CAPTURE
+    # its arguments -- the wiring claim is that get_cmb_cls hands the
+    # resummed method the padded unlensed stub and the blended clpp
+    from hmvec_tpu.models import lensed_cf
+    captured = {}
+
+    def fake_lens(unl, clpp, lmax_out):
+        captured["unl"] = np.asarray(unl)
+        captured["clpp"] = np.asarray(clpp)
+        return np.asarray(unl)[: lmax_out + 1] * 2.0
+
     monkeypatch.setattr(bl, "compute_cls", fake_cls)
+    monkeypatch.setattr(Cosmology, "cmb_lensing_limber", fake_limber)
+    monkeypatch.setattr(lensed_cf, "lens_cls_flat_sky_resummed", fake_lens)
     cos = Cosmology()
     lmax = 200
+    lpad = lmax + 400
     out = cos.get_cmb_cls(lmax=lmax, approx=True)
     assert out["approx"] is True
     assert out["unlensed_scalar"].shape == (lmax + 1, 4)
     assert out["lens_potential"].shape == (lmax + 1, 3)
     assert np.all(out["lens_potential"][2:, 0] > 0)
-    # 'total' is the flat-sky lensing convolution of the stub spectrum:
-    # right shape, finite, and nonnegative lensed BB from EE=0 stub
+    # 'total' is lens_fn's return, truncated to lmax
     assert out["total"].shape == (lmax + 1, 4)
-    assert np.isfinite(out["total"][2:]).all()
-    assert np.all(out["total"][2:, 2] == 0.0)   # EE=0 -> lensed BB=0
+    np.testing.assert_array_equal(out["total"],
+                                  out["unlensed_scalar"] * 2.0)
+    # lens_fn received the FULL padded unlensed stub + a blended clpp
+    # that is exactly the boltzlite C_phiphi below the blend window
+    assert captured["unl"].shape == (lpad + 1, 4)
+    assert captured["clpp"].shape == (lpad + 1,)
+    np.testing.assert_allclose(captured["clpp"][2:80],
+                               np.full(78, CPP_FAKE), rtol=1e-12)
     # blend: below L=80 the lens potential is the exact (stubbed)
     # boltzlite C_phiphi; above L=130 it is the Limber path exactly
     ells = np.arange(lmax + 1, dtype=np.float64)

@@ -103,21 +103,29 @@ def test_sharded_boltzlite_matches_unsharded():
     # compilation_cache.is_cache_used() latches its decision in process
     # globals on first use, so the cache must be reset AND the enable
     # flag flipped (verified: entries stop being written only with both).
+    # Only the SHARDED executables trigger the segfault, so the
+    # single-device halves run first with the cache untouched (their
+    # warm-cache compiles are most of this test's wall time otherwise).
     from jax._src import compilation_cache as _cc
-    _cc.reset_cache()
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        _sharded_boltzlite_body(jnp, merge_params, bgmod, recomb, bl,
-                                make_mesh, sharded_solve_perturbations,
-                                sharded_cls_from_sources)
-    finally:
-        jax.config.update("jax_enable_compilation_cache", True)
-        _cc.reset_cache()
+
+    class _no_persistent_cache:
+        def __enter__(self):
+            _cc.reset_cache()
+            jax.config.update("jax_enable_compilation_cache", False)
+
+        def __exit__(self, *exc):
+            jax.config.update("jax_enable_compilation_cache", True)
+            _cc.reset_cache()
+
+    _sharded_boltzlite_body(jnp, merge_params, bgmod, recomb, bl,
+                            make_mesh, sharded_solve_perturbations,
+                            sharded_cls_from_sources,
+                            _no_persistent_cache())
 
 
 def _sharded_boltzlite_body(jnp, merge_params, bgmod, recomb, bl,
                             make_mesh, sharded_solve_perturbations,
-                            sharded_cls_from_sources):
+                            sharded_cls_from_sources, no_cache):
     p = merge_params({})
     bg = bgmod.background(p)
     rec = recomb.recombination(bg)
@@ -128,7 +136,9 @@ def _sharded_boltzlite_body(jnp, merge_params, bgmod, recomb, bl,
 
     sol = bl.solve_perturbations(ctx, jnp.asarray(ks), **kw)
     mesh = make_mesh(8, axis_name="k")
-    sol_s = sharded_solve_perturbations(ctx, ks, mesh, **kw)
+    with no_cache:
+        sol_s = sharded_solve_perturbations(ctx, ks, mesh, **kw)
+        np.asarray(sol_s.states)   # materialize inside the guard
     # rtol: CPU XLA vectorizes the RK4 differently for local batch
     # width 2 vs 10 (fma regrouping) -- last-bits only
     st, st_s = np.asarray(sol.states), np.asarray(sol_s.states)
@@ -141,7 +151,9 @@ def _sharded_boltzlite_body(jnp, merge_params, bgmod, recomb, bl,
     ls = np.array([4, 9, 20, 40, 70])          # pads 5 -> 8
     ks_fine = np.linspace(2e-4, 0.95 * 0.02, 300)
     cl = bl.cls_from_sources(src, bg, ls, jnp.asarray(ks_fine))
-    cl_s = sharded_cls_from_sources(src, bg, ls, ks_fine, mesh)
+    with no_cache:
+        cl_s = sharded_cls_from_sources(src, bg, ls, ks_fine, mesh)
+        cl_s = {k: np.asarray(v) for k, v in cl_s.items()}
     for key in ("tt", "ee", "te"):
         np.testing.assert_allclose(np.asarray(cl_s[key]),
                                    np.asarray(cl[key]), rtol=1e-10,
