@@ -34,7 +34,8 @@ from .models.cov import (GaussianCov, knox_cov, bin_annuli,  # noqa: F401,E402
                          pk_cov_ssc, trispectrum_1h_terms, cl_cov_t1h,
                          sigma_b2_disk, cl_cov_ssc)
 from .models.power import (total_matter_power_spectrum,  # noqa: F401,E402
-                           total_matter_galaxy_power_spectrum)
+                           total_matter_galaxy_power_spectrum,
+                           exclusion_correction)
 from .models.profiles import (  # noqa: F401,E402
     duffy_concentration, Fcon, battaglia_gas_fit, rho_nfw, rho_nfw_x,
     rhoscale_nfw, rho_gas, rho_gas_generic, rho_gas_generic_x, P_e,

@@ -435,26 +435,53 @@ class HaloModel(Cosmology):
                                self.rho_matter_z(0.0),
                                self.p["kstar_damping"])
 
+    def exclusion_radius(self):
+        """Bias-weighted mean comoving exclusion radius (nz,) [Mpc]:
+        r_excl(z) = (1+z) * int n b (2 r_vir) dm / int n b dm -- the
+        'two average halos touching' scale for the sharp Baldauf-13
+        exclusion (power.exclusion_correction)."""
+        rvirs = self.rvir(self.ms[None, :], self.zs[:, None])
+        w = self.nzm * self.bh
+        from ..utils.weights import trapz_weights
+        tw = jnp.asarray(trapz_weights(np.log(np.asarray(self.ms))))[None, :]
+        num = jnp.sum(tw * w * self.ms[None, :] * 2.0 * rvirs, axis=-1)
+        den = jnp.sum(tw * w * self.ms[None, :], axis=-1)
+        return (1.0 + self.zs) * num / den
+
     def get_power_2halo(self, name="nfw", name2=None, verbose=False,
-                        b1_in=None, b2_in=None, fnl=None, deltac=1.42):
+                        b1_in=None, b2_in=None, fnl=None, deltac=1.42,
+                        exclusion=None):
         """2-halo spectrum; ``fnl`` threads the scale-dependent bias
         through each leg's mass integral (models/power.py _leg_fnl) —
         EXTENSION: the reference provides bias_fnl only as a free function
-        for manual application (cosmology.py:132-136)."""
+        for manual application (cosmology.py:132-136).
+
+        ``exclusion`` (EXTENSION, no reference analogue): halo-exclusion
+        correction to the 2-halo term (power.exclusion_correction,
+        Baldauf-13 sharp form).  'auto' uses the bias-weighted mean
+        touching radius (self.exclusion_radius()); a scalar or (nz,)
+        array gives the comoving exclusion radius in Mpc directly."""
         del verbose
         t1 = self._tracer(name)
         t2 = t1 if name2 in (None, name) else self._tracer(name2)
         alpha_zk = (self.alpha_fnl(self.zs, self.ks)
                     if fnl is not None else None)
-        return pwr.power_2halo(t1, t2, self.nzm, self.bh, self.ms, self.Pzk,
-                               self.rho_matter_z(0.0), b1_in, b2_in,
-                               fnl=fnl, alpha_zk=alpha_zk, deltac=deltac)
+        p2h = pwr.power_2halo(t1, t2, self.nzm, self.bh, self.ms, self.Pzk,
+                              self.rho_matter_z(0.0), b1_in, b2_in,
+                              fnl=fnl, alpha_zk=alpha_zk, deltac=deltac)
+        if exclusion is not None:
+            r_excl = (self.exclusion_radius()
+                      if isinstance(exclusion, str) and exclusion == "auto"
+                      else exclusion)
+            p2h = p2h + pwr.exclusion_correction(self.ks, p2h, r_excl)
+        return p2h
 
     def get_power(self, name="nfw", name2=None, verbose=False, b1=None,
-                  b2=None, fnl=None, deltac=1.42):
+                  b2=None, fnl=None, deltac=1.42, exclusion=None):
         return (self.get_power_1halo(name, name2)
                 + self.get_power_2halo(name, name2, verbose, b1, b2,
-                                       fnl=fnl, deltac=deltac))
+                                       fnl=fnl, deltac=deltac,
+                                       exclusion=exclusion))
 
     # ---- bispectra (extension beyond the reference; models/bispectrum.py) ----
     def _b2_grid(self, include_b2):

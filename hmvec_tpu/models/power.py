@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -275,6 +276,64 @@ def power_total(tracer1, tracer2, nzm, bh, ms, ks, pzk_lin, rho_matter0,
                         kstar_damping, fast_assembly)
             + power_2halo(tracer1, tracer2, nzm, bh, ms, pzk_lin,
                           rho_matter0, b1_in, b2_in, fast_assembly))
+
+
+def exclusion_correction(ks, p2h_zk, r_excl_z):
+    """Halo-exclusion correction to the 2-halo term (EXTENSION -- the
+    reference has no exclusion; its 2-halo term overcounts pairs closer
+    than the halos' own sizes at k ~ 0.1-10/Mpc).
+
+    Baldauf et al 2013 sharp exclusion: 1 + xi_excl(r) =
+    (1 + xi_2h(r)) theta(r - R), so in Fourier space
+
+        P_excl(k) = P_2h(k) - 4 pi int_0^R (1 + xi_2h(r)) j0(kr) r^2 dr.
+
+    The '1' piece is the analytic top-hat, -V_R 3 j1(kR)/(kR); the xi
+    piece is a FINITE integral evaluated directly on the FFTLog xi grid
+    (one masked (nz,nr) x (nr,nk) matmul -- MXU-shaped, no second
+    FFTLog, so the caller's k grid is preserved exactly).  xi_2h comes
+    from ops.fftlog.correlation_function of p2h_zk itself, so ``ks``
+    should span a wide log range (the BASELINE 1e-4..100 grid is ample);
+    exclusion is physical only where 1 + xi >= 0, i.e. for R not deep
+    inside the nonlinear 1-halo regime.
+
+    ks: (nk,) log-spaced; p2h_zk: (nz, nk); r_excl_z: scalar or (nz,)
+    COMOVING exclusion radius [Mpc].  Returns Delta P (nz, nk) to ADD to
+    the 2-halo term (negative at low k: the excluded volume removes
+    pairs).  jit/grad-safe incl. through r_excl_z.
+    """
+    from ..ops.fftlog import correlation_function
+
+    ks = jnp.asarray(ks)
+    p2h_zk = jnp.asarray(p2h_zk)
+    rz = jnp.atleast_1d(jnp.asarray(r_excl_z, dtype=jnp.float64))[:, None]
+
+    rs, xi = correlation_function(ks, p2h_zk)      # (nr,), (nz, nr)
+    rs = jnp.asarray(rs)
+    # log-trapz weights on the xi grid, masked to r < R (the grid is
+    # log-uniform, so dr = r dlnr); smooth in r_excl via the sharp mask
+    # (the integrand is bounded there, so grads flow through xi and R^3)
+    dlnr = jnp.log(rs[1] / rs[0])
+    w = jnp.full(rs.shape, dlnr)
+    w = w.at[0].set(0.5 * dlnr).at[-1].set(0.5 * dlnr)
+    # logistic edge of width ~ half a grid cell instead of a sharp mask:
+    # centers the quadrature edge on R independent of grid registration
+    # AND carries the d/dR edge term (-4 pi (1+xi(R)) j0(kR) R^2) through
+    # autodiff, which a hard (rs < R) mask would silently drop from the
+    # xi piece
+    mask = jax.nn.sigmoid((jnp.log(rz) - jnp.log(rs)[None, :])
+                          / (0.5 * dlnr))
+    j0_rk = jnp.sinc((rs[:, None] * ks[None, :]) / jnp.pi)   # (nr, nk)
+    # 4 pi int xi j0 r^2 dr = 4 pi sum w r^3 xi j0
+    xi_piece = 4.0 * jnp.pi * ((mask * xi * (w * rs**3)[None, :]) @ j0_rk)
+    x = rz * ks[None, :]
+    xs = jnp.where(x > 1e-8, x, 1.0)
+    tophat = jnp.where(
+        x > 1e-8,
+        3.0 * (jnp.sin(xs) - xs * jnp.cos(xs)) / xs**3,
+        1.0 - x * x / 10.0)
+    vol_piece = (4.0 * jnp.pi / 3.0) * rz**3 * tophat
+    return -(xi_piece + vol_piece)
 
 
 def total_matter_power_spectrum(omch2, ombh2, Pnn, Pne, Pee):
