@@ -304,6 +304,12 @@ def exclusion_correction(ks, p2h_zk, r_excl_z):
     """
     from ..ops.fftlog import correlation_function
 
+    ks_np = np.asarray(ks)
+    dln = np.diff(np.log(ks_np))
+    if not np.allclose(dln, dln[0], rtol=1e-6):
+        raise ValueError(
+            "exclusion_correction needs a log-uniform k grid (the xi "
+            "table comes from FFTLog); got non-uniform dlnk")
     ks = jnp.asarray(ks)
     p2h_zk = jnp.asarray(p2h_zk)
     rz = jnp.atleast_1d(jnp.asarray(r_excl_z, dtype=jnp.float64))[:, None]
