@@ -71,6 +71,21 @@ def main():
     cyc = np.asarray(hcos.get_power("cib545", "y"))
     print("CIB x y power finite:", bool(np.all(np.isfinite(cyc))))
 
+    # --- halo exclusion: 2-halo suppression at quasi-linear k ---
+    p2h = np.asarray(hcos.get_power_2halo("nfw"))
+    p2x = np.asarray(hcos.get_power_2halo("nfw", exclusion="auto"))
+    kq = np.argmin(np.abs(ks - 0.5))
+    print("halo exclusion at k=0.5 (auto radius %.2f Mpc): P2h x %.4f"
+          % (float(np.asarray(hcos.exclusion_radius())[0]),
+             p2x[0, kq] / p2h[0, kq]))
+
+    # --- lognormal concentration scatter: 1-halo tail boost ---
+    hcos.add_nfw_profile("nfw_sc", conc_scatter=0.35)
+    psc = np.asarray(hcos.get_power("nfw_sc"))
+    p00 = np.asarray(hcos.get_power("nfw"))
+    print("conc scatter sigma_lnc=0.35: P(k=%.0f) x %.3f"
+          % (ks[-1], psc[0, -1] / p00[0, -1]))
+
 
 if __name__ == "__main__":
     main()
