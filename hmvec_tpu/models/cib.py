@@ -120,15 +120,21 @@ def cib_satellite_luminosity(ms, zs, nu_ghz, params):
     return jnp.einsum("s,sm,zs->zm", w, nsub, lsub)
 
 
-def build_cib_tracer(ms, zs, nu_ghz, us, params=None):
-    """CIBTracer (fc, fs, us) at one observed frequency [GHz]."""
+def build_cib_tracer(ms, zs, nu_ghz, us, params=None, us2=None):
+    """CIBTracer (fc, fs, us) at one observed frequency [GHz].
+
+    ``us2``: <u^2> of a concentration-scattered satellite profile (pass
+    the SAME array object to every frequency built on one registered
+    profile so the same-halo pair term recognizes the shared
+    realization; see power._cib_square_term)."""
     from .power import CIBTracer
     p = dict(default_cib_params)
     if params:
         p.update({k: v for k, v in params.items() if k in default_cib_params})
     fc = cib_luminosity(ms, zs, nu_ghz, p) / (4.0 * jnp.pi)
     fs = cib_satellite_luminosity(ms, zs, nu_ghz, p) / (4.0 * jnp.pi)
-    return CIBTracer(fc=fc, fs=fs, us=jnp.asarray(us))
+    return CIBTracer(fc=fc, fs=fs, us=jnp.asarray(us),
+                     us2=None if us2 is None else jnp.asarray(us2))
 
 
 def mean_emissivity(nzm, ms, tracer):

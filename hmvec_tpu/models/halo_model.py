@@ -193,6 +193,7 @@ class HaloModel(Cosmology):
         else:
             uk = _nfw_uk_analytic_j(self.ks, self.zs, cs, rss)
         self.uk_profiles[name] = uk
+        self.uk2_profiles.pop(name, None)  # re-registration drops scatter
         return self.ks, uk
 
     def add_einasto_profile(self, name, alpha=0.18, nxs=None, xmax=None,
@@ -218,6 +219,7 @@ class HaloModel(Cosmology):
             lambda x: prof.rho_einasto_x(x, alpha=alpha)[None, None, :],
             cs, rss, self.zs, self.ks, xmax, nxs)
         self.uk_profiles[name] = uk
+        self.uk2_profiles.pop(name, None)
         return self.ks, uk
 
     def _m200critz(self):
@@ -267,6 +269,7 @@ class HaloModel(Cosmology):
         _, uk = generic_profile_fft(rhofunc, cgs, rgs, self.zs, self.ks,
                                     xmax, nxs)
         self.uk_profiles[name] = uk
+        self.uk2_profiles.pop(name, None)
         return self.ks, uk
 
     def add_battaglia_pres_profile(self, name, family=None,
@@ -374,7 +377,8 @@ class HaloModel(Cosmology):
             return pwr.HODTracer(
                 Nc=h["Nc"], Ns=h["Ns"], NsNsm1=h["NsNsm1"], NcNs=h["NcNs"],
                 ngal=h["ngal"], bg=h["bg"],
-                us=self.uk_profiles[h["satellite_profile"]], uc=uc)
+                us=self.uk_profiles[h["satellite_profile"]], uc=uc,
+                us2=self.uk2_profiles.get(h["satellite_profile"]))
         if name in self.uk_profiles:
             return pwr.MatterTracer(uk=self.uk_profiles[name],
                                     uk2=self.uk2_profiles.get(name))
@@ -399,7 +403,8 @@ class HaloModel(Cosmology):
             assert name not in self.cib_tracers, "Tracer name already exists."
         us = self.uk_profiles[satellite_profile]
         self.cib_tracers[name] = cibm.build_cib_tracer(
-            self.ms, self.zs, nu_ghz, us, params=param_override)
+            self.ms, self.zs, nu_ghz, us, params=param_override,
+            us2=self.uk2_profiles.get(satellite_profile))
         return self.cib_tracers[name]
 
     def get_cib_mean_emissivity(self, name):
@@ -470,9 +475,14 @@ class HaloModel(Cosmology):
                               self.rho_matter_z(0.0), b1_in, b2_in,
                               fnl=fnl, alpha_zk=alpha_zk, deltac=deltac)
         if exclusion is not None:
-            r_excl = (self.exclusion_radius()
-                      if isinstance(exclusion, str) and exclusion == "auto"
-                      else exclusion)
+            if isinstance(exclusion, str):
+                if exclusion != "auto":
+                    raise ValueError(
+                        f"exclusion: unknown option {exclusion!r} "
+                        "(use 'auto', a radius in Mpc, or an (nz,) array)")
+                r_excl = self.exclusion_radius()
+            else:
+                r_excl = exclusion
             p2h = p2h + pwr.exclusion_correction(self.ks, p2h, r_excl)
         return p2h
 

@@ -263,7 +263,10 @@ def simple_f_nu_tinker2008(nu, delta=200.0, zs=None):
     sigma = DELTAC / nu
     A, a, b, c = tinker2008_params(delta)
     if zs is not None:
-        zp1 = 1.0 + jnp.asarray(zs)
+        # clamp like the adjacent Tinker-2010 path (tinker.py:53): the
+        # paper calibrates the evolution only to z ~ 2.5, so freeze the
+        # parameters beyond z = 3 rather than extrapolate the power laws
+        zp1 = 1.0 + jnp.minimum(jnp.asarray(zs), 3.0)
         A = A * zp1**-0.14
         a = a * zp1**-0.06
         al = 10.0 ** (-((0.75 / jnp.log10(jnp.asarray(delta) / 75.0))

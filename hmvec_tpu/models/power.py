@@ -47,7 +47,11 @@ class CIBTracer(NamedTuple):
     models/cib.cib_cls."""
     fc: jnp.ndarray       # (nz, nm)
     fs: jnp.ndarray       # (nz, nm)
-    us: jnp.ndarray       # (nz, nm, nk) satellite profile
+    us: jnp.ndarray       # (nz, nm, nk) satellite profile (<u> if scattered)
+    # <u^2> when the satellite profile carries concentration scatter:
+    # the same-halo satellite-satellite pair term averages u^2 over the
+    # one realized concentration, not <u>^2 (Jensen)
+    us2: Optional[jnp.ndarray] = None
 
 
 class HODTracer(NamedTuple):
@@ -57,8 +61,9 @@ class HODTracer(NamedTuple):
     NcNs: jnp.ndarray     # (nz, nm)
     ngal: jnp.ndarray     # (nz,)
     bg: jnp.ndarray       # (nz,)
-    us: jnp.ndarray       # (nz, nm, nk) satellite profile
+    us: jnp.ndarray       # (nz, nm, nk) satellite profile (<u> if scattered)
     uc: Optional[jnp.ndarray] = None  # central profile (None -> 1)
+    us2: Optional[jnp.ndarray] = None  # <u^2> under conc scatter (see CIB)
 
 
 def _mass_weights(ms):
@@ -88,11 +93,16 @@ def _cast(x, dt):
 
 
 def _hod_square_term(t: HODTracer, dt=None):
-    """(2 uc us <NcNs> + <Ns(Ns-1)> us^2)/ngal^2 (hmvec.py:477-479)."""
+    """(2 uc us <NcNs> + <Ns(Ns-1)> us^2)/ngal^2 (hmvec.py:477-479).
+
+    Under concentration scatter the satellite-satellite pair sits in ONE
+    realized halo, so us^2 means <u^2> (t.us2), while the central x
+    satellite term is linear in the satellite profile and keeps <u>."""
     uc = 1.0 if t.uc is None else _cast(t.uc, dt)
     us = _cast(t.us, dt)
+    us_sq = us**2 if t.us2 is None else _cast(t.us2, dt)
     return ((2.0 * uc * us * _cast(t.NcNs, dt)[..., None]
-             + _cast(t.NsNsm1, dt)[..., None] * us**2)
+             + _cast(t.NsNsm1, dt)[..., None] * us_sq)
             / _cast(t.ngal, dt)[..., None, None] ** 2)
 
 
@@ -132,11 +142,20 @@ def _cib_term(t: CIBTracer, lowklim=False, dt=None):
 def _cib_square_term(t1: CIBTracer, t2: CIBTracer, dt=None):
     """1-halo CIB pair term fc1 fs2 u2 + fc2 fs1 u1 + fs1 fs2 u1 u2 --
     the central self-pair (fc1 fc2, a pure shot-noise delta) is excluded
-    by convention, exactly as in the HOD 1-halo structure."""
+    by convention, exactly as in the HOD 1-halo structure.
+
+    Concentration scatter: when both tracers carry the SAME <u^2> array
+    (two frequencies built on one registered scattered profile -- the
+    same concentration realization per halo), the satellite-satellite
+    term uses <u^2>; distinct profiles keep the product of means."""
     u1, u2 = _cast(t1.us, dt), _cast(t2.us, dt)
     fc1, fs1 = _cast(t1.fc, dt)[..., None], _cast(t1.fs, dt)[..., None]
     fc2, fs2 = _cast(t2.fc, dt)[..., None], _cast(t2.fs, dt)[..., None]
-    return fc1 * fs2 * u2 + fc2 * fs1 * u1 + fs1 * fs2 * u1 * u2
+    if t1.us2 is not None and (t1.us2 is t2.us2):
+        u1u2 = _cast(t1.us2, dt)
+    else:
+        u1u2 = u1 * u2
+    return fc1 * fs2 * u2 + fc2 * fs1 * u1 + fs1 * fs2 * u1u2
 
 
 def _term(tracer, ms, rho_matter0, lowklim=False, dt=None):
@@ -333,9 +352,12 @@ def exclusion_correction(ks, p2h_zk, r_excl_z):
     # 4 pi int xi j0 r^2 dr = 4 pi sum w r^3 xi j0
     xi_piece = 4.0 * jnp.pi * ((mask * xi * (w * rs**3)[None, :]) @ j0_rk)
     x = rz * ks[None, :]
-    xs = jnp.where(x > 1e-8, x, 1.0)
+    # switch at 1e-4, NOT near the underflow floor: the closed form
+    # loses ~3 eps/x^2 to cancellation (garbage below x ~ 1e-7), while
+    # the x^2 Taylor term is exact to ~1e-18 at x = 1e-4
+    xs = jnp.where(x > 1e-4, x, 1.0)
     tophat = jnp.where(
-        x > 1e-8,
+        x > 1e-4,
         3.0 * (jnp.sin(xs) - xs * jnp.cos(xs)) / xs**3,
         1.0 - x * x / 10.0)
     vol_piece = (4.0 * jnp.pi / 3.0) * rz**3 * tophat

@@ -110,7 +110,7 @@ class TwinHaloModel(TwinCosmology):
             sigma = np.sqrt(s2)
             dl = np.asarray(self._tinker_delta(), dtype=np.float64)
             A, a, b, c = _t_params(_T08_SPL, dl)
-            zp1 = 1.0 + self.zs[:, None]
+            zp1 = 1.0 + np.minimum(self.zs[:, None], 3.0)
             al = 10.0 ** (-((0.75 / np.log10(dl / 75.0)) ** 1.2))
             return (A * zp1**-0.14 * (1.0 + (sigma / (b * zp1**-al)) ** -(a * zp1**-0.06))
                     * np.exp(-c / s2))
@@ -223,6 +223,7 @@ class TwinHaloModel(TwinCosmology):
             return um
         uk = self._nfw_uk_from_c(cs, rvirs)
         self.uk_profiles[name] = uk
+        self.uk2_profiles.pop(name, None)
         return uk
 
     # ---- power ----
@@ -259,9 +260,12 @@ class TwinHaloModel(TwinCosmology):
         if name in self.hods and name2 in self.hods:
             hod = self.hods[name]
             uc = 1.0 if hod["central_profile"] is None else self.uk_profiles[hod["central_profile"]]
-            us = self.uk_profiles[hod["satellite_profile"]]
+            sp = hod["satellite_profile"]
+            us = self.uk_profiles[sp]
+            # conc scatter: the same-halo sat-sat pair carries <u^2>
+            us_sq = self.uk2_profiles[sp] if sp in self.uk2_profiles else us**2
             square = ((2.0 * uc * us * hod["NcNs"][..., None]
-                       + hod["NsNsm1"][..., None] * us**2)
+                       + hod["NsNsm1"][..., None] * us_sq)
                       / hod["ngal"][..., None, None] ** 2)
         elif name in self.pk_profiles and name2 in self.pk_profiles:
             square = self._pressure_term(name) ** 2

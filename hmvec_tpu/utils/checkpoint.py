@@ -41,8 +41,10 @@ def save_halo_model(hm, path: str):
     for name, pk in hm.pk_profiles.items():
         arrays[f"pk__{name}"] = pk
     for name, cib in getattr(hm, "cib_tracers", {}).items():
-        for field in ("fc", "fs", "us"):
-            arrays[f"cib__{name}__{field}"] = getattr(cib, field)
+        for field in ("fc", "fs", "us", "us2"):
+            val = getattr(cib, field)
+            if val is not None:
+                arrays[f"cib__{name}__{field}"] = val
     for name, hod in hm.hods.items():
         for key in ("Nc", "Ns", "NsNsm1", "NcNs", "ngal", "bg"):
             arrays[f"hod__{name}__{key}"] = hod[key]

@@ -80,7 +80,13 @@ def leggauss_cached(n: int):
     else:
         from scipy.special import roots_legendre
         x, w = roots_legendre(n)
-    return np.asarray(x), np.asarray(w)
+    x, w = np.asarray(x), np.asarray(w)
+    # the cache hands out THE SAME arrays on every call: freeze them so
+    # an in-place rescale by any caller cannot corrupt quadrature
+    # process-wide (callers must use out-of-place ops, as they all do)
+    x.flags.writeable = False
+    w.flags.writeable = False
+    return x, w
 
 
 def gauss_legendre(n: int):

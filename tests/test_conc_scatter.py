@@ -85,3 +85,73 @@ def test_grad_wrt_sigma():
 
     g = jax.grad(f)(0.3)
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_reregistration_drops_stale_uk2():
+    """Re-registering a profile WITHOUT conc_scatter must clear the old
+    <u^2> entry, else the 1-halo auto silently stays scattered."""
+    hm = HaloModel(ZS, KS, ms=MS)
+    hm.add_nfw_profile("p", conc_scatter=0.4)
+    assert "p" in hm.uk2_profiles
+    p_sc = np.asarray(hm.get_power_1halo("p"))
+    hm.add_nfw_profile("p", ignore_existing=True)
+    assert "p" not in hm.uk2_profiles
+    p_plain = np.asarray(hm.get_power_1halo("p"))
+    ref = np.asarray(hm.get_power_1halo("nfw"))
+    np.testing.assert_allclose(p_plain, ref, rtol=1e-13)
+    assert p_sc[-1, -1] > p_plain[-1, -1]
+
+
+def test_hod_satellites_use_u2_and_match_twin():
+    """HOD on a conc-scatter satellite profile: the same-halo sat-sat
+    pair term carries <u^2> (Jensen boost at high k) and matches the
+    independent dense-trapz twin."""
+    from hmvec_tpu.twin.halo_ext import TwinHaloModelExt
+
+    ngal = np.full(ZS.size, 1e-4)
+    hm = HaloModel(ZS, KS, ms=MS)
+    hm.add_nfw_profile("nfw_sc", conc_scatter=0.35)
+    hm.add_hod("g", ngal=ngal, satellite_profile_name="nfw_sc")
+    pgg = np.asarray(hm.get_power_1halo("g"))
+
+    tw = TwinHaloModelExt(ZS, KS, ms=MS)
+    tw.add_nfw_profile("nfw_sc", conc_scatter=0.35)
+    tw.add_hod("g", ngal=ngal, satellite_profile_name="nfw_sc")
+    pgg_t = tw.get_power_1halo("g")
+    np.testing.assert_allclose(pgg, pgg_t, rtol=1e-6)
+
+    # Jensen: scattered satellites boost the sat-sat tail vs no scatter
+    hm0 = HaloModel(ZS, KS, ms=MS)
+    hm0.add_hod("g", ngal=ngal)
+    pgg0 = np.asarray(hm0.get_power_1halo("g"))
+    assert pgg[-1, -1] > pgg0[-1, -1]
+
+
+def test_cib_shared_scatter_profile_uses_u2():
+    """Two CIB frequencies on ONE registered scattered profile share the
+    same concentration realization per halo: the sat-sat term carries
+    <u^2> (checked against an inline contraction), and the 1-halo cross
+    exceeds the product-of-means form at high k."""
+    from hmvec_tpu.models import power as pwr
+    from hmvec_tpu.utils.weights import trapz_weights
+
+    hm = HaloModel(ZS, KS, ms=MS)
+    hm.add_nfw_profile("nfw_sc", conc_scatter=0.35)
+    hm.add_cib_tracer("c545", 545.0, satellite_profile="nfw_sc")
+    hm.add_cib_tracer("c217", 217.0, satellite_profile="nfw_sc")
+    t1, t2 = hm._tracer("c545"), hm._tracer("c217")
+    assert t1.us2 is t2.us2 and t1.us2 is not None
+
+    p1h = np.asarray(hm.get_power_1halo("c545", "c217"))
+    uk = np.asarray(hm.uk_profiles["nfw_sc"])
+    uk2 = np.asarray(hm.uk2_profiles["nfw_sc"])
+    fc1, fs1 = np.asarray(t1.fc), np.asarray(t1.fs)
+    fc2, fs2 = np.asarray(t2.fc), np.asarray(t2.fs)
+    square = (fc1[..., None] * fs2[..., None] * uk
+              + fc2[..., None] * fs1[..., None] * uk
+              + fs1[..., None] * fs2[..., None] * uk2)
+    w = trapz_weights(np.asarray(hm.ms))
+    integral = np.einsum("zmk,m->zk", np.asarray(hm.nzm)[..., None] * square, w)
+    damping = 1.0 - np.exp(-((np.asarray(hm.ks)
+                              / hm.p["kstar_damping"]) ** 2))
+    np.testing.assert_allclose(p1h, integral * damping[None, :], rtol=1e-10)

@@ -117,3 +117,10 @@ def test_grad_through_exclusion_radius():
     eps = 1e-3
     fd = float((f(5.0 + eps) - f(5.0 - eps)) / (2.0 * eps))
     assert abs(g / fd - 1.0) < 5e-2, (g, fd)
+
+
+def test_unknown_exclusion_string_raises_clearly():
+    h = HaloModel(ZS, KS, ms=MS)
+    import pytest
+    with pytest.raises(ValueError, match="auto"):
+        h.get_power_2halo("nfw", exclusion="Auto")

@@ -175,3 +175,13 @@ def test_tinker2008_tracks_tinker2010_mass_function():
     sel = (MS[None, :] > 1e12) & (MS[None, :] < 1e15) & (ZS[:, None] < 1.5)
     ratio = n08[np.broadcast_to(sel, n08.shape)] / n10[np.broadcast_to(sel, n10.shape)]
     assert np.all((ratio > 0.5) & (ratio < 2.0)), (ratio.min(), ratio.max())
+
+
+def test_tinker2008_z_evolution_clamps_at_3():
+    """Beyond z = 3 the eq. 5-8 parameter evolution freezes (the paper
+    calibrates to z ~ 2.5; matches the module's Tinker-2010 clamp)."""
+    f5 = np.asarray(mfm.simple_f_nu_tinker2008(2.0, 300.0, zs=5.0))
+    f3 = np.asarray(mfm.simple_f_nu_tinker2008(2.0, 300.0, zs=3.0))
+    np.testing.assert_allclose(f5, f3, rtol=0, atol=0)
+    f2 = np.asarray(mfm.simple_f_nu_tinker2008(2.0, 300.0, zs=2.0))
+    assert not np.allclose(f2, f3)

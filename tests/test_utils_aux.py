@@ -62,3 +62,18 @@ def test_checkpoint_roundtrips_uk2_and_cib(tmp_path):
                                np.asarray(hm.get_power("nfw_sc")), rtol=1e-13)
     np.testing.assert_allclose(np.asarray(hm2.get_power("cib545")),
                                np.asarray(hm.get_power("cib545")), rtol=1e-13)
+
+
+def test_cached_quadrature_nodes_are_frozen():
+    """leggauss_cached hands out the same arrays on every call; they must
+    be read-only so an in-place rescale cannot corrupt quadrature
+    process-wide."""
+    import pytest
+    from hmvec_tpu.utils.weights import leggauss_cached
+    x, w = leggauss_cached(64)
+    with pytest.raises(ValueError):
+        x *= 0.5
+    with pytest.raises(ValueError):
+        w[0] = 0.0
+    x2, _ = leggauss_cached(64)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
