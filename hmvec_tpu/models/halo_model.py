@@ -318,6 +318,46 @@ class HaloModel(Cosmology):
         self.pk_profiles[name] = pk * unit
         return self.ks, self.pk_profiles[name]
 
+    def get_tau_aperture(self, R_ap=None, theta_arcmin=None, family=None,
+                         param_override=None, n_x=256):
+        """Mean aperture Thomson optical depth tau_bar(z, m) of the
+        Battaglia-16 gas density profile (the same profile
+        add_battaglia_profile Fourier-transforms, hmvec.py:188-250)
+        inside a disk of physical radius ``R_ap`` [Mpc] (scalar or
+        per-z), or angular radius ``theta_arcmin`` (R_ap = theta *
+        d_A(z)).  EXTENSION: the pairwise-kSZ forecasting ingredient
+        (models/pairwise.py)."""
+        from .pairwise import tau_aperture_battaglia
+        if (R_ap is None) == (theta_arcmin is None):
+            raise ValueError("pass exactly one of R_ap / theta_arcmin")
+        if family is None:
+            family = self.p["battaglia_gas_family"]
+        pparams = {"battaglia_gas_gamma": self.p["battaglia_gas_gamma"]}
+        pparams.update(battaglia_defaults[family])
+        pparams = scoped_override(
+            pparams, param_override,
+            set(pparams) | set(battaglia_defaults[family]), strict=False)
+        m200, r200, rhocritz = self._m200critz()
+        rvirs = self.rvir(self.ms[None, :], self.zs[:, None])
+        cmax = rvirs / (r200 / 2.0)   # truncate at r = rvir, like the FFT
+        if R_ap is None:
+            dA = self.angular_diameter_distance(self.zs)
+            R_ap = (theta_arcmin * np.pi / (180.0 * 60.0)) * dA
+        omb = self.p["ombh2"] / self.h**2
+        return tau_aperture_battaglia(
+            self.zs, m200, r200, cmax, rhocritz, omb, self.omm0, R_ap,
+            pparams["battaglia_gas_gamma"], pparams, n_x=n_x)
+
+    def get_tau_mean_hod(self, hod_name, tau_zm):
+        """HOD-weighted sample-mean of a per-halo quantity:
+        <q>(z) = int dm n(z,m) (Nc+Ns) q(z,m) / ngal(z)  (the galaxy
+        aperture optical depth when q = get_tau_aperture output)."""
+        from ..utils.weights import trapz_weights
+        h = self.hods[hod_name]
+        tw = jnp.asarray(trapz_weights(np.asarray(self.ms)))
+        num = (self.nzm * (h["Nc"] + h["Ns"]) * jnp.asarray(tau_zm)) @ tw
+        return num / h["ngal"]
+
     # ---- HOD (hmvec.py:357-466) ----
     def add_hod(self, name, mthresh=None, ngal=None, corr="max",
                 satellite_profile_name="nfw", central_profile_name=None,

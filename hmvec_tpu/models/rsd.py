@@ -108,14 +108,19 @@ def correlation_multipoles(ks, pk_ells):
     return ss, out
 
 
-def mean_pairwise_velocity(ks, pk, f, aH):
-    """Linear-theory mean pairwise (infall) velocity
+def mean_pairwise_velocity(ks, pk, f, aH, b=1.0):
+    """Linear-theory mean pairwise (infall) velocity of tracers with
+    linear bias b:
 
-        v12(r) = -(2/3) f (aH) r  xibar(r) / (1 + xi(r)),
+        v12(r) = -(2/3) f (aH) r  b xibar(r) / (1 + b^2 xi(r)),
 
     with xibar(r) = (3/r^3) int_0^r xi(s) s^2 ds evaluated spectrally:
     int_0^r j0(ks) s^2 ds = r^2 j1(kr)/k, so
     xibar(r) = (3 / (2 pi^2 r)) int dk k P(k) j1(kr).
+    (pk is the MATTER power; the numerator carries one tracer bias from
+    the density-velocity cross, the denominator the tracer pair weight
+    b^2 xi -- the standard halo pairwise-velocity form, e.g. Sheth et
+    al 2001 eq 17 linearized.)  b = 1 is the matter v12.
 
     aH: conformal H = a H(z) in km/s/Mpc -> v12 in km/s (r comoving Mpc).
     Returns (rs, v12) on the FFTLog reciprocal grid.  This is the
@@ -132,6 +137,6 @@ def mean_pairwise_velocity(ks, pk, f, aH):
     _, F1 = fftlog_sphbessel_jl(pk / jnp.asarray(ks), ks, 1,
                                 lnkr=fftlog_lnkr(ks, mu=0.5))
     xibar = 3.0 * F1 / (2.0 * jnp.pi**2) / jnp.asarray(np.asarray(rs))
-    v12 = -(2.0 / 3.0) * f * aH * jnp.asarray(np.asarray(rs)) * xibar \
-        / (1.0 + xi)
+    v12 = -(2.0 / 3.0) * f * aH * jnp.asarray(np.asarray(rs)) * b * xibar \
+        / (1.0 + b**2 * xi)
     return rs, v12
