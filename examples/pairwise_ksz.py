@@ -41,3 +41,8 @@ for r, t, s in zip(rc, T, sig):
     print(f"   {r:7.1f}   {t:12.4f}   {s:11.4f}")
 print(f"\ntotal pairwise-kSZ SNR (z={zs[1]:.2f} slice): "
       f"{float(out['snr']):.1f}")
+
+# mean Compton-y monopole of the same halo population (FIRAS bound 1.5e-5)
+ybar = float(hm.get_mean_compton_y())
+print(f"\nmean Compton-y monopole <y> = {ybar:.2e} "
+      f"(z in [{zs[0]}, {zs[-1]}], M in [{ms[0]:.0e}, {ms[-1]:.0e}])")

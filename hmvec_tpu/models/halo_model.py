@@ -318,6 +318,47 @@ class HaloModel(Cosmology):
         self.pk_profiles[name] = pk * unit
         return self.ks, self.pk_profiles[name]
 
+    def get_mean_compton_y(self, family=None, param_override=None,
+                           n_x=512):
+        """Sky-averaged Compton-y monopole (tSZ mean distortion, the
+        COBE/FIRAS observable):
+
+            <y> = int dz int dm n(z, m) u_y(z, m, k -> 0),
+
+        exact in this package's y-profile conventions: u_y(k->0) =
+        sigma_T/(m_e c^2) (1+z)^2/H(z) * int 4 pi r^2 P_e dr (physical
+        thermal-energy integral) -- the same weights that make
+        C_yy = int dz H P_yy / chi^2 (limber.py).  The k->0 limit is
+        computed EXACTLY (models/pairwise.compton_y_k0_battaglia); the
+        registered FFT profile flat-extrapolates below its output-grid
+        floor ~0.3/Mpc (reference fft.py semantics) and would be ~5%
+        low.  EXTENSION: the reference computes C_yy but not the
+        monopole.  Usual halo-model caveat: the mass/z integration is
+        limited to this instance's grid (no diffuse/unbound gas).
+        """
+        from ..utils.weights import trapz_weights
+        from .pairwise import compton_y_k0_battaglia
+        if family is None:
+            family = self.p["battaglia_pres_family"]
+        pparams = {"battaglia_pres_gamma": self.p["battaglia_pres_gamma"],
+                   "battaglia_pres_alpha": self.p["battaglia_pres_alpha"]}
+        pparams.update(battaglia_defaults[family])
+        pparams = scoped_override(
+            pparams, param_override,
+            set(pparams) | set(battaglia_defaults[family]), strict=False)
+        m200, r200, rhocritz = self._m200critz()
+        rvirs = self.rvir(self.ms[None, :], self.zs[:, None])
+        cmax = rvirs / r200        # pressure x = r/R200, truncated at rvir
+        omb = self.p["ombh2"] / self.h**2
+        uy0 = compton_y_k0_battaglia(
+            self.zs, m200, r200, cmax, rhocritz, omb, self.omm0,
+            pparams["battaglia_pres_alpha"],
+            pparams["battaglia_pres_gamma"], pparams,
+            self.h_of_z(self.zs), n_x=n_x)
+        tw_m = jnp.asarray(trapz_weights(np.asarray(self.ms)))
+        tw_z = jnp.asarray(trapz_weights(np.asarray(self.zs)))
+        return ((self.nzm * uy0) @ tw_m) @ tw_z
+
     def get_tau_aperture(self, R_ap=None, theta_arcmin=None, family=None,
                          param_override=None, n_x=256):
         """Mean aperture Thomson optical depth tau_bar(z, m) of the

@@ -150,6 +150,42 @@ def electron_count_total_battaglia(zs, m200, r200, cmax, rhocritz, omb,
     return tau * jnp.pi * big**2 / sigma_T_mpc2
 
 
+def compton_y_k0_battaglia(zs, m200, r200, cmax, rhocritz, omb, omm,
+                           alpha, gamma, fit_params, hz, n_x=512):
+    """Exact k -> 0 limit of the y-weighted Battaglia pressure profile,
+
+        u_y(0) = 4 pi sigma_T/(m_e c^2) r200^3 (1+z)^2 / H(z)
+                 * int_0^cmax x^2 P_e(x) dx,
+
+    by n_x-node Gauss-Legendre per (z, m) (integrand ~ x^(2+gamma),
+    smooth -- spectral convergence).  This is what
+    add_battaglia_pres_profile's u_y(k) tends to as k -> 0, EXCEPT that
+    the FFT path's output grid bottoms out at kt_min/(r200(1+z)) ~
+    0.3/Mpc and flat-extrapolates below (reference fft.py:97-115
+    semantics), which is ~5% low for the largest halos -- the monopole
+    needs the true limit.  Constants match add_battaglia_pres_profile
+    (hmvec.py:313-316).
+    """
+    zs = jnp.asarray(zs)
+    m200 = jnp.asarray(m200)
+    r200 = jnp.asarray(r200)
+    cmax = jnp.asarray(cmax)
+    t_np, w_np = leggauss_cached(n_x)
+    t = jnp.asarray(0.5 * (t_np + 1.0))
+    w = jnp.asarray(0.5 * w_np)
+    xs = cmax[..., None] * t[None, None, :]
+    P = prof.pressure_x(xs, m200[..., None], r200[..., None],
+                        zs[:, None, None], omb, omm,
+                        rhocritz[:, None, None], alpha, gamma, fit_params)
+    I = cmax * jnp.einsum("x,zmx->zm", w, xs**2 * P)
+    sigmaT = 6.6524587321e-29
+    mElect = 9.1093837015e-31 / 1.989e30
+    c_SI = 299792458.0
+    unit = (4.0 * jnp.pi * (sigmaT / (mElect * c_SI**2)) * r200**3
+            * ((1.0 + zs) ** 2 / jnp.asarray(hz))[:, None])
+    return unit * I
+
+
 def pairwise_ksz_signal(ks, pk, f, aH, bg, tau_bar,
                         T_CMB_uK=None):
     """Mean pairwise kSZ temperature signal on the FFTLog r grid:

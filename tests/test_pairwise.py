@@ -210,3 +210,85 @@ def test_tau_jit_grad(hm):
     assert float(g) < 0
     tj = jax.jit(tau_sum)(0.5)
     np.testing.assert_allclose(float(tj), float(tau_sum(0.5)), rtol=1e-12)
+
+
+# ---- mean Compton-y monopole (HaloModel.get_mean_compton_y) ----
+
+def _pres_quad_u_y0(hm, i, j, m200, r200, rhocritz, rvirs):
+    """Independent scipy-quad u_y(k->0) at one (z, m)."""
+    from scipy.integrate import quad as squad
+    from hmvec_tpu.params import battaglia_defaults
+    import hmvec_tpu.twin.halo_ext as the
+    fp = dict(battaglia_defaults["pres"])
+    gamma = hm.p["battaglia_pres_gamma"]
+    alpha = hm.p["battaglia_pres_alpha"]
+    omb = hm.p["ombh2"] / hm.h**2
+    cmax = rvirs[i, j] / r200[i, j]
+
+    def integrand(x):
+        P0 = the.battaglia_fit(m200[i, j], ZS[i], fp["P0_A0"],
+                               fp["P0_alpham"], fp["P0_alphaz"])
+        xc = the.battaglia_fit(m200[i, j], ZS[i], fp["xc_A0"],
+                               fp["xc_alpham"], fp["xc_alphaz"])
+        beta = the.battaglia_fit(m200[i, j], ZS[i], fp["beta_A0"],
+                                 fp["beta_alpham"], fp["beta_alphaz"])
+        XH = 0.76
+        eFrac = 2.0 * (XH + 1.0) / (5.0 * XH + 3.0)
+        G_newt = 6.67430e-11 / (3.08567758e16 * 1e6) ** 3 * 1.989e30
+        pref = (eFrac * (omb / hm.omm0) * 200.0 * m200[i, j] * G_newt
+                * rhocritz[i] / (2.0 * r200[i, j]) * P0)
+        shape = (x / xc) ** gamma * (1.0 + (x / xc) ** alpha) ** (-beta)
+        return x**2 * pref * shape
+
+    I, _ = squad(integrand, 0.0, cmax, limit=400)
+    sigmaT = 6.6524587321e-29
+    mElect = 9.1093837015e-31 / 1.989e30
+    c_SI = 299792458.0
+    hz = np.asarray(hm.h_of_z(hm.zs))
+    unit = (4.0 * np.pi * (sigmaT / (mElect * c_SI**2))
+            * r200[i, j] ** 3 * (1.0 + ZS[i]) ** 2 / hz[i])
+    return unit * I
+
+
+def test_mean_compton_y(hm):
+    """Exact u_y(k->0) vs scipy quad, the FFT profile's flat-floor bias
+    claim, and the FIRAS-scale magnitude envelope."""
+    from hmvec_tpu.models.pairwise import compton_y_k0_battaglia
+    from hmvec_tpu.params import battaglia_defaults
+
+    m200, r200, rhocritz = hm._m200critz()
+    m200 = np.asarray(m200); r200 = np.asarray(r200)
+    rhocritz = np.asarray(rhocritz)
+    rvirs = np.asarray(hm.rvir(hm.ms[None, :], hm.zs[:, None]))
+
+    fp = dict(battaglia_defaults["pres"])
+    fp["battaglia_pres_gamma"] = hm.p["battaglia_pres_gamma"]
+    fp["battaglia_pres_alpha"] = hm.p["battaglia_pres_alpha"]
+    uy0 = np.asarray(compton_y_k0_battaglia(
+        ZS, m200, r200, rvirs / r200, rhocritz,
+        hm.p["ombh2"] / hm.h**2, hm.omm0,
+        fp["battaglia_pres_alpha"], fp["battaglia_pres_gamma"], fp,
+        np.asarray(hm.h_of_z(hm.zs))))
+
+    # 1. exact limit vs independent adaptive quad
+    for (i, j) in [(0, 4), (2, 10), (1, 11)]:
+        ref = _pres_quad_u_y0(hm, i, j, m200, r200, rhocritz, rvirs)
+        np.testing.assert_allclose(uy0[i, j], ref, rtol=1e-7)
+
+    # 2. the registered FFT profile at its smallest k is BELOW the true
+    # k->0 limit (flat floor at kt_min/(r200(1+z)), documented) but
+    # within ~10%
+    hm.add_battaglia_pres_profile("y", family="pres", nxs=3000, xmax=8)
+    uy_fft = np.asarray(hm.pk_profiles["y"])[:, :, 0]
+    ratio = uy_fft / uy0
+    assert np.all(ratio < 1.0 + 1e-6)
+    assert np.all(ratio > 0.9)
+
+    # 3. magnitude: halo-model <y> on this (coarse) grid sits at the
+    # 1e-7..1e-5 scale, below the FIRAS bound 1.5e-5
+    mean_j = float(hm.get_mean_compton_y())
+    assert 1e-8 < mean_j < 1.5e-5
+
+    # 4. mean equals the explicit trapz of the exact-u_y0 grid
+    exp = np.trapz(np.trapz(np.asarray(hm.nzm) * uy0, MS, axis=1), ZS)
+    np.testing.assert_allclose(mean_j, exp, rtol=1e-10)
