@@ -57,6 +57,17 @@ def main():
     g = jax.grad(lnp)(jnp.asarray(3.13))
     print("d ln P / d A_bary (k=5, z=0): %.4f" % float(g))
 
+    # one-loop SPT (models/spt.py): the perturbative tier, vs linear and
+    # HMcode on quasi-linear scales
+    ks_pt = np.geomspace(0.02, 0.3, 8)
+    p_1l = np.asarray(c.P_mm_1loop(zs, ks_pt))
+    p_lin = np.asarray(c.P_lin(jnp.asarray(ks_pt), zs))
+    p_hm = np.asarray(hmcode_power(c, zs, ks_pt))
+    print("\none-loop SPT / linear (z=0):",
+          np.round((p_1l / p_lin)[0], 3))
+    print("one-loop SPT / HMcode (z=1, k<=0.3):",
+          np.round((p_1l / p_hm)[1], 3))
+
 
 if __name__ == "__main__":
     main()

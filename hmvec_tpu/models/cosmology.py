@@ -226,6 +226,28 @@ class Cosmology:
         finally:
             self.halofit = old
 
+    def P_mm_1loop(self, zs, ks, n_q=512, n_x=256, n_q13=1024,
+                   qmin=1e-4, qmax=1e2):
+        """One-loop SPT matter power P_lin + P22 + P13 (models/spt.py)
+        on (zs, ks) -- the perturbative nonlinear tier complementary to
+        halofit/HMcode, valid at k <~ 0.2-0.3/Mpc.  EXTENSION: the
+        reference has no perturbation theory.  The loop integrals are
+        evaluated once at z = 0 and scaled by D(z)^4, exact within the
+        same EdS-kernel approximation as F2/F3."""
+        from . import spt
+        zs = np.atleast_1d(zs)
+        ks = jnp.asarray(ks)
+        ks_tab = np.geomspace(1e-5, 1e3, 1200)
+        pk0 = self.P_lin(jnp.asarray(ks_tab), np.array([0.0]))[0]
+        loops0 = (spt.p22(ks, ks_tab, pk0, n_q=n_q, n_x=n_x,
+                          qmin=qmin, qmax=qmax)
+                  + spt.p13(ks, ks_tab, pk0, n_q=n_q13,
+                            qmin=qmin, qmax=qmax))
+        Plin = self.P_lin(ks, zs)
+        D = self.D_growth(1.0 / (1.0 + jnp.asarray(zs)))
+        D0 = self.D_growth(jnp.asarray(1.0))
+        return Plin + ((D / D0) ** 4)[:, None] * loops0[None, :]
+
     def get_pk_interpolator(self, zs, kmax, var="weyl", nonlinear=False,
                             return_z_k=False, k_per_logint=None,
                             log_interp=True, extrap_kmax=None):
