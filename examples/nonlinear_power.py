@@ -67,6 +67,10 @@ def main():
           np.round((p_1l / p_lin)[0], 3))
     print("one-loop SPT / HMcode (z=1, k<=0.3):",
           np.round((p_1l / p_hm)[1], 3))
+    # IR resummation: damps the spurious undamped SPT BAO wiggles
+    p_ir = np.asarray(c.P_mm_1loop(zs, ks_pt, ir_resum=True))
+    print("IR-resummed / plain 1-loop (z=0):",
+          np.round((p_ir / p_1l)[0], 4))
 
 
 if __name__ == "__main__":

@@ -227,26 +227,46 @@ class Cosmology:
             self.halofit = old
 
     def P_mm_1loop(self, zs, ks, n_q=512, n_x=256, n_q13=1024,
-                   qmin=1e-4, qmax=1e2):
+                   qmin=1e-4, qmax=1e2, ir_resum=False):
         """One-loop SPT matter power P_lin + P22 + P13 (models/spt.py)
         on (zs, ks) -- the perturbative nonlinear tier complementary to
         halofit/HMcode, valid at k <~ 0.2-0.3/Mpc.  EXTENSION: the
         reference has no perturbation theory.  The loop integrals are
         evaluated once at z = 0 and scaled by D(z)^4, exact within the
-        same EdS-kernel approximation as F2/F3."""
+        same EdS-kernel approximation as F2/F3.
+
+        ir_resum=True applies the NLO leading-wiggle IR resummation
+        (spt.p1loop_ir: wiggles split against the EH98 zero-baryon
+        template and damped by e^{-k^2 Sigma^2(z)}; Sigma^2 scales as
+        D^2).  The z-scaling then evaluates the full resummed
+        expression per z (the damping is not a D^4 overall factor)."""
         from . import spt
+        from . import linear_power as lpm
+        from .transfer import _eh_scales
         zs = np.atleast_1d(zs)
         ks = jnp.asarray(ks)
         ks_tab = np.geomspace(1e-5, 1e3, 1200)
-        pk0 = self.P_lin(jnp.asarray(ks_tab), np.array([0.0]))[0]
-        loops0 = (spt.p22(ks, ks_tab, pk0, n_q=n_q, n_x=n_x,
-                          qmin=qmin, qmax=qmax)
-                  + spt.p13(ks, ks_tab, pk0, n_q=n_q13,
-                            qmin=qmin, qmax=qmax))
-        Plin = self.P_lin(ks, zs)
-        D = self.D_growth(1.0 / (1.0 + jnp.asarray(zs)))
-        D0 = self.D_growth(jnp.asarray(1.0))
-        return Plin + ((D / D0) ** 4)[:, None] * loops0[None, :]
+        if not ir_resum:
+            pk0 = self.P_lin(jnp.asarray(ks_tab), np.array([0.0]))[0]
+            loops0 = (spt.p22(ks, ks_tab, pk0, n_q=n_q, n_x=n_x,
+                              qmin=qmin, qmax=qmax)
+                      + spt.p13(ks, ks_tab, pk0, n_q=n_q13,
+                                qmin=qmin, qmax=qmax))
+            Plin = self.P_lin(ks, zs)
+            D = self.D_growth(1.0 / (1.0 + jnp.asarray(zs)))
+            D0 = self.D_growth(jnp.asarray(1.0))
+            return Plin + ((D / D0) ** 4)[:, None] * loops0[None, :]
+        sc = _eh_scales(self.bg)
+        ell_bao = float(sc["sh_d"] / sc["h"])
+        tmpl = lpm.plin_approx(self.bg, np.array([0.0]),
+                               jnp.asarray(ks_tab), "eisenhu",
+                               growth_mode=self.growth_mode)[0]
+        pk_z = self.P_lin(jnp.asarray(ks_tab), zs)        # (nz, nkt)
+        rows = [spt.p1loop_ir(ks, ks_tab, pk_z[i], tmpl, ell_bao,
+                              n_q=n_q, n_x=n_x, n_q13=n_q13,
+                              qmin=qmin, qmax=qmax)
+                for i in range(len(zs))]
+        return jnp.stack(rows, axis=0)
 
     def get_pk_interpolator(self, zs, kmax, var="weyl", nonlinear=False,
                             return_z_k=False, k_per_logint=None,

@@ -182,6 +182,83 @@ def p22(ks, ks_tab, pk_tab, n_q=512, n_x=256, qmin=None, qmax=None):
     return ks**3 / (2.0 * jnp.pi**2) * outer
 
 
+def split_wiggle(ks_tab, pk_tab, pk_nw_template, sigma_lnk=0.25):
+    """(P_nw, P_w = P - P_nw): template-ratio Gaussian smoothing in
+    ln k -- the HMcode-2020 dewiggle construction (models/hmcode.py:71,
+    normalization-invariant, cancels the curvature bias of smoothing
+    ln P directly) applied on the caller's table grid.
+    pk_nw_template: any smooth same-broadband template (e.g. the EH98
+    zero-baryon P_lin_approx(type='eisenhu'))."""
+    lnk = np.log(np.asarray(ks_tab))
+    d = lnk[None, :] - lnk[:, None]
+    S = np.exp(-0.5 * (d / sigma_lnk) ** 2)
+    S /= S.sum(axis=1, keepdims=True)
+    lnr = jnp.log(jnp.asarray(pk_tab) / jnp.asarray(pk_nw_template))
+    p_nw = jnp.asarray(pk_nw_template) * jnp.exp(jnp.asarray(S) @ lnr)
+    return p_nw, jnp.asarray(pk_tab) - p_nw
+
+
+def bao_damping_sigma2(ks_tab, pk_nw, ell_bao, ks_sep=0.2, n_q=512):
+    """IR displacement dispersion damping the BAO wiggles
+    (Blas-Garny-Ivanov-Sibiryakov 2016, eq. 3.5):
+
+        Sigma^2 = (1/6 pi^2) int_0^{kS} dq P_nw(q)
+                  [1 - j0(q l_bao) + 2 j2(q l_bao)]   [Mpc^2].
+    """
+    lnk_tab = jnp.log(jnp.asarray(ks_tab))
+    lnp_tab = jnp.log(jnp.asarray(pk_nw))
+    t_np, w_np = leggauss_cached(n_q)
+    lo, hi = np.log(float(np.asarray(ks_tab)[0])), np.log(ks_sep)
+    lnq = jnp.asarray(0.5 * (hi - lo) * (t_np + 1.0) + lo)
+    wq = jnp.asarray(0.5 * (hi - lo) * w_np)
+    q = jnp.exp(lnq)
+    x = q * ell_bao
+    small = x < 1e-2
+    xs = jnp.where(small, 1.0, x)
+    j0 = jnp.where(small, 1.0 - x**2 / 6.0 + x**4 / 120.0,
+                   jnp.sin(xs) / xs)
+    j2 = jnp.where(small, x**2 / 15.0 - x**4 / 210.0,
+                   (3.0 / xs**3 - 1.0 / xs) * jnp.sin(xs)
+                   - 3.0 * jnp.cos(xs) / xs**2)
+    kern = 1.0 - j0 + 2.0 * j2
+    Pq = _pk_eval(lnk_tab, lnp_tab, q)
+    return jnp.sum(wq * q * Pq * kern) / (6.0 * jnp.pi**2)
+
+
+def p1loop_ir(ks, ks_tab, pk_tab, pk_nw_template, ell_bao,
+              ks_sep=0.2, sigma_lnk=0.25, n_q=512, n_x=256, n_q13=1024,
+              qmin=None, qmax=None, return_parts=False):
+    """IR-resummed one-loop power (NLO leading-wiggle resummation,
+    Blas et al 2016 eq. 4.7):
+
+        P_IR = P_nw + e^{-k^2 Sigma^2} (1 + k^2 Sigma^2) P_w
+               + [P22 + P13](P_nw + e^{-k^2 Sigma^2} P_w),
+
+    which damps the BAO wiggles by the large-scale displacement
+    dispersion instead of SPT's spurious undamped oscillations.  With a
+    wiggle-free input (P == template broadband) this reduces EXACTLY to
+    p1loop.  ell_bao: the BAO scale in Mpc (the EH98 drag sound horizon
+    transfer._eh_scales sh_d/h is the natural engine-free choice)."""
+    ks = jnp.asarray(ks)
+    p_nw, p_w = split_wiggle(ks_tab, pk_tab, pk_nw_template, sigma_lnk)
+    Sigma2 = bao_damping_sigma2(ks_tab, p_nw, ell_bao, ks_sep)
+    damp_tab = jnp.exp(-jnp.asarray(ks_tab) ** 2 * Sigma2)
+    p_in = p_nw + damp_tab * p_w
+    loops = (p22(ks, ks_tab, p_in, n_q=n_q, n_x=n_x, qmin=qmin,
+                 qmax=qmax)
+             + p13(ks, ks_tab, p_in, n_q=n_q13, qmin=qmin, qmax=qmax))
+    lnk_tab = jnp.log(jnp.asarray(ks_tab))
+    Pnw_k = _pk_eval(lnk_tab, jnp.log(p_nw), ks)
+    # wiggle part can be negative: interpolate the ratio linearly
+    w_ratio = jnp.interp(jnp.log(ks), lnk_tab, p_w / p_nw)
+    k2S2 = ks**2 * Sigma2
+    P_ir = Pnw_k * (1.0 + jnp.exp(-k2S2) * (1.0 + k2S2) * w_ratio) + loops
+    if return_parts:
+        return P_ir, {"p_nw": Pnw_k, "sigma2": Sigma2, "loops": loops,
+                      "w_ratio": w_ratio}
+    return P_ir
+
+
 def p1loop(ks, ks_tab, pk_tab, n_q=512, n_x=256, n_q13=1024,
            qmin=None, qmax=None, return_parts=False):
     """One-loop SPT matter power: P_lin + P22 + P13 at the table's
