@@ -72,6 +72,15 @@ def main():
     print("IR-resummed / plain 1-loop (z=0):",
           np.round((p_ir / p_1l)[0], 4))
 
+    # quadratic-bias galaxy spectra (b1, b2, bs2 one-loop basis)
+    from hmvec_tpu.models import spt as sptm
+    ks_tab = np.geomspace(1e-5, 1e3, 1200)
+    pk_tab = np.asarray(c.P_lin(jnp.asarray(ks_tab), np.array([0.0])))[0]
+    pgg = np.asarray(sptm.pgg_1loop(ks_pt, ks_tab, pk_tab, b1=2.0,
+                                    b2=0.6))
+    print("P_gg(b1=2, b2=0.6) / b1^2 P_mm (z=0):",
+          np.round(pgg / (4.0 * p_1l[0]), 3))
+
 
 if __name__ == "__main__":
     main()

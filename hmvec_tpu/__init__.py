@@ -62,7 +62,8 @@ from .models.nonlimber import (C_gg_exact, C_kg_exact,  # noqa: F401,E402
                                C_kk_exact, C_gg_hybrid, C_kk_hybrid,
                                bessel_deltas,
                                bessel_deltas_j2pp, bessel_deltas_over_x2)
-from .models.spt import (p1loop, p22, p13)  # noqa: F401,E402
+from .models.spt import (p1loop, p22, p13, p1loop_ir,  # noqa: F401,E402
+                          pt_bias_integrals, pgg_1loop, pgm_1loop)
 from .models.pairwise import (pairwise_ksz_signal,  # noqa: F401,E402
                               pairwise_ksz_errors, get_pairwise_ksz_snr,
                               tau_aperture_battaglia)

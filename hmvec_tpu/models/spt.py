@@ -182,6 +182,130 @@ def p22(ks, ks_tab, pk_tab, n_q=512, n_x=256, qmin=None, qmax=None):
     return ks**3 / (2.0 * jnp.pi**2) * outer
 
 
+def _bias_kernels_panel(ks, lnk_tab, lnp_tab, lnlo, lnhi, tq, wq0, tx,
+                        wx, yfl):
+    """One outer ln-q panel of the five quadratic-bias 2-D integrals
+    I[kern](k) = (1/4 pi^2) int q^2 dq int dx kern P(q) P(|k-q|) with
+    kern in {F2, F2*S2, 1, S2, S2^2}, S2 = mu12^2 - 1/3.  Same geometry
+    and y-substitution as _p22_panel; returns (5, nk)."""
+    lnq = lnlo[:, None] + (lnhi - lnlo)[:, None] * tq[None, :]
+    wq = (lnhi - lnlo)[:, None] * wq0[None, :]
+    q = jnp.exp(lnq)
+    Pq = _pk_eval(lnk_tab, lnp_tab, q)
+    r = (q / jnp.asarray(ks)[:, None])[..., None]
+    ymin = jnp.maximum(jnp.abs(1.0 - r), yfl[:, None, None])
+    lny = jnp.log(ymin) + (jnp.log(1.0 + r) - jnp.log(ymin)) * tx
+    wy = jnp.log((1.0 + r) / ymin) * wx
+    y = jnp.exp(lny)
+    y2 = y**2
+    mu_num = (1.0 - r**2 - y2) / (2.0 * r)
+    mu12 = mu_num / y
+    F2 = (5.0 / 7.0 + mu_num / (2.0 * y) * (r / y + y / r)
+          + 2.0 / 7.0 * mu_num**2 / y2)
+    S2 = mu12**2 - 1.0 / 3.0
+    Pky = _pk_eval(lnk_tab, lnp_tab, jnp.asarray(ks)[:, None, None] * y)
+    base = wy * (y2 / r) * Pky
+    kerns = jnp.stack([F2, F2 * S2, jnp.ones_like(F2), S2, S2**2])
+    inner = jnp.sum(kerns * base[None], axis=-1)           # (5, nk, nq)
+    return jnp.sum((wq * Pq * r[..., 0] ** 3)[None] * inner, axis=-1)
+
+
+def pt_bias_integrals(ks, ks_tab, pk_tab, n_q=512, n_x=256,
+                      qmin=None, qmax=None):
+    """The five quadratic-bias one-loop integrals (McDonald-Roy basis,
+    conventions of Beutler et al 2014 eqs 40-44):
+
+      Pb2_d   = int_q F2(q, k-q) P(q) P(|k-q|)
+      Pbs2_d  = int_q F2 S2 P P
+      Pb22    = (1/2) int_q P(q) [P(|k-q|) - P(q)]
+      Pb2s2   = (1/2) int_q P(q) [S2 P(|k-q|) - (2/3) P(q)]
+      Pbs22   = (1/2) int_q P(q) [S2^2 P(|k-q|) - (4/9) P(q)]
+
+    (int_q = d^3q/(2 pi)^3; S2(q, -q) = 2/3 makes the b22/b2s2/bs22
+    subtractions exact k -> 0 renormalizations -- property-tested).
+    Returns a dict of (nk,) arrays.  Same quadrature design as p22.
+    """
+    ks = jnp.asarray(ks)
+    lnk_tab = jnp.log(jnp.asarray(ks_tab))
+    lnp_tab = jnp.log(jnp.asarray(pk_tab))
+    if qmin is None or qmax is None:
+        d0, d1 = _default_qrange(np.log(np.asarray(ks_tab)))
+        qmin = d0 if qmin is None else qmin
+        qmax = d1 if qmax is None else qmax
+    t_np, w_np = leggauss_cached(n_q // 2)
+    tq = jnp.asarray(0.5 * (t_np + 1.0))
+    wq0 = jnp.asarray(0.5 * w_np)
+    x_np, wx_np = leggauss_cached(n_x)
+    tx = jnp.asarray(0.5 * (x_np + 1.0))
+    wx = jnp.asarray(0.5 * wx_np)
+    lo = jnp.full(ks.shape, np.log(qmin))
+    hi = jnp.full(ks.shape, np.log(qmax))
+    mid = jnp.clip(jnp.log(ks), lo, hi)
+    yfl = qmin / ks
+    I = (_bias_kernels_panel(ks, lnk_tab, lnp_tab, lo, mid, tq, wq0,
+                             tx, wx, yfl)
+         + _bias_kernels_panel(ks, lnk_tab, lnp_tab, mid, hi, tq, wq0,
+                               tx, wx, yfl))
+    I = I * ks[None, :] ** 3 / (4.0 * jnp.pi**2)
+    # the separable renormalization constant int_q P(q)^2
+    #   = (1/2 pi^2) int q^2 P^2 dq  (ln-q Gauss-Legendre)
+    t2, w2 = leggauss_cached(n_q)
+    lnq = jnp.asarray(0.5 * (np.log(qmax) - np.log(qmin)) * (t2 + 1.0)
+                      + np.log(qmin))
+    wq = jnp.asarray(0.5 * (np.log(qmax) - np.log(qmin)) * w2)
+    qq = jnp.exp(lnq)
+    Pq = _pk_eval(lnk_tab, lnp_tab, qq)
+    const = jnp.sum(wq * qq**3 * Pq**2) / (2.0 * jnp.pi**2)
+    return {
+        "Pb2_d": I[0],
+        "Pbs2_d": I[1],
+        "Pb22": 0.5 * (I[2] - const),
+        "Pb2s2": 0.5 * (I[3] - 2.0 / 3.0 * const),
+        "Pbs22": 0.5 * (I[4] - 4.0 / 9.0 * const),
+    }
+
+
+def pgg_1loop(ks, ks_tab, pk_tab, b1, b2, bs2=None, shot=0.0,
+              n_q=512, n_x=256, n_q13=1024, qmin=None, qmax=None):
+    """One-loop galaxy auto power in the quadratic (b1, b2, bs2)
+    Eulerian bias basis (Beutler et al 2014 eq 40; third-order b3nl
+    sigma3^2 term not included -- at this order it is commonly fixed by
+    coevolution and can be added externally as
+    2 b1 b3nl sigma3sq(k) P_lin):
+
+      P_gg = b1^2 P_mm^1loop + 2 b1 b2 Pb2_d + 2 b1 bs2 Pbs2_d
+             + b2^2 Pb22 + 2 b2 bs2 Pb2s2 + bs2^2 Pbs22 + shot.
+
+    bs2 defaults to the coevolution value -(4/7)(b1 - 1).
+    """
+    if bs2 is None:
+        bs2 = -4.0 / 7.0 * (b1 - 1.0)
+    Pmm = p1loop(ks, ks_tab, pk_tab, n_q=n_q, n_x=n_x, n_q13=n_q13,
+                 qmin=qmin, qmax=qmax)
+    t = pt_bias_integrals(ks, ks_tab, pk_tab, n_q=n_q, n_x=n_x,
+                          qmin=qmin, qmax=qmax)
+    return (b1**2 * Pmm + 2.0 * b1 * b2 * t["Pb2_d"]
+            + 2.0 * b1 * bs2 * t["Pbs2_d"] + b2**2 * t["Pb22"]
+            + 2.0 * b2 * bs2 * t["Pb2s2"] + bs2**2 * t["Pbs22"]
+            + shot)
+
+
+def pgm_1loop(ks, ks_tab, pk_tab, b1, b2, bs2=None,
+              n_q=512, n_x=256, n_q13=1024, qmin=None, qmax=None):
+    """One-loop galaxy-matter cross power (Beutler et al 2014 eq 41,
+    same basis/caveat as pgg_1loop):
+
+      P_gm = b1 P_mm^1loop + b2 Pb2_d + bs2 Pbs2_d.
+    """
+    if bs2 is None:
+        bs2 = -4.0 / 7.0 * (b1 - 1.0)
+    Pmm = p1loop(ks, ks_tab, pk_tab, n_q=n_q, n_x=n_x, n_q13=n_q13,
+                 qmin=qmin, qmax=qmax)
+    t = pt_bias_integrals(ks, ks_tab, pk_tab, n_q=n_q, n_x=n_x,
+                          qmin=qmin, qmax=qmax)
+    return b1 * Pmm + b2 * t["Pb2_d"] + bs2 * t["Pbs2_d"]
+
+
 def split_wiggle(ks_tab, pk_tab, pk_nw_template, sigma_lnk=0.25):
     """(P_nw, P_w = P - P_nw): template-ratio Gaussian smoothing in
     ln k -- the HMcode-2020 dewiggle construction (models/hmcode.py:71,

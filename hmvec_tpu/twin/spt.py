@@ -76,3 +76,39 @@ def p22_twin(k, ks_tab, pk_tab, qmin, qmax, n_q=2049, n_y=2049):
     lnmid = min(max(np.log(k), np.log(qmin)), np.log(qmax))
     integ = panel(np.log(qmin), lnmid) + panel(lnmid, np.log(qmax))
     return k**3 / (2.0 * np.pi**2) * integ
+
+
+def bias_integral_twin(k, ks_tab, pk_tab, qmin, qmax, kern,
+                       n_q=2049, n_y=2049):
+    """I[kern](k) = (1/4 pi^2) int q^2 dq int dx kern P(q) P(|k-q|),
+    kern(r, y, mu12) one of the quadratic-bias kernels; same variables
+    and split as p22_twin, independent Simpson quadrature."""
+    P = pk_interp(ks_tab, pk_tab)
+    yfloor = qmin / k
+
+    def panel(lnlo, lnhi):
+        lnq = np.linspace(lnlo, lnhi, n_q)
+        q = np.exp(lnq)
+        rows = np.zeros(n_q)
+        for i in range(n_q):
+            r = q[i] / k
+            ymin = max(abs(1.0 - r), yfloor)
+            lny = np.linspace(np.log(ymin), np.log(1.0 + r), n_y)
+            y = np.exp(lny)
+            mu12 = (1.0 - r**2 - y**2) / (2.0 * r) / y
+            rows[i] = simpson(kern(r, y, mu12) * P(k * y) * y**2 / r,
+                              x=lny)
+        return simpson(rows * P(q) * (q / k) ** 3, x=lnq)
+
+    lnmid = min(max(np.log(k), np.log(qmin)), np.log(qmax))
+    integ = panel(np.log(qmin), lnmid) + panel(lnmid, np.log(qmax))
+    return k**3 / (4.0 * np.pi**2) * integ
+
+
+def kern_f2(r, y, mu12):
+    return (5.0 / 7.0 + mu12 / 2.0 * (r / y + y / r)
+            + 2.0 / 7.0 * mu12**2)
+
+
+def kern_s2(r, y, mu12):
+    return mu12**2 - 1.0 / 3.0

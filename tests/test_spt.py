@@ -213,3 +213,78 @@ def test_ir_resummed_wiggle_damping(ptab):
     # damping grows with k (e^{-k^2 S2})
     assert rms_fac(0.22, 0.35) < rms_fac(0.08, 0.15)
     assert S2 > 16.0                      # Sigma ~ 4-9 Mpc scale
+
+
+# ---- quadratic-bias one-loop integrals (spt.pt_bias_integrals) ----
+
+def test_bias_integrals_vs_twin(ptab):
+    _, ks_tab, pk_tab = ptab
+    ks = np.array([0.1, 0.3])
+    t = spt.pt_bias_integrals(ks, ks_tab, pk_tab, qmin=QMIN, qmax=QMAX)
+    const = None
+    # rebuild the subtraction constant the twin way
+    from scipy.integrate import quad
+    Pfun = tspt.pk_interp(ks_tab, pk_tab)
+    const, _ = quad(lambda q: q**2 * Pfun(np.array([q]))[0] ** 2,
+                    QMIN, QMAX, limit=800)
+    const /= 2.0 * np.pi**2
+    for i, k in enumerate(ks):
+        I_f2 = tspt.bias_integral_twin(k, ks_tab, pk_tab, QMIN, QMAX,
+                                       tspt.kern_f2)
+        I_f2s2 = tspt.bias_integral_twin(
+            k, ks_tab, pk_tab, QMIN, QMAX,
+            lambda r, y, m: tspt.kern_f2(r, y, m) * tspt.kern_s2(r, y, m))
+        I_1 = tspt.bias_integral_twin(k, ks_tab, pk_tab, QMIN, QMAX,
+                                      lambda r, y, m: np.ones_like(y))
+        I_s2 = tspt.bias_integral_twin(k, ks_tab, pk_tab, QMIN, QMAX,
+                                       tspt.kern_s2)
+        I_s22 = tspt.bias_integral_twin(
+            k, ks_tab, pk_tab, QMIN, QMAX,
+            lambda r, y, m: tspt.kern_s2(r, y, m) ** 2)
+        np.testing.assert_allclose(float(t["Pb2_d"][i]), I_f2, rtol=3e-4)
+        np.testing.assert_allclose(float(t["Pbs2_d"][i]), I_f2s2,
+                                   rtol=3e-4)
+        np.testing.assert_allclose(float(t["Pb22"][i]),
+                                   0.5 * (I_1 - const), rtol=3e-4)
+        np.testing.assert_allclose(float(t["Pb2s2"][i]),
+                                   0.5 * (I_s2 - 2.0 / 3.0 * const),
+                                   rtol=3e-4)
+        np.testing.assert_allclose(float(t["Pbs22"][i]),
+                                   0.5 * (I_s22 - 4.0 / 9.0 * const),
+                                   rtol=3e-4)
+
+
+def test_bias_renormalization_zeros(ptab):
+    """The b22 / b2s2 / bs22 subtractions are exact k -> 0
+    renormalizations: values at k = 1e-4 are tiny vs k = 0.2."""
+    _, ks_tab, pk_tab = ptab
+    t = spt.pt_bias_integrals(np.array([1e-4, 0.2]), ks_tab, pk_tab,
+                              qmin=QMIN, qmax=QMAX)
+    for name in ("Pb22", "Pb2s2", "Pbs22"):
+        v0, v1 = float(t[name][0]), float(t[name][1])
+        assert abs(v0) < 2e-3 * abs(v1), (name, v0, v1)
+
+
+def test_pgg_pgm_assembly(ptab):
+    """b2 = bs2 = 0 reduces exactly to b1-scaled matter 1-loop; bias
+    terms move the spectrum; grad in b2 is finite."""
+    _, ks_tab, pk_tab = ptab
+    ks = np.array([0.1, 0.25])
+    kw = dict(n_q=128, n_x=64, n_q13=256, qmin=QMIN, qmax=QMAX)
+    pmm = np.asarray(spt.p1loop(ks, ks_tab, pk_tab, **kw))
+    pgg0 = np.asarray(spt.pgg_1loop(ks, ks_tab, pk_tab, b1=2.0, b2=0.0,
+                                    bs2=0.0, **kw))
+    np.testing.assert_allclose(pgg0, 4.0 * pmm, rtol=1e-12)
+    pgm0 = np.asarray(spt.pgm_1loop(ks, ks_tab, pk_tab, b1=2.0, b2=0.0,
+                                    bs2=0.0, **kw))
+    np.testing.assert_allclose(pgm0, 2.0 * pmm, rtol=1e-12)
+    # default bs2 is the coevolution value
+    pgg_cv = np.asarray(spt.pgg_1loop(ks, ks_tab, pk_tab, b1=2.0,
+                                      b2=0.5, **kw))
+    pgg_ex = np.asarray(spt.pgg_1loop(ks, ks_tab, pk_tab, b1=2.0,
+                                      b2=0.5, bs2=-4.0 / 7.0, **kw))
+    np.testing.assert_allclose(pgg_cv, pgg_ex, rtol=1e-12)
+
+    g = jax.grad(lambda b2: jnp.sum(spt.pgg_1loop(
+        ks, ks_tab, pk_tab, b1=2.0, b2=b2, **kw)))(0.5)
+    assert np.isfinite(float(g))
