@@ -86,6 +86,16 @@ def main():
     print("conc scatter sigma_lnc=0.35: P(k=%.0f) x %.3f"
           % (ks[-1], psc[0, -1] / p00[0, -1]))
 
+    # --- HI / 21 cm intensity mapping (models/hi.py) ---
+    hcos.add_hi_tracer("hi")
+    om_hi = np.asarray(hcos.get_omega_hi("hi"))
+    b_hi = np.asarray(hcos.get_hi_bias("hi"))
+    p21 = np.asarray(hcos.get_p21("hi"))
+    i02 = np.argmin(np.abs(ks - 0.2))
+    print("HI: Omega_HI(z=%.1f) = %.2e, b_HI = %.2f, "
+          "P21(k=0.2) = %.3f mK^2 Mpc^3"
+          % (hcos.zs[0], om_hi[0], b_hi[0], p21[0, i02]))
+
 
 if __name__ == "__main__":
     main()

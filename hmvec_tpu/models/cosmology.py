@@ -257,7 +257,7 @@ class Cosmology:
             D0 = self.D_growth(jnp.asarray(1.0))
             return Plin + ((D / D0) ** 4)[:, None] * loops0[None, :]
         sc = _eh_scales(self.bg)
-        ell_bao = float(sc["sh_d"] / sc["h"])
+        ell_bao = sc["sh_d"] / sc["h"]     # jnp scalar: stays traceable
         tmpl = lpm.plin_approx(self.bg, np.array([0.0]),
                                jnp.asarray(ks_tab), "eisenhu",
                                growth_mode=self.growth_mode)[0]

@@ -513,6 +513,61 @@ class HaloModel(Cosmology):
         return limber_integral(ells, self.zs, self.ks, P, self.zs,
                                W, W, hzs, chis)
 
+    # ---- HI / 21 cm (extension; models/hi.py, VN18 M_HI form) ----
+    def add_hi_tracer(self, name, profile_name="nfw",
+                      param_override=None, ignore_existing=False):
+        """Register a density-normalized HI tracer (models/hi.py): the
+        HI mass follows M_HI(M) inside the named registered profile.
+        ``get_power(name, other)`` then gives P_HIHI and every cross
+        (HI x matter/HOD/y/CIB) through the generic 1h/2h machinery;
+        ``get_p21`` converts to brightness-temperature units."""
+        from . import hi as him
+        from .hi import default_hi_params
+        if not ignore_existing:
+            assert name not in self.cib_tracers, "Tracer name already exists."
+        assert profile_name in self.uk_profiles
+        p = dict(default_hi_params)
+        p = scoped_override(p, param_override, set(default_hi_params),
+                            strict=True)
+        tr, rho = him.build_hi_tracer(
+            self.ms, self.nzm, self.uk_profiles[profile_name], p,
+            us2=self.uk2_profiles.get(profile_name))
+        self.cib_tracers[name] = tr
+        if not hasattr(self, "_hi_params"):
+            self._hi_params = {}
+        self._hi_params[name] = p
+        return tr
+
+    def get_omega_hi(self, name=None, param_override=None):
+        """Omega_HI(z) = int dm n M_HI / rho_crit(0)."""
+        from . import hi as him
+        p = (self._hi_params.get(name) if name is not None
+             and hasattr(self, "_hi_params") else param_override)
+        rc0 = self.rho_critical_z(jnp.asarray(0.0))
+        return him.omega_hi(self.nzm, self.ms, rc0, p)
+
+    def get_hi_bias(self, name=None, param_override=None):
+        from . import hi as him
+        p = (self._hi_params.get(name) if name is not None
+             and hasattr(self, "_hi_params") else param_override)
+        return him.hi_bias(self.nzm, self.bh, self.ms, p)
+
+    def get_p21(self, name, name2=None):
+        """21 cm brightness-temperature power P_21(k, z) [mK^2 Mpc^3]:
+        Tb(z)^2 (or Tb1 Tb2 for a cross of two HI tracers) times the
+        halo-model HI power."""
+        from . import background as _bg
+        from . import hi as him
+        ez = _bg.e_of_z(self.bg, self.zs)
+        om = self.get_omega_hi(name)
+        tb1 = him.mean_brightness_temp_mk(self.zs, ez, om, self.h)
+        tb2 = tb1
+        if name2 is not None and name2 != name:
+            om2 = self.get_omega_hi(name2)
+            tb2 = him.mean_brightness_temp_mk(self.zs, ez, om2, self.h)
+        P = self.get_power(name, name2)
+        return (tb1 * tb2)[:, None] * P
+
     # ---- spectra (hmvec.py:500-572) ----
     def get_power_1halo(self, name="nfw", name2=None):
         t1 = self._tracer(name)

@@ -29,9 +29,9 @@ Numerics:
   ln-ln) extrapolation beyond the table at both ends -- the loop
   integrals reach q below/above any finite table.
 - The x-integrand develops an integrable spike at (r -> 1, x -> 1)
-  (soft internal momentum); Gauss-Legendre's endpoint clustering
-  resolves it at the default node counts (validated against adaptive
-  scipy dblquad, tests/test_spt.py).
+  (soft internal momentum); the ln-y inner substitution places it at a
+  resolved endpoint (validated against the independent dense-Simpson
+  twin, tests/test_spt.py; jax self-convergence ~3e-6 at defaults).
 - Redshift scaling is the standard EdS-kernel one: loops computed from
   P_lin(k, z) directly, or equivalently once at z=0 and scaled by
   D^4(z) (exact within the same EdS approximation as F2/F3).
