@@ -63,13 +63,15 @@ from .models.nonlimber import (C_gg_exact, C_kg_exact,  # noqa: F401,E402
                                bessel_deltas,
                                bessel_deltas_j2pp, bessel_deltas_over_x2)
 from .models.spt import (p1loop, p22, p13, p1loop_ir,  # noqa: F401,E402
-                          pt_bias_integrals, pgg_1loop, pgm_1loop)
+                          pt_bias_integrals, pgg_1loop, pgm_1loop,
+                          pk_velocity_1loop, p22_velocity, p13_dt, p13_tt)
 from .models.pairwise import (pairwise_ksz_signal,  # noqa: F401,E402
                               pairwise_ksz_errors, get_pairwise_ksz_snr,
                               tau_aperture_battaglia)
 from .models.rsd import (kaiser_pk_mu, rsd_multipoles,  # noqa: F401,E402
                          kaiser_multipole_factors, correlation_multipoles,
-                         mean_pairwise_velocity)
+                         mean_pairwise_velocity, sigma_v_lin,
+                         scoccimarro_pk_mu, scoccimarro_multipoles)
 from .models.mass_conversion import (mdelta_from_mdelta,  # noqa: F401,E402
                                      mdelta_from_mdelta_unvectorized)
 from .models.mass_function import (simple_f_nu, NlnMsub,  # noqa: F401,E402

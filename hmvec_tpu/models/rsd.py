@@ -108,6 +108,71 @@ def correlation_multipoles(ks, pk_ells):
     return ss, out
 
 
+def sigma_v_lin(ks_tab, pk_tab):
+    """Linear 1-D velocity dispersion in displacement units [Mpc]:
+
+        sigma_v^2 = (1/6 pi^2) int dq P_lin(q)
+
+    (v_rms = a H f sigma_v).  Trapezoid on the caller's log-spaced
+    table -- the natural FoG scale for the Kaiser/Scoccimarro models.
+    """
+    ks_tab = jnp.asarray(ks_tab)
+    pk_tab = jnp.asarray(pk_tab)
+    val = jnp.trapezoid(pk_tab, ks_tab) / (6.0 * jnp.pi**2)
+    return jnp.sqrt(val)
+
+
+def _fog(kmu, sigma_v, fog):
+    x2 = (kmu * sigma_v) ** 2
+    if fog == "gaussian":
+        return jnp.exp(-x2)
+    if fog == "lorentzian":
+        return 1.0 / (1.0 + x2 / 2.0)
+    raise ValueError(fog)
+
+
+def scoccimarro_pk_mu(ks, mus, p_dd, p_dt, p_tt, b, f, sigma_v=0.0,
+                      fog="gaussian"):
+    """Scoccimarro-2004 nonlinear redshift-space power (his eq. 71 with
+    a phenomenological FoG factor):
+
+        P_s(k, mu) = D_FoG(k mu sigma_v)
+                     [b^2 P_dd + 2 b f mu^2 P_dt + f^2 mu^4 P_tt],
+
+    with the one-loop density/velocity spectra from
+    spt.pk_velocity_1loop (theta = -div v/(aHf), so P_dd = P_dt = P_tt
+    recovers Kaiser exactly -- identity-tested).  ks (nk,), mus (nmu,),
+    p_* (..., nk); returns (..., nmu, nk)."""
+    ks = jnp.asarray(ks)
+    mus = jnp.asarray(mus)
+    p_dd = jnp.asarray(p_dd)[..., None, :]
+    p_dt = jnp.asarray(p_dt)[..., None, :]
+    p_tt = jnp.asarray(p_tt)[..., None, :]
+    b = jnp.asarray(b)[..., None, None]
+    f = jnp.asarray(f)[..., None, None]
+    mu = mus[:, None]
+    kmu = ks[None, :] * mu
+    core = (b**2 * p_dd + 2.0 * b * f * mu**2 * p_dt
+            + f**2 * mu**4 * p_tt)
+    return _fog(kmu, sigma_v, fog) * core
+
+
+def scoccimarro_multipoles(ks, p_dd, p_dt, p_tt, b, f, sigma_v=0.0,
+                           ells=(0, 2, 4), fog="gaussian", n_mu=32):
+    """Legendre multipoles of scoccimarro_pk_mu (fixed Gauss-Legendre
+    over mu, exact at sigma_v = 0).  Returns {ell: (..., nk)}."""
+    from ..utils.weights import leggauss_cached
+    x_np, w_np = leggauss_cached(n_mu)
+    mus = jnp.asarray(x_np)
+    w = jnp.asarray(w_np)
+    ps = scoccimarro_pk_mu(ks, mus, p_dd, p_dt, p_tt, b, f, sigma_v, fog)
+    out = {}
+    for ell in ells:
+        wl = w * _legendre(ell, mus) * (2.0 * ell + 1.0) / 2.0
+        out[ell] = jnp.einsum("m,...mk->...k", wl, ps)
+    return out
+
+
 def mean_pairwise_velocity(ks, pk, f, aH, b=1.0):
     """Linear-theory mean pairwise (infall) velocity of tracers with
     linear bias b:

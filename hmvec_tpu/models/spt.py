@@ -72,39 +72,75 @@ def _pk_eval(lnk_tab, lnp_tab, kq):
 
 
 def f13(r):
-    """The P13 angular kernel with cancellation-safe Taylor switches."""
+    """The P13 density angular kernel (normalization 1/252) with
+    cancellation-safe Taylor switches (guarded direct evaluation: r is
+    pushed away from the switch zones so the discarded branch stays
+    finite for autodiff -- see _f13_family)."""
+    return _f13_family(
+        r, 12.0, -158.0, 100.0, -42.0, 7.0, 2.0,
+        small=(-168.0, 928.0 / 5.0, -4512.0 / 35.0),
+        near1=(-88.0, 8.0, -116.0),
+        big=(-488.0 / 5.0, 96.0 / 5.0, -160.0 / 21.0, -1376.0 / 1155.0,
+             -1952.0 / 5005.0, -2528.0 / 15015.0))
+
+
+def _f13_family(r, A, B, C, D, c1, c2, small, near1, big):
+    """Shared switched evaluation of the P13 angular-kernel family
+
+        A/r^2 + B + C r^2 + D r^4 + (3/r^3)(r^2-1)^3 (c1 r^2 + c2) L,
+        L = ln((1+r)/|1-r|),
+
+    with sympy-derived Taylor windows at r < 1e-2, |r-1| < 1e-4 and the
+    large-r series beyond r = 10 (each coefficient set verified against
+    exact sympy evaluation in tests/test_spt.py).  ``small``/``near1``/
+    ``big`` are coefficient tuples of the respective series."""
     r = jnp.asarray(r)
-    # guarded direct evaluation (r pushed away from the switch zones so
-    # the discarded branch stays finite for autodiff)
     r_safe = jnp.clip(r, 2e-3, 12.0)
-    r_safe = jnp.where(jnp.abs(r_safe - 1.0) < 5e-5,
-                       1.0 + 5e-5, r_safe)
+    r_safe = jnp.where(jnp.abs(r_safe - 1.0) < 5e-5, 1.0 + 5e-5, r_safe)
     rs2 = r_safe**2
-    direct = (12.0 / rs2 - 158.0 + 100.0 * rs2 - 42.0 * rs2**2
-              + 3.0 / (rs2 * r_safe) * (rs2 - 1.0) ** 3 * (7.0 * rs2 + 2.0)
+    direct = (A / rs2 + B + C * rs2 + D * rs2**2
+              + 3.0 / (rs2 * r_safe) * (rs2 - 1.0) ** 3
+              * (c1 * rs2 + c2)
               * jnp.log((1.0 + r_safe) / jnp.abs(1.0 - r_safe)))
-    small = -168.0 + 928.0 / 5.0 * r**2 - 4512.0 / 35.0 * r**4
+    s0, s2, s4 = small
+    small_v = s0 + s2 * r**2 + s4 * r**4
+    n0, n1, n2 = near1
     e = r - 1.0
-    near1 = -88.0 + 8.0 * e - 116.0 * e**2
+    near1_v = n0 + n1 * e + n2 * e**2
     u2 = 1.0 / jnp.maximum(r, 1.0) ** 2
-    big = (-488.0 / 5.0 + u2 * (96.0 / 5.0 + u2 * (-160.0 / 21.0
-           + u2 * (-1376.0 / 1155.0 + u2 * (-1952.0 / 5005.0
-           + u2 * (-2528.0 / 15015.0))))))
-    out = jnp.where(r < 1e-2, small, direct)
-    out = jnp.where(jnp.abs(e) < 1e-4, near1, out)
-    return jnp.where(r > 10.0, big, out)
+    b0, b2, b4, b6, b8, b10 = big
+    big_v = b0 + u2 * (b2 + u2 * (b4 + u2 * (b6 + u2 * (b8 + u2 * b10))))
+    out = jnp.where(r < 1e-2, small_v, direct)
+    out = jnp.where(jnp.abs(e) < 1e-4, near1_v, out)
+    return jnp.where(r > 10.0, big_v, out)
+
+
+def f13_dt(r):
+    """P13 density-velocity angular kernel (normalization 1/252,
+    matter theta = -div v / (a H f) convention)."""
+    return _f13_family(
+        r, 24.0, -202.0, 56.0, -30.0, 5.0, 4.0,
+        small=(-168.0, 416.0 / 5.0, -2976.0 / 35.0),
+        near1=(-152.0, -56.0, -52.0),
+        big=(-200.0, 2208.0 / 35.0, -1312.0 / 105.0, -1888.0 / 1155.0,
+             -32.0 / 65.0, -608.0 / 3003.0))
+
+
+def f13_tt(r):
+    """P13 velocity-velocity angular kernel (normalization 1/84)."""
+    return _f13_family(
+        r, 12.0, -82.0, 4.0, -6.0, 1.0, 2.0,
+        small=(-56.0, -32.0 / 5.0, -96.0 / 7.0),
+        near1=(-72.0, -40.0, 4.0),
+        big=(-504.0 / 5.0, 1248.0 / 35.0, -608.0 / 105.0, -160.0 / 231.0,
+             -992.0 / 5005.0, -1184.0 / 15015.0))
 
 
 def _default_qrange(ks_tab):
     return float(np.exp(ks_tab[0])), float(np.exp(ks_tab[-1]))
 
 
-def p13(ks, ks_tab, pk_tab, n_q=1024, qmin=None, qmax=None):
-    """P13(k) on the q support [qmin, qmax] (defaults: the table range).
-
-    ks (nk,); ks_tab/pk_tab: the linear power table (log-spaced ks).
-    Gauss-Legendre in ln q (smooth integrand; the f13 switches handle
-    the r = q/k cancellation zones)."""
+def _p13_core(ks, ks_tab, pk_tab, kern_fn, denom, n_q, qmin, qmax):
     ks = jnp.asarray(ks)
     lnk_tab = jnp.log(jnp.asarray(ks_tab))
     lnp_tab = jnp.log(jnp.asarray(pk_tab))
@@ -119,10 +155,29 @@ def p13(ks, ks_tab, pk_tab, n_q=1024, qmin=None, qmax=None):
     q = jnp.exp(lnq)                           # (nq,)
     Pq = _pk_eval(lnk_tab, lnp_tab, q)
     r = q[None, :] / ks[:, None]               # (nk, nq)
-    # int dr f13 P(kr) = int dlnq (q/k) f13(q/k) P(q)
-    integ = jnp.einsum("q,kq->k", wq * Pq * q, f13(r)) / ks
+    # int dr kern P(kr) = int dlnq (q/k) kern(q/k) P(q)
+    integ = jnp.einsum("q,kq->k", wq * Pq * q, kern_fn(r)) / ks
     Pk = _pk_eval(lnk_tab, lnp_tab, ks)
-    return ks**3 / (252.0 * 4.0 * jnp.pi**2) * Pk * integ
+    return ks**3 / (denom * 4.0 * jnp.pi**2) * Pk * integ
+
+
+def p13(ks, ks_tab, pk_tab, n_q=1024, qmin=None, qmax=None):
+    """P13(k) on the q support [qmin, qmax] (defaults: the table range).
+
+    ks (nk,); ks_tab/pk_tab: the linear power table (log-spaced ks).
+    Gauss-Legendre in ln q (smooth integrand; the f13 switches handle
+    the r = q/k cancellation zones)."""
+    return _p13_core(ks, ks_tab, pk_tab, f13, 252.0, n_q, qmin, qmax)
+
+
+def p13_dt(ks, ks_tab, pk_tab, n_q=1024, qmin=None, qmax=None):
+    """Density-velocity P13 (theta = -div v / (a H f) convention)."""
+    return _p13_core(ks, ks_tab, pk_tab, f13_dt, 252.0, n_q, qmin, qmax)
+
+
+def p13_tt(ks, ks_tab, pk_tab, n_q=1024, qmin=None, qmax=None):
+    """Velocity-velocity P13 (note the 1/84 normalization)."""
+    return _p13_core(ks, ks_tab, pk_tab, f13_tt, 84.0, n_q, qmin, qmax)
 
 
 def _p22_panel(ks, lnk_tab, lnp_tab, lnlo, lnhi, tq, wq0, tx, wx, yfl):
@@ -180,6 +235,88 @@ def p22(ks, ks_tab, pk_tab, n_q=512, n_x=256, qmin=None, qmax=None):
              + _p22_panel(ks, lnk_tab, lnp_tab, mid, hi, tq, wq0, tx, wx,
                           yfl))
     return ks**3 / (2.0 * jnp.pi**2) * outer
+
+
+def _velocity_kernels_panel(ks, lnk_tab, lnp_tab, lnlo, lnhi, tq, wq0,
+                            tx, wx, yfl):
+    """One outer ln-q panel of the three P22-type mode-coupling
+    integrals with kernels {F2^2, F2 G2, G2^2} (G2 = the velocity-
+    divergence kernel, 3/7 + mu/2 (r/y + y/r) + 4/7 mu^2).  Same
+    geometry/substitution as _p22_panel; returns (3, nk)."""
+    lnq = lnlo[:, None] + (lnhi - lnlo)[:, None] * tq[None, :]
+    wq = (lnhi - lnlo)[:, None] * wq0[None, :]
+    q = jnp.exp(lnq)
+    Pq = _pk_eval(lnk_tab, lnp_tab, q)
+    r = (q / jnp.asarray(ks)[:, None])[..., None]
+    ymin = jnp.maximum(jnp.abs(1.0 - r), yfl[:, None, None])
+    lny = jnp.log(ymin) + (jnp.log(1.0 + r) - jnp.log(ymin)) * tx
+    wy = jnp.log((1.0 + r) / ymin) * wx
+    y = jnp.exp(lny)
+    y2 = y**2
+    mu_num = (1.0 - r**2 - y2) / (2.0 * r)
+    cross = mu_num / (2.0 * y) * (r / y + y / r)
+    mu2 = mu_num**2 / y2
+    F2 = 5.0 / 7.0 + cross + 2.0 / 7.0 * mu2
+    G2 = 3.0 / 7.0 + cross + 4.0 / 7.0 * mu2
+    Pky = _pk_eval(lnk_tab, lnp_tab, jnp.asarray(ks)[:, None, None] * y)
+    base = wy * (y2 / r) * Pky
+    kerns = jnp.stack([F2 * F2, F2 * G2, G2 * G2])
+    inner = jnp.sum(kerns * base[None], axis=-1)           # (3, nk, nq)
+    return jnp.sum((wq * Pq * r[..., 0] ** 3)[None] * inner, axis=-1)
+
+
+def p22_velocity(ks, ks_tab, pk_tab, n_q=512, n_x=256, qmin=None,
+                 qmax=None):
+    """The three P22 mode-coupling spectra {dd, dt, tt} as a dict of
+    (nk,) arrays, evaluated in ONE fused (nk, nq, nx) contraction
+    (kernels differ only in constants, so all three share the P
+    evaluations).  Same quadrature design/split as p22."""
+    ks = jnp.asarray(ks)
+    lnk_tab = jnp.log(jnp.asarray(ks_tab))
+    lnp_tab = jnp.log(jnp.asarray(pk_tab))
+    if qmin is None or qmax is None:
+        d0, d1 = _default_qrange(np.log(np.asarray(ks_tab)))
+        qmin = d0 if qmin is None else qmin
+        qmax = d1 if qmax is None else qmax
+    t_np, w_np = leggauss_cached(n_q // 2)
+    tq = jnp.asarray(0.5 * (t_np + 1.0))
+    wq0 = jnp.asarray(0.5 * w_np)
+    x_np, wx_np = leggauss_cached(n_x)
+    tx = jnp.asarray(0.5 * (x_np + 1.0))
+    wx = jnp.asarray(0.5 * wx_np)
+    lo = jnp.full(ks.shape, np.log(qmin))
+    hi = jnp.full(ks.shape, np.log(qmax))
+    mid = jnp.clip(jnp.log(ks), lo, hi)
+    yfl = qmin / ks
+    outer = (_velocity_kernels_panel(ks, lnk_tab, lnp_tab, lo, mid, tq,
+                                     wq0, tx, wx, yfl)
+             + _velocity_kernels_panel(ks, lnk_tab, lnp_tab, mid, hi, tq,
+                                       wq0, tx, wx, yfl))
+    outer = ks[None, :] ** 3 / (2.0 * jnp.pi**2) * outer
+    return {"dd": outer[0], "dt": outer[1], "tt": outer[2]}
+
+
+def pk_velocity_1loop(ks, ks_tab, pk_tab, n_q=512, n_x=256, n_q13=1024,
+                      qmin=None, qmax=None):
+    """One-loop density/velocity-divergence spectra (EdS kernels,
+    theta = -div v / (a H f) so all three equal P_lin at tree level):
+
+        P_ab = P_lin + P22_ab + P13_ab,   ab in {dd, dt, tt}.
+
+    Returns {"dd", "dt", "tt"}: the ingredients of the Scoccimarro-2004
+    redshift-space model (models/rsd.scoccimarro_pk_mu).  The velocity
+    spectra fall below P_dd at quasi-linear k (nonlinear velocities
+    decohere): P_tt < P_dt < P_dd for k >~ 0.1/Mpc."""
+    ks = jnp.asarray(ks)
+    lnk_tab = jnp.log(jnp.asarray(ks_tab))
+    lnp_tab = jnp.log(jnp.asarray(pk_tab))
+    Plin = _pk_eval(lnk_tab, lnp_tab, ks)
+    P22s = p22_velocity(ks, ks_tab, pk_tab, n_q=n_q, n_x=n_x, qmin=qmin,
+                        qmax=qmax)
+    kw = dict(n_q=n_q13, qmin=qmin, qmax=qmax)
+    return {"dd": Plin + P22s["dd"] + p13(ks, ks_tab, pk_tab, **kw),
+            "dt": Plin + P22s["dt"] + p13_dt(ks, ks_tab, pk_tab, **kw),
+            "tt": Plin + P22s["tt"] + p13_tt(ks, ks_tab, pk_tab, **kw)}
 
 
 def _bias_kernels_panel(ks, lnk_tab, lnp_tab, lnlo, lnhi, tq, wq0, tx,

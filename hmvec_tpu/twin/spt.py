@@ -112,3 +112,46 @@ def kern_f2(r, y, mu12):
 
 def kern_s2(r, y, mu12):
     return mu12**2 - 1.0 / 3.0
+
+
+def kern_g2(r, y, mu12):
+    return (3.0 / 7.0 + mu12 / 2.0 * (r / y + y / r)
+            + 4.0 / 7.0 * mu12**2)
+
+
+def p22_kern_twin(k, ks_tab, pk_tab, qmin, qmax, kern,
+                  n_q=2049, n_y=2049):
+    """P22-type mode coupling with an arbitrary symmetric kernel
+    product kern(r, y, mu12): P22 = 2 * I[kern] in bias_integral_twin's
+    normalization (F2^2 recovers p22_twin)."""
+    return 2.0 * bias_integral_twin(k, ks_tab, pk_tab, qmin, qmax, kern,
+                                    n_q=n_q, n_y=n_y)
+
+
+def f13_dt_direct(r):
+    r = np.asarray(r, dtype=float)
+    return (24.0 / r**2 - 202.0 + 56.0 * r**2 - 30.0 * r**4
+            + 3.0 / r**3 * (r**2 - 1.0) ** 3 * (5.0 * r**2 + 4.0)
+            * np.log((1.0 + r) / np.abs(1.0 - r)))
+
+
+def f13_tt_direct(r):
+    r = np.asarray(r, dtype=float)
+    return (12.0 / r**2 - 82.0 + 4.0 * r**2 - 6.0 * r**4
+            + 3.0 / r**3 * (r**2 - 1.0) ** 3 * (r**2 + 2.0)
+            * np.log((1.0 + r) / np.abs(1.0 - r)))
+
+
+def p13_kern_twin(k, ks_tab, pk_tab, qmin, qmax, kern_direct, denom,
+                  n=8193):
+    """Simpson in ln q with an arbitrary direct P13 angular kernel and
+    normalization k^3 P(k) / (denom * 4 pi^2); the r = 1 node is nudged
+    off the log singularity (dd: kern=f13_direct, denom=252; dt:
+    f13_dt_direct, 252; tt: f13_tt_direct, 84)."""
+    P = pk_interp(ks_tab, pk_tab)
+    lnq = np.linspace(np.log(qmin), np.log(qmax), n)
+    q = np.exp(lnq)
+    r = q / k
+    r = np.where(np.abs(r - 1.0) < 1e-9, 1.0 + 1e-9, r)
+    integ = simpson(kern_direct(r) * P(q) * q / k, x=lnq)
+    return k**3 / (denom * 4.0 * np.pi**2) * P(np.array([k]))[0] * integ

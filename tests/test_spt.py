@@ -288,3 +288,105 @@ def test_pgg_pgm_assembly(ptab):
     g = jax.grad(lambda b2: jnp.sum(spt.pgg_1loop(
         ks, ks_tab, pk_tab, b1=2.0, b2=b2, **kw)))(0.5)
     assert np.isfinite(float(g))
+
+
+# ---- one-loop velocity-divergence spectra + Scoccimarro RSD ----
+
+def test_f13_velocity_vs_sympy():
+    """The switched dt/tt kernels against exact sympy evaluation,
+    including points inside every Taylor window."""
+    import sympy as sp
+    r_s = sp.symbols('r', positive=True)
+    L = sp.log((1 + r_s) / sp.Abs(1 - r_s))
+    exprs = {
+        "dt": (24 / r_s**2 - 202 + 56 * r_s**2 - 30 * r_s**4
+               + sp.Rational(3) / r_s**3 * (r_s**2 - 1) ** 3
+               * (5 * r_s**2 + 4) * L),
+        "tt": (12 / r_s**2 - 82 + 4 * r_s**2 - 6 * r_s**4
+               + sp.Rational(3) / r_s**3 * (r_s**2 - 1) ** 3
+               * (r_s**2 + 2) * L),
+    }
+    fns = {"dt": spt.f13_dt, "tt": spt.f13_tt}
+    rs = [1e-4, 1e-3, 9e-3, 1.1e-2, 0.1, 0.5, 0.9999, 0.99999,
+          1.00001, 1.0001, 2.0, 10.0, 49.0, 51.0, 200.0, 1e3]
+    for name in ("dt", "tt"):
+        got = np.asarray(fns[name](jnp.asarray(rs)))
+        for i, rv in enumerate(rs):
+            exact = float(exprs[name].subs(r_s, sp.Float(rv, 50))
+                          .evalf(50))
+            np.testing.assert_allclose(got[i], exact, rtol=1e-9,
+                                       err_msg=f"{name} r={rv}")
+
+
+def test_velocity_loops_vs_twin(ptab):
+    _, ks_tab, pk_tab = ptab
+    ks = np.array([0.1, 0.3])
+    v = spt.p22_velocity(ks, ks_tab, pk_tab, qmin=QMIN, qmax=QMAX)
+    P13dt = np.asarray(spt.p13_dt(ks, ks_tab, pk_tab, qmin=QMIN,
+                                  qmax=QMAX))
+    P13tt = np.asarray(spt.p13_tt(ks, ks_tab, pk_tab, qmin=QMIN,
+                                  qmax=QMAX))
+    for i, k in enumerate(ks):
+        t_dd = tspt.p22_kern_twin(
+            k, ks_tab, pk_tab, QMIN, QMAX,
+            lambda r, y, m: tspt.kern_f2(r, y, m) ** 2)
+        t_dt = tspt.p22_kern_twin(
+            k, ks_tab, pk_tab, QMIN, QMAX,
+            lambda r, y, m: tspt.kern_f2(r, y, m) * tspt.kern_g2(r, y, m))
+        t_tt = tspt.p22_kern_twin(
+            k, ks_tab, pk_tab, QMIN, QMAX,
+            lambda r, y, m: tspt.kern_g2(r, y, m) ** 2)
+        np.testing.assert_allclose(float(v["dd"][i]), t_dd, rtol=3e-4)
+        np.testing.assert_allclose(float(v["dt"][i]), t_dt, rtol=3e-4)
+        np.testing.assert_allclose(float(v["tt"][i]), t_tt, rtol=3e-4)
+        np.testing.assert_allclose(
+            P13dt[i], tspt.p13_kern_twin(k, ks_tab, pk_tab, QMIN, QMAX,
+                                         tspt.f13_dt_direct, 252.0),
+            rtol=1e-5)
+        np.testing.assert_allclose(
+            P13tt[i], tspt.p13_kern_twin(k, ks_tab, pk_tab, QMIN, QMAX,
+                                         tspt.f13_tt_direct, 84.0),
+            rtol=1e-5)
+    # p22_velocity's dd channel IS p22 (shared-kernel consistency)
+    P22 = np.asarray(spt.p22(ks, ks_tab, pk_tab, qmin=QMIN, qmax=QMAX))
+    np.testing.assert_allclose(np.asarray(v["dd"]), P22, rtol=1e-12)
+
+
+def test_velocity_ordering_and_low_k(ptab):
+    """theta decoheres: P_tt < P_dt < P_dd at quasi-linear k; all three
+    converge to P_lin at low k."""
+    _, ks_tab, pk_tab = ptab
+    p = spt.pk_velocity_1loop(np.array([0.005, 0.2]), ks_tab, pk_tab,
+                              n_q=256, n_x=128, n_q13=512,
+                              qmin=QMIN, qmax=QMAX)
+    # tt's P22/P13 cancellation is less complete than dd's at low k
+    # (the residual ~0.2% here is the physical one-loop remainder)
+    assert abs(float(p["dt"][0] / p["dd"][0]) - 1.0) < 2e-3
+    assert abs(float(p["tt"][0] / p["dd"][0]) - 1.0) < 6e-3
+    assert float(p["tt"][1]) < float(p["dt"][1]) < float(p["dd"][1])
+
+
+def test_scoccimarro_kaiser_identity(ptab):
+    """P_dd = P_dt = P_tt reduces scoccimarro_pk_mu to the Kaiser
+    form exactly (both FoG flavors), and the sigma_v = 0 multipoles
+    match the closed-form Kaiser factors."""
+    from hmvec_tpu.models import rsd
+    _, ks_tab, pk_tab = ptab
+    ks = np.geomspace(0.02, 0.3, 16)
+    P = jnp.asarray(np.interp(np.log(ks), np.log(ks_tab), pk_tab))
+    mus = np.linspace(-0.95, 0.95, 9)
+    b, f = 1.7, 0.52
+    for fog in ("gaussian", "lorentzian"):
+        got = rsd.scoccimarro_pk_mu(ks, mus, P, P, P, b, f,
+                                    sigma_v=3.1, fog=fog)
+        want = rsd.kaiser_pk_mu(ks, mus, P, b, f, sigma_v=3.1, fog=fog)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-12)
+    mp = rsd.scoccimarro_multipoles(ks, P, P, P, b, f, sigma_v=0.0)
+    fac = rsd.kaiser_multipole_factors(b, f)
+    for ell in (0, 2, 4):
+        np.testing.assert_allclose(np.asarray(mp[ell]),
+                                   fac[ell] * np.asarray(P), rtol=1e-12)
+    # sigma_v magnitude: ~4-8 Mpc for a Planck-like z=0 spectrum
+    sv = float(rsd.sigma_v_lin(ks_tab, pk_tab))
+    assert 3.0 < sv < 10.0
