@@ -72,6 +72,9 @@ from .models.rsd import (kaiser_pk_mu, rsd_multipoles,  # noqa: F401,E402
                          kaiser_multipole_factors, correlation_multipoles,
                          mean_pairwise_velocity, sigma_v_lin,
                          scoccimarro_pk_mu, scoccimarro_multipoles)
+from .models.tns import (tns_ab_integrals, tns_a_term,  # noqa: F401,E402
+                         tns_b_term, tns_pk_mu, tns_multipoles,
+                         tns_power)
 from .models.mass_conversion import (mdelta_from_mdelta,  # noqa: F401,E402
                                      mdelta_from_mdelta_unvectorized)
 from .models.mass_function import (simple_f_nu, NlnMsub,  # noqa: F401,E402
