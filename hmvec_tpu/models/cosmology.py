@@ -268,6 +268,74 @@ class Cosmology:
                 for i in range(len(zs))]
         return jnp.stack(rows, axis=0)
 
+    def get_rsd_multipoles(self, zs, ks, b=1.0, model="tns",
+                           sigma_v=None, fog="gaussian", ells=(0, 2, 4),
+                           n_mu=32, n_q=256, n_x=128, n_q13=512,
+                           qmin=1e-4, qmax=1e2):
+        """Redshift-space power multipoles P_ell(k, z) (EXTENSION --
+        the reference has no redshift-space modeling).
+
+        model: 'kaiser' (linear), 'scoccimarro' (nonlinear Kaiser
+        bracket on the one-loop density/velocity spectra), or 'tns'
+        (+ the A/B velocity-density coupling terms, the BOSS/DESI
+        full-shape standard).  f(z) comes from the growth rate (true
+        ODE growth under w0/wa); every loop ingredient is computed ONCE
+        at z = 0 and carried to each z by the exact EdS powers of
+        D(z)/D(0) (P_lin ~ D^2; P22/P13 and the A/B integrals, being
+        bilinear in P, ~ D^4).  b: linear bias, scalar or (nz,);
+        sigma_v: FoG damping scale in Mpc, scalar/(nz,)/None (None =
+        the linear-theory choice f(z) D(z) sigma_v_lin(z=0)).
+        Returns {ell: (nz, nk)}."""
+        from . import spt, rsd, tns
+        zs = np.atleast_1d(zs)
+        ks = jnp.asarray(ks)
+        nz = len(zs)
+        a = 1.0 / (1.0 + jnp.asarray(zs))
+        Dz = self.D_growth(a) / self.D_growth(jnp.asarray(1.0))
+        fz = jnp.broadcast_to(self.get_growth_rate_f(zs), (nz,))
+        bz = jnp.broadcast_to(jnp.asarray(b, dtype=jnp.float64), (nz,))
+        ks_tab = np.geomspace(1e-5, 1e3, 1200)
+        pk0 = self.P_lin(jnp.asarray(ks_tab), np.array([0.0]))[0]
+        if sigma_v is None:
+            sv = fz * Dz * rsd.sigma_v_lin(ks_tab, pk0)
+        else:
+            sv = jnp.broadcast_to(jnp.asarray(sigma_v, jnp.float64),
+                                  (nz,))
+        if model == "kaiser":
+            Plin = self.P_lin(ks, zs)                      # (nz, nk)
+            return rsd.rsd_multipoles(ks, Plin, bz, fz, sigma_v=sv,
+                                      ells=ells, fog=fog, n_mu=n_mu)
+        lnkt = jnp.log(jnp.asarray(ks_tab))
+        lnpt = jnp.log(pk0)
+        Plin0 = spt._pk_eval(lnkt, lnpt, ks)               # (nk,)
+        pv0 = spt.pk_velocity_1loop(ks, ks_tab, pk0, n_q=n_q, n_x=n_x,
+                                    n_q13=n_q13, qmin=qmin, qmax=qmax)
+        loops0 = {ab: pv0[ab] - Plin0 for ab in ("dd", "dt", "tt")}
+        D2 = Dz[:, None] ** 2
+        D4 = Dz[:, None] ** 4
+        pz = {ab: D2 * Plin0[None, :] + D4 * loops0[ab][None, :]
+              for ab in ("dd", "dt", "tt")}
+        if model == "scoccimarro":
+            return rsd.scoccimarro_multipoles(
+                ks, pz["dd"], pz["dt"], pz["tt"], bz, fz, sigma_v=sv,
+                ells=ells, fog=fog, n_mu=n_mu)
+        if model != "tns":
+            raise ValueError(f"model {model!r}: expected 'kaiser', "
+                             "'scoccimarro' or 'tns'")
+        ab0 = tns.tns_ab_integrals(ks, ks_tab, pk0, n_q=n_q, n_x=n_x,
+                                   qmin=qmin, qmax=qmax)
+        rows = []
+        for i in range(nz):
+            abz = {"A": {k_: Dz[i] ** 4 * v for k_, v in
+                         ab0["A"].items()},
+                   "B": {k_: Dz[i] ** 4 * v for k_, v in
+                         ab0["B"].items()}}
+            rows.append(tns.tns_multipoles(
+                ks, pz["dd"][i], pz["dt"][i], pz["tt"][i], bz[i], fz[i],
+                abz, sigma_v=sv[i], ells=ells, fog=fog, n_mu=n_mu))
+        return {ell: jnp.stack([r[ell] for r in rows], axis=0)
+                for ell in ells}
+
     def get_pk_interpolator(self, zs, kmax, var="weyl", nonlinear=False,
                             return_z_k=False, k_per_logint=None,
                             log_interp=True, extrap_kmax=None):

@@ -568,6 +568,19 @@ class HaloModel(Cosmology):
         P = self.get_power(name, name2)
         return (tb1 * tb2)[:, None] * P
 
+    def get_galaxy_rsd_multipoles(self, hod_name, ks=None, model="tns",
+                                  **kw):
+        """Redshift-space multipoles of a registered HOD tracer
+        (EXTENSION): linear bias b_g(z) from the HOD mass integral,
+        f(z) from the growth rate, PT ingredients via
+        Cosmology.get_rsd_multipoles (model: 'kaiser'/'scoccimarro'/
+        'tns').  ks defaults to the model grid.  Returns
+        {ell: (nz, nk)}."""
+        bg = self.hods[hod_name]["bg"]
+        ks = self.ks if ks is None else ks
+        return self.get_rsd_multipoles(np.asarray(self.zs), ks, b=bg,
+                                       model=model, **kw)
+
     # ---- spectra (hmvec.py:500-572) ----
     def get_power_1halo(self, name="nfw", name2=None):
         t1 = self._tracer(name)

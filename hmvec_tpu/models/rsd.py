@@ -26,7 +26,8 @@ from ..ops.fftlog import (correlation_function, fftlog_sphbessel_jl,
 def kaiser_pk_mu(ks, mus, pk, b, f, sigma_v=0.0, fog="gaussian"):
     """Anisotropic galaxy power P_s(k, mu) = (b + f mu^2)^2 P(k) D_FoG.
 
-    ks: (nk,); mus: (nmu,); pk: (..., nk); b, f scalars or (...)-shaped.
+    ks: (nk,); mus: (nmu,); pk: (..., nk); b, f, sigma_v scalars or
+    (...)-shaped.
     D_FoG: 'gaussian' exp(-(k mu sigma_v)^2) or 'lorentzian'
     1/(1 + (k mu sigma_v)^2 / 2); sigma_v in Mpc (i.e. sigma_v = sigma_z/H).
     Returns (..., nmu, nk).
@@ -36,6 +37,7 @@ def kaiser_pk_mu(ks, mus, pk, b, f, sigma_v=0.0, fog="gaussian"):
     pk = jnp.asarray(pk)[..., None, :]
     b = jnp.asarray(b)[..., None, None]
     f = jnp.asarray(f)[..., None, None]
+    sigma_v = jnp.asarray(sigma_v)[..., None, None]
     kmu = ks[None, :] * mus[:, None]
     kaiser = (b + f * mus[:, None] ** 2) ** 2
     x2 = (kmu * sigma_v) ** 2
@@ -150,6 +152,7 @@ def scoccimarro_pk_mu(ks, mus, p_dd, p_dt, p_tt, b, f, sigma_v=0.0,
     p_tt = jnp.asarray(p_tt)[..., None, :]
     b = jnp.asarray(b)[..., None, None]
     f = jnp.asarray(f)[..., None, None]
+    sigma_v = jnp.asarray(sigma_v)[..., None, None]
     mu = mus[:, None]
     kmu = ks[None, :] * mu
     core = (b**2 * p_dd + 2.0 * b * f * mu**2 * p_dt
