@@ -62,6 +62,36 @@ def main():
                 / float(np.interp(0.1, ks, np.asarray(p0_of_f(0.7)))),
                 3))
 
+    # full-shape Fisher over (f, alpha_par, alpha_perp): AP-distorted
+    # TNS multipoles + Gaussian multipole covariance, derivatives by
+    # jacfwd through the whole observable
+    from hmvec_tpu.models import rsd_obs
+    nbar, V = 3e-4, 1.0e9            # 1 (Gpc)^3, BOSS-like density
+
+    def datavector(theta):
+        f_, apar, aperp = theta
+        fn = lambda kp, mp_: rsd_obs.tns_pk_mu_points(   # noqa: E731
+            kp, mp_, ks, pv["dd"], pv["dt"], pv["tt"], 2.0, f_, ab,
+            sigma_v=4.0)
+        mpd = rsd_obs.ap_multipoles(ks, fn, apar, aperp)
+        return jnp.concatenate([mpd[ell] for ell in (0, 2, 4)])
+
+    theta0 = jnp.array([0.7, 1.0, 1.0])
+    fn0 = lambda kp, mp_: rsd_obs.tns_pk_mu_points(      # noqa: E731
+        kp, mp_, ks, pv["dd"], pv["dt"], pv["tt"], 2.0, 0.7, ab,
+        sigma_v=4.0)
+    cov = np.asarray(rsd_obs.multipole_covariance(ks, fn0, nbar, V))
+    J = np.asarray(jax.jacfwd(datavector)(theta0))       # (3*nk, 3)
+    nk = len(ks)
+    F = np.zeros((3, 3))
+    for i in range(nk):
+        Ci = cov[:, :, i]
+        Ji = J[i::nk, :]             # rows (P0,P2,P4) at this k
+        F += Ji.T @ np.linalg.solve(Ci, Ji)
+    sig = np.sqrt(np.diag(np.linalg.inv(F)))
+    print("Fisher 1-sigma (f, a_par, a_perp) for 1 Gpc^3:",
+          np.round(sig, 4))
+
 
 if __name__ == "__main__":
     main()

@@ -75,6 +75,9 @@ from .models.rsd import (kaiser_pk_mu, rsd_multipoles,  # noqa: F401,E402
 from .models.tns import (tns_ab_integrals, tns_a_term,  # noqa: F401,E402
                          tns_b_term, tns_pk_mu, tns_multipoles,
                          tns_power)
+from .models.rsd_obs import (tns_pk_mu_points, ap_shift,  # noqa: F401,E402
+                             ap_multipoles, multipole_covariance,
+                             multipole_snr)
 from .models.mass_conversion import (mdelta_from_mdelta,  # noqa: F401,E402
                                      mdelta_from_mdelta_unvectorized)
 from .models.mass_function import (simple_f_nu, NlnMsub,  # noqa: F401,E402
