@@ -77,7 +77,8 @@ from .models.tns import (tns_ab_integrals, tns_a_term,  # noqa: F401,E402
                          tns_power)
 from .models.rsd_obs import (tns_pk_mu_points, ap_shift,  # noqa: F401,E402
                              ap_multipoles, multipole_covariance,
-                             multipole_snr)
+                             multipole_snr, window_coupling,
+                             window_convolve_multipoles, threej000_sq)
 from .models.mass_conversion import (mdelta_from_mdelta,  # noqa: F401,E402
                                      mdelta_from_mdelta_unvectorized)
 from .models.mass_function import (simple_f_nu, NlnMsub,  # noqa: F401,E402
