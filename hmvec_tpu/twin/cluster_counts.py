@@ -34,10 +34,10 @@ def twin_dndz_detected(zs, ms, nzm, chis, hzs, ez, q, sigma_noise, fsky,
     dndz = np.empty(zs.size)
     for i in range(zs.size):
         integ = np.asarray(nzm)[i] * comp[i]
-        n_i = np.trapz(integ, np.asarray(ms, dtype=float))
+        n_i = np.trapezoid(integ, np.asarray(ms, dtype=float))
         dvdz = 4.0 * np.pi * float(chis[i]) ** 2 / float(hzs[i])
         dndz[i] = fsky * dvdz * n_i
-    return dndz, np.trapz(dndz, zs)
+    return dndz, np.trapezoid(dndz, zs)
 
 
 def twin_counts_q_bins(zs, ms, nzm, chis, hzs, ez, q_edges, sigma_noise,
@@ -54,7 +54,7 @@ def twin_counts_q_bins(zs, ms, nzm, chis, hzs, ez, q_edges, sigma_noise,
                                 alpha, beta, Mpivot, sigma_lnY))
         pbin = lo - hi
         for i in range(zs.size):
-            n_i = np.trapz(np.asarray(nzm)[i] * pbin[i],
+            n_i = np.trapezoid(np.asarray(nzm)[i] * pbin[i],
                            np.asarray(ms, dtype=float))
             out[i, b] = (fsky * 4.0 * np.pi * float(chis[i]) ** 2
                          / float(hzs[i]) * n_i)

@@ -87,14 +87,14 @@ def _sigma2_of_R(d2k, R):
     """(sigma^2(R), dsigma^2/dlnR) from Delta^2(k) on the _KG grid."""
     x = _KG * R
     W = _W(x)
-    s2 = np.trapz(d2k * W**2, _LNKG)
-    ds2 = np.trapz(d2k * 2.0 * W * _xWprime(x), _LNKG)
+    s2 = np.trapezoid(d2k * W**2, _LNKG)
+    ds2 = np.trapezoid(d2k * 2.0 * W * _xWprime(x), _LNKG)
     return s2, ds2
 
 
 def _sigma_v2(d2k, R):
     W2 = _W(_KG * R) ** 2
-    return np.trapz(d2k * W2 / _KG**2, _LNKG) / 3.0
+    return np.trapezoid(d2k * W2 / _KG**2, _LNKG) / 3.0
 
 
 def _u_nfw(x, c):
@@ -266,7 +266,7 @@ def hmcode_nonlinear_twin(tc, zs, ks, A_bary=3.13, version="2016",
                     u = ((1.0 - fbar) + fgas) * u + fstar_w
                 integ[im] = (_g_st(nu[im]) * dnu_dlnm[im]
                              * _MS[im] / rho_m0) * u * u
-            p1h = np.trapz(integ, _LNMS, axis=0)
+            p1h = np.trapezoid(integ, _LNMS, axis=0)
             if version != "2015":
                 p1h = p1h * (1.0 - fnu) ** 2  # halos hold cold matter only
             d2 = p1h * ks**3 / (2.0 * np.pi**2)

@@ -13,7 +13,7 @@ import numpy as np
 
 
 def trapz_weights(x: np.ndarray) -> np.ndarray:
-    """Weights w such that w @ y == np.trapz(y, x) exactly."""
+    """Weights w such that w @ y == np.trapezoid(y, x) exactly."""
     x = np.asarray(x, dtype=np.float64)
     w = np.zeros_like(x)
     dx = np.diff(x)

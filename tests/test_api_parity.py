@@ -279,7 +279,7 @@ def test_reference_named_free_functions_numerics():
     zv = np.array([0.0, 2.0])
     fn = np.asarray(h.f_nu(nus[None, :], zv[:, None]))
     bn = np.asarray(h.bias(nus))[None, :]
-    total = np.trapz(fn * bn, nus, axis=-1)
+    total = np.trapezoid(fn * bn, nus, axis=-1)
     np.testing.assert_allclose(total, 1.0, rtol=1e-6)
     # norm_consistency=False returns the unnormalized form (the norm is a
     # per-z scalar; compare two healthy columns -- the tail underflows)

@@ -46,17 +46,17 @@ def test_power_vs_explicit_contraction(hm):
     bh = np.asarray(hm.bh)
     uk = np.asarray(hm.uk_profiles["nfw"])
     mh = np.asarray(him.m_hi(MS, hm._hi_params["hi"]))
-    rho = np.trapz(nzm * mh[None, :], MS, axis=1)
+    rho = np.trapezoid(nzm * mh[None, :], MS, axis=1)
     f = mh[None, :] / rho[:, None]
     kstar = hm.p["kstar_damping"]
     damp = 1.0 - np.exp(-(np.asarray(KS) / kstar) ** 2)
 
-    p1h_ref = np.trapz(nzm[..., None] * (f[..., None] * uk) ** 2,
+    p1h_ref = np.trapezoid(nzm[..., None] * (f[..., None] * uk) ** 2,
                        MS, axis=1) * damp[None, :]
     p1h = np.asarray(hm.get_power_1halo("hi"))
     np.testing.assert_allclose(p1h, p1h_ref, rtol=1e-10)
 
-    leg = np.trapz((nzm * bh)[..., None] * f[..., None] * uk, MS, axis=1)
+    leg = np.trapezoid((nzm * bh)[..., None] * f[..., None] * uk, MS, axis=1)
     plin = np.asarray(hm.Pzk)
     p2h_ref = plin * leg**2
     p2h = np.asarray(hm.get_power_2halo("hi"))

@@ -290,5 +290,5 @@ def test_mean_compton_y(hm):
     assert 1e-8 < mean_j < 1.5e-5
 
     # 4. mean equals the explicit trapz of the exact-u_y0 grid
-    exp = np.trapz(np.trapz(np.asarray(hm.nzm) * uy0, MS, axis=1), ZS)
+    exp = np.trapezoid(np.trapezoid(np.asarray(hm.nzm) * uy0, MS, axis=1), ZS)
     np.testing.assert_allclose(mean_j, exp, rtol=1e-10)
