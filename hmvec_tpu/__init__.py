@@ -109,5 +109,8 @@ from .ops.fftlog import (correlation_function,  # noqa: F401,E402
 from .pipeline import (make_pmm_fn, make_lensing_cls_fn,  # noqa: F401,E402
                        make_electron_fn, make_hod_fn, make_ksz_snr_fn,
                        make_ksz_survey_fn, make_batched_fn, fisher_jacobian)
+from .models.emulator import (Emulator, fit_emulator,  # noqa: F401,E402
+                              pipeline_target, save_emulator,
+                              load_emulator, sample_params)
 
 __version__ = "0.3.0"  # kept in sync with pyproject.toml
