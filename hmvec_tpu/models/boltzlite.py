@@ -402,8 +402,12 @@ def solve_perturbations(ctx: BoltzCtx, ks,
 
     Stability: the free-streaming hierarchy advects with d/dx eigenvalues
     ~ i k/Hp, so explicit RK4 needs k * (dx/Hp) < 2.83; 1/Hp is largest
-    today (c/H0 ~ 4475 Mpc), giving k_max ~ 2.83/(4475 * dx_c).  The
-    default n_c_inner=11 (dx_c ~ 1.2e-3) is stable to k ~ 0.53/Mpc.
+    today (c/H0 ~ 4475 Mpc), giving the naive edge k ~ 2.83/(4475*dx_c),
+    i.e. ~0.53/Mpc for the default n_c_inner=11 (dx_c ~ 1.2e-3).  The
+    MEASURED edge is lower, 0.46-0.48/Mpc (metric/baryon coupling widens
+    the spectrum; k=0.50 grows to ~1e77 by x=0) -- compute_cls scales
+    n_c_inner with its kmax to hold a 35% margin; do the same for any
+    direct call with k > ~0.45.
     """
     ks = jnp.asarray(ks)
     xs, states = _solve_ks(ctx, ks, n_a, n_b_outer, n_b_inner,
@@ -740,6 +744,28 @@ def _interp_l_nodes(l_nodes, vals, ells):
     return d_all * (2.0 * np.pi) / (ells * (ells + 1.0))
 
 
+def segment_c_inner_steps(kmax, h0_kms, n_c_outer: int = 380,
+                          span: float = 5.0, margin: float = 0.65,
+                          floor: int = 11) -> int:
+    """Segment-C inner step count keeping explicit RK4 stable at kmax.
+
+    The free-streaming advection has |eigenvalues| ~ k/Hp with 1/Hp
+    largest today (c/H0), so RK4 needs k * dx_c * (c/H0) < 2*sqrt(2).
+    The naive edge for the default n_c_inner=11 is k ~ 0.53/Mpc, but the
+    MEASURED edge is 0.46-0.48 (metric/baryon coupling widens the
+    spectrum: k=0.48 grows to ~1e12 by x=0, k=0.50 to ~1e77).  At
+    lmax >~ 3000 compute_cls's CAMB-style kmax rule reaches that edge
+    and the late-time blow-up projects onto LOW l through the ISW term
+    (l < 150 came back at ~1e30 muK^2 -- found by
+    examples/cmb_forecast.py).  margin=0.65 holds a 35% margin on the
+    naive estimate, covering the measured ~12% optimism; the floor keeps
+    the default grid (and its goldens) unchanged at default kmax.
+    """
+    c_over_h0 = 299792.458 / float(h0_kms)
+    dx_c_max = margin * 2.0 * np.sqrt(2.0) / (c_over_h0 * float(kmax))
+    return max(floor, int(np.ceil(span / (n_c_outer * dx_c_max))))
+
+
 def compute_cls(params=None, lmax: int = 1500, *, zre: float = 7.7,
                 l_nodes=None, nk: int | None = None, nkf: int | None = None,
                 kmax: float | None = None, lens_potential: bool = False,
@@ -779,7 +805,8 @@ def compute_cls(params=None, lmax: int = 1500, *, zre: float = 7.7,
     ii = np.linspace(0.0, 1.0, nk)
     ks = kmin + (kmax - kmin) * ii**2
 
-    sol = solve_perturbations(ctx, jnp.asarray(ks))
+    n_c_inner = segment_c_inner_steps(kmax, float(p["H0"]))
+    sol = solve_perturbations(ctx, jnp.asarray(ks), n_c_inner=n_c_inner)
     src = compute_sources(ctx, sol)
 
     if l_nodes is None:

@@ -339,3 +339,25 @@ def test_get_cmb_cls_approx_wiring(monkeypatch):
     # without approx: still raises, message mentions both tiers
     with pytest.raises(NotImplementedError, match="boltzlite"):
         cos.get_cmb_cls(lmax=10)
+
+
+def test_segment_c_stability_scaling(bg, rec):
+    """Regression: at lmax >= 3000 compute_cls's CAMB-style rule requests
+    kmax = 0.5/Mpc, past the default segment-C RK4 stability edge
+    (measured 0.46-0.48/Mpc; k=0.5 grows to ~1e77 by x=0, poisoning
+    l < 150 at ~1e30 muK^2 through the ISW projection).  The kmax-scaled
+    inner step count must keep such a mode bounded while leaving the
+    default grid (and its goldens) untouched at default kmax."""
+    import jax.numpy as jnp
+    from hmvec_tpu.models import boltzlite as bl
+    n = bl.segment_c_inner_steps(0.5, float(bg.H0))
+    assert n >= 14
+    # lmax=1500 default kmax -> the rule returns the floor (grid + all
+    # existing goldens unchanged)
+    assert bl.segment_c_inner_steps(0.2325, float(bg.H0)) == 11
+    ctx = bl.make_ctx(bg, rec)
+    sol = bl.solve_perturbations(ctx, jnp.asarray([0.5]), n_c_inner=n)
+    st = np.asarray(sol.states)
+    assert np.isfinite(st).all()
+    # late-time states stay at their physical O(1e4) acoustic scale
+    assert np.abs(st[0, -40:]).max() < 1e6
