@@ -1,0 +1,271 @@
+"""CMB instrument noise and quadratic-estimator lensing noise N0.
+
+EXTENSION beyond the reference: hmvec's kSZ forecasting consumes a total
+CMB TT spectrum `Cls` supplied by the caller (reference ksz.py:290-336 --
+in practice produced by external codes), and its CMB-lensing cross
+forecasts have no reconstruction-noise model at all.  This module makes
+those forecasts self-contained:
+
+* `white_noise_nl`: the Knox instrument noise
+  N_l = (DT)^2 exp(+l(l+1) theta_fwhm^2 / (8 ln 2)) in muK^2 (beam
+  deconvolved), the standard map-noise model every forecast uses;
+* `total_cl_tt`: theory (table or the built-in boltzlite solver via
+  `Cosmology.get_cmb_cls`) + noise -> the integer-l `Cls` array the kSZ
+  layer wants (models/ksz.py:100-149);
+* `n0_flat_sky`: flat-sky Hu-Okamoto (2002) quadratic-estimator lensing
+  reconstruction noise for the TT, EE and EB estimators,
+
+      N0^{phiphi}(L) = [ int d^2 l1 / (2 pi)^2
+                         f_a(l1, l2)^2 / (D_a C^tot_{l1} C^tot_{l2}) ]^{-1},
+
+  l2 = L - l1, with the standard response kernels (L = l1 + l2 throughout,
+  angles measured from L):
+
+      f_TT = C^TT_{l1} (L.l1) + C^TT_{l2} (L.l2),              D = 2
+      f_EE = [C^EE_{l1} (L.l1) + C^EE_{l2} (L.l2)] cos 2(p1-p2), D = 2
+      f_EB = C^EE_{l1} (L.l1) sin 2(p1-p2),                     D = 1
+             (denominator C^EE,tot_{l1} C^BB,tot_{l2})
+
+  evaluated as one fused Gauss-Legendre double quadrature (log-l x angle)
+  vmapped over L -- no per-L python loops, everything MXU/VPU-shaped.
+  `n0_minimum_variance` combines estimators by inverse variance (the
+  usual approximation that drops inter-estimator covariances).
+
+TPU-first notes: the theory spectra enter as dense integer-l arrays and
+are sampled at the off-grid |L - l1| by `jnp.interp` (exact at nodes,
+linear between -- sub-0.1% against the independent dense-trapz twin);
+the whole (n_L, n_l, n_theta) integrand is one broadcast expression.
+
+Conventions: phi is the lensing potential; kappa = l(l+1) phi / 2, so
+`n0_kappa = (L (L+1) / 2)^2 n0_phi` (matching the package's C_kk).
+Validated against an independent numpy dense-grid twin and convergence /
+physical-scaling properties in tests/test_lensing_noise.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.weights import leggauss_cached
+
+__all__ = ["white_noise_nl", "total_cl_tt", "n0_flat_sky",
+           "n0_minimum_variance", "n0_kappa_from_phi",
+           "lensed_bb_from_ee", "n0_eb_iterative"]
+
+_ARCMIN = np.pi / (180.0 * 60.0)
+
+
+def white_noise_nl(ells, noise_uk_arcmin, beam_fwhm_arcmin=0.0):
+    """Beam-deconvolved white noise spectrum in muK^2.
+
+    noise_uk_arcmin: map depth DT in muK-arcmin (use sqrt(2) x the
+    temperature depth for Q/U polarization noise).
+    """
+    ells = jnp.asarray(ells, dtype=jnp.result_type(float))
+    dt = jnp.asarray(noise_uk_arcmin) * _ARCMIN
+    theta = jnp.asarray(beam_fwhm_arcmin) * _ARCMIN
+    bl2 = jnp.exp(ells * (ells + 1.0) * theta**2 / (8.0 * np.log(2.0)))
+    return dt**2 * bl2
+
+
+def total_cl_tt(cl_tt, noise_uk_arcmin, beam_fwhm_arcmin=0.0):
+    """Total TT spectrum C_l + N_l on l = 0..lmax from a raw-Cl theory
+    row (muK^2), ready for the kSZ layer's integer-l `Cls` argument
+    (models/ksz.py:100).  Rows 0,1 are zeroed (monopole/dipole)."""
+    cl_tt = jnp.asarray(cl_tt)
+    ells = jnp.arange(cl_tt.shape[0], dtype=cl_tt.dtype)
+    tot = cl_tt + white_noise_nl(ells, noise_uk_arcmin, beam_fwhm_arcmin)
+    return tot.at[:2].set(0.0)
+
+
+def _interp_cl(cl, l):
+    """Sample an integer-l spectrum at (possibly fractional) l."""
+    grid = jnp.arange(cl.shape[0], dtype=l.dtype)
+    return jnp.interp(l, grid, cl)
+
+
+def n0_flat_sky(Ls, est, cl_grad, cl_total, cl_total2=None,
+                lmin=30, lmax=None, n_l=400, n_theta=256):
+    """Flat-sky quadratic-estimator N0^{phiphi}(L).
+
+    est: 'TT', 'EE' or 'EB'.
+    cl_grad: the theory spectrum in the response f (TT for 'TT', EE for
+        'EE'/'EB'), raw C_l in muK^2 on integer l from 0.
+    cl_total: total (theory+noise) spectrum of the first leg (TT for
+        'TT', EE for 'EE'/'EB').
+    cl_total2: total spectrum of the second leg where it differs
+        ('EB': the BB total). Defaults to cl_total.
+    lmin, lmax: multipole range of modes used by the estimator
+        (lmax defaults to len(cl_grad)-1).
+    n_l, n_theta: Gauss-Legendre orders of the ln(l) x angle quadrature.
+
+    Returns N0(L) with Ls any array of reconstruction multipoles.
+    """
+    cl_grad = jnp.asarray(cl_grad, dtype=jnp.float64)
+    cl_total = jnp.asarray(cl_total, dtype=jnp.float64)
+    cl_total2 = cl_total if cl_total2 is None else jnp.asarray(
+        cl_total2, dtype=jnp.float64)
+    if lmax is None:
+        lmax = cl_grad.shape[0] - 1
+    lmin = float(lmin)
+    lmax = float(lmax)
+
+    # GL nodes: u in ln l1 over [ln lmin, ln lmax]; t = theta in [0, pi]
+    # (integrand symmetric under theta -> -theta, factor 2)
+    xu, wu = leggauss_cached(int(n_l))
+    xt, wt = leggauss_cached(int(n_theta))
+    lnl = 0.5 * (np.log(lmax) + np.log(lmin)) \
+        + 0.5 * (np.log(lmax) - np.log(lmin)) * xu
+    wl = 0.5 * (np.log(lmax) - np.log(lmin)) * wu
+    th = 0.5 * np.pi * (xt + 1.0)
+    wth = 0.5 * np.pi * wt
+    l1 = jnp.asarray(np.exp(lnl))[:, None]          # (n_l, 1)
+    ct = jnp.asarray(np.cos(th))[None, :]           # (1, n_theta)
+    st = jnp.asarray(np.sin(th))[None, :]
+    wgt = jnp.asarray(wl)[:, None] * jnp.asarray(wth)[None, :] \
+        * l1**2                                      # d^2l = l1 dl1 dθ, dl1 = l1 du
+
+    c1g = _interp_cl(cl_grad, l1[:, 0])[:, None]
+    c1t = _interp_cl(cl_total, l1[:, 0])[:, None]
+
+    def one_L(L):
+        l2 = jnp.sqrt(jnp.maximum(L**2 + l1**2 - 2.0 * L * l1 * ct, 1e-30))
+        Ldotl1 = L * l1 * ct
+        Ldotl2 = L**2 - Ldotl1
+        c2g = _interp_cl(cl_grad, l2)
+        # angle factors: cos/sin of 2(phi1 - phi2) from the triangle
+        cosd = (L * ct - l1) / l2
+        sind = L * st / l2
+        cos2d = 2.0 * cosd**2 - 1.0
+        sin2d = 2.0 * sind * cosd
+        if est == "TT":
+            f = c1g * Ldotl1 + c2g * Ldotl2
+            denom_cl2 = _interp_cl(cl_total, l2)
+            D = 2.0
+        elif est == "EE":
+            f = (c1g * Ldotl1 + c2g * Ldotl2) * cos2d
+            denom_cl2 = _interp_cl(cl_total, l2)
+            D = 2.0
+        elif est == "EB":
+            f = c1g * Ldotl1 * sin2d
+            denom_cl2 = _interp_cl(cl_total2, l2)
+            D = 1.0
+        else:
+            raise ValueError(f"unknown estimator {est!r}; use TT/EE/EB")
+        valid = (l2 >= lmin) & (l2 <= lmax)
+        integrand = jnp.where(valid, f**2 / (D * c1t * denom_cl2), 0.0)
+        # factor 2 for theta in [0, pi] only
+        integral = 2.0 * jnp.sum(wgt * integrand) / (2.0 * np.pi) ** 2
+        return 1.0 / integral
+
+    Ls = jnp.asarray(Ls, dtype=jnp.float64)
+    return jax.vmap(one_L)(jnp.atleast_1d(Ls))
+
+
+def n0_kappa_from_phi(Ls, n0_phi):
+    """Convert N0^{phiphi} to convergence units: kappa = L(L+1) phi / 2,
+    matching the package's C_kk convention."""
+    Ls = jnp.asarray(Ls, dtype=jnp.float64)
+    return (Ls * (Ls + 1.0) / 2.0) ** 2 * jnp.asarray(n0_phi)
+
+
+def n0_minimum_variance(n0s):
+    """Inverse-variance combination of independent estimators,
+    N0_mv = (sum_a 1/N0_a)^{-1} -- the standard approximation that
+    neglects inter-estimator covariances (exact when they vanish)."""
+    n0s = [jnp.asarray(n) for n in n0s]
+    return 1.0 / sum(1.0 / n for n in n0s)
+
+
+def lensed_bb_from_ee(cl_ee, clpp, lmax_out=None, n_phi=256):
+    """First-order lensing BB from EE and a (possibly residual) lensing
+    potential: the T_sin2 convolution of models/lensed_cls.py with the
+    TT/TE legs zeroed.  Host-side table plumbing; exactly LINEAR in
+    clpp -- the property the iterative-delensing fixed point leans on
+    (C_BB[C_pp (1-rho^2)] = C_BB[C_pp] - C_BB[C_pp rho^2])."""
+    from .lensed_cls import lens_cls_flat_sky
+    cl_ee = np.asarray(cl_ee, dtype=np.float64)
+    unl = np.zeros((cl_ee.shape[0], 4))
+    unl[:, 1] = cl_ee
+    return lens_cls_flat_sky(unl, np.asarray(clpp, dtype=np.float64),
+                             lmax_out=lmax_out, n_phi=n_phi)[:, 2]
+
+
+def n0_eb_iterative(Ls, cl_ee_grad, cl_ee_total, clpp, nl_bb,
+                    lmin=30, lmax=None, n_iter=8, tol=1e-3,
+                    n_l=400, n_theta=256, n_phi=256, nodes=None,
+                    return_info=False):
+    """Iteratively delensed EB reconstruction noise N0^{phiphi}(L)
+    (CMB-S4-style internal delensing, Smith et al. 2012 fixed point).
+
+    The EB estimator's B-leg variance is mostly lensing BB, which the
+    reconstruction itself can remove.  Iterate
+
+        rho^2(L)  = C_pp / (C_pp + N0(L))       (reconstruction coherence)
+        C_BB^res  = T_sin2[C_EE, C_pp (1 - rho^2)]
+        N0        = n0_flat_sky('EB', ..., cl_total2 = C_BB^res + N_BB)
+
+    from rho = 0 (fully lensed BB); N0 decreases monotonically to the
+    fixed point in a few iterations at modern noise levels.
+
+    Args beyond n0_flat_sky's: ``clpp`` raw C_phiphi on integer L
+    (its length sets the delensed range); ``nl_bb`` instrument BB noise
+    on integer l (white_noise_nl with sqrt(2) x the temperature depth);
+    ``nodes`` the L nodes where N0 is evaluated each iteration (default
+    ~24 log-spaced over [2, lmax_pp]; interpolated log-log onto integer
+    L for rho^2).  Host-side outer loop (forecast plumbing); each
+    iteration's quadratures are the jitted n0_flat_sky / lensing
+    convolution programs.
+
+    Returns N0 at ``Ls`` (phi-phi units); with return_info=True also a
+    dict: 'n0_first' (un-delensed, at 'nodes'), 'n0_nodes', 'rho2' (per
+    integer L), 'cl_bb_res', 'iters'.
+    """
+    cl_ee_grad = np.asarray(cl_ee_grad, dtype=np.float64)
+    cl_ee_total = np.asarray(cl_ee_total, dtype=np.float64)
+    clpp = np.asarray(clpp, dtype=np.float64)
+    nl_bb = np.asarray(nl_bb, dtype=np.float64)
+    if lmax is None:
+        lmax = cl_ee_grad.shape[0] - 1
+    lmax_pp = clpp.shape[0] - 1
+    if nodes is None:
+        nodes = np.unique(np.round(np.geomspace(2.0, lmax_pp, 24)))
+    nodes = np.asarray(nodes, dtype=np.float64)
+    lpp = np.arange(lmax_pp + 1, dtype=np.float64)
+    nlb = np.zeros(int(lmax) + 1)
+    n = min(nl_bb.shape[0], nlb.shape[0])
+    nlb[:n] = nl_bb[:n]
+
+    def n0_eval(Lq, cl_bb_tot):
+        return np.asarray(n0_flat_sky(Lq, "EB", cl_ee_grad, cl_ee_total,
+                                      cl_total2=cl_bb_tot, lmin=lmin,
+                                      lmax=lmax, n_l=n_l, n_theta=n_theta))
+
+    cl_bb_tot = lensed_bb_from_ee(cl_ee_grad, clpp, lmax_out=lmax,
+                                  n_phi=n_phi) + nlb
+    n0_nodes = n0_eval(nodes, cl_bb_tot)
+    n0_first = n0_nodes.copy()
+    rho2 = np.zeros_like(lpp)
+    iters = 0
+    for it in range(int(n_iter)):
+        n0_int = np.exp(np.interp(np.log(np.maximum(lpp, 2.0)),
+                                  np.log(nodes), np.log(n0_nodes)))
+        rho2 = np.where(clpp > 0.0, clpp / (clpp + n0_int), 0.0)
+        bb_res = lensed_bb_from_ee(cl_ee_grad, clpp * (1.0 - rho2),
+                                   lmax_out=lmax, n_phi=n_phi)
+        cl_bb_tot = bb_res + nlb
+        n0_new = n0_eval(nodes, cl_bb_tot)
+        change = float(np.max(np.abs(n0_new / n0_nodes - 1.0)))
+        n0_nodes = n0_new
+        iters = it + 1
+        if change < tol:
+            break
+    out = n0_eval(np.atleast_1d(np.asarray(Ls, dtype=np.float64)),
+                  cl_bb_tot)
+    if return_info:
+        return out, {"n0_first": n0_first, "n0_nodes": n0_nodes,
+                     "nodes": nodes, "rho2": rho2,
+                     "cl_bb_res": cl_bb_tot - nlb, "iters": iters}
+    return out

@@ -1,0 +1,130 @@
+"""Independent numpy oracle for the flat-sky quadratic-estimator N0.
+
+Deliberately different discretization from models/lensing_noise.py: a
+dense LINEAR l1 grid (every integer multipole in range) x uniform
+midpoint angle grid, trapz/midpoint summed -- vs the jax module's
+Gauss-Legendre log-l x angle quadrature.  Agreement bounds both schemes'
+discretization error.  No jax imports allowed here.
+"""
+
+import numpy as np
+
+
+def _interp_cl(cl, l):
+    return np.interp(l, np.arange(cl.shape[0], dtype=float), cl)
+
+
+def n0_flat_sky_dense(L, est, cl_grad, cl_total, cl_total2=None,
+                      lmin=30, lmax=None, n_theta=2048):
+    cl_grad = np.asarray(cl_grad, dtype=np.float64)
+    cl_total = np.asarray(cl_total, dtype=np.float64)
+    cl_total2 = cl_total if cl_total2 is None else np.asarray(
+        cl_total2, dtype=np.float64)
+    if lmax is None:
+        lmax = cl_grad.shape[0] - 1
+    l1 = np.arange(int(lmin), int(lmax) + 1, dtype=np.float64)[:, None]
+    # midpoint rule over the full circle
+    th = (np.arange(n_theta) + 0.5) * (2.0 * np.pi / n_theta)
+    ct = np.cos(th)[None, :]
+    st = np.sin(th)[None, :]
+    l2 = np.sqrt(np.maximum(L**2 + l1**2 - 2.0 * L * l1 * ct, 1e-30))
+    Ldotl1 = L * l1 * ct
+    Ldotl2 = L**2 - Ldotl1
+    c1g = _interp_cl(cl_grad, l1[:, 0])[:, None]
+    c1t = _interp_cl(cl_total, l1[:, 0])[:, None]
+    c2g = _interp_cl(cl_grad, l2)
+    cosd = (L * ct - l1) / l2
+    sind = L * st / l2
+    cos2d = 2.0 * cosd**2 - 1.0
+    sin2d = 2.0 * sind * cosd
+    if est == "TT":
+        f = c1g * Ldotl1 + c2g * Ldotl2
+        denom2 = _interp_cl(cl_total, l2)
+        D = 2.0
+    elif est == "EE":
+        f = (c1g * Ldotl1 + c2g * Ldotl2) * cos2d
+        denom2 = _interp_cl(cl_total, l2)
+        D = 2.0
+    elif est == "EB":
+        f = c1g * Ldotl1 * sin2d
+        denom2 = _interp_cl(cl_total2, l2)
+        D = 1.0
+    else:
+        raise ValueError(est)
+    valid = (l2 >= lmin) & (l2 <= lmax)
+    integrand = np.where(valid, f**2 / (D * c1t * denom2), 0.0)
+    # d^2 l1 = l1 dl1 dtheta; dl1 = 1 on the integer grid (trapz weights)
+    wl = np.ones_like(l1[:, 0])
+    wl[0] = wl[-1] = 0.5
+    integral = (wl @ (l1[:, 0, None] * integrand)).sum() \
+        * (2.0 * np.pi / n_theta) / (2.0 * np.pi) ** 2
+    return 1.0 / integral
+
+
+def lensed_bb_dense(ells_out, cl_ee, clpp, n_theta=256):
+    """First-order lensing BB at the requested multipoles, dense sum:
+
+        C_BB(l) = (1/(2pi)^2) sum_{l'>=2} l' int dphi
+                  [l.l' cos(phi) - l'^2]^2 C_pp(|l - l'|)
+                  C_EE(l') sin^2(2 phi)
+
+    (phi the angle between l and l'; midpoint rule on the half circle,
+    doubled).  Independent of models/lensed_cls.py's node/spline scheme."""
+    cl_ee = np.asarray(cl_ee, dtype=np.float64)
+    clpp = np.asarray(clpp, dtype=np.float64)
+    lp = np.arange(2.0, cl_ee.shape[0])[:, None]
+    th = (np.arange(n_theta) + 0.5) * (np.pi / n_theta)
+    ct, s2 = np.cos(th)[None, :], np.sin(2.0 * th)[None, :] ** 2
+    wphi = 2.0 * np.pi / n_theta
+    out = np.empty(len(ells_out))
+    lmax_pp = clpp.shape[0] - 1
+    for i, l in enumerate(np.asarray(ells_out, dtype=np.float64)):
+        s = np.sqrt(np.maximum(l**2 + lp**2 - 2.0 * l * lp * ct, 0.0))
+        cpp = np.where((s >= 2.0) & (s <= lmax_pp), _interp_cl(clpp, s), 0.0)
+        kern = (l * lp * ct - lp**2) ** 2 * cpp * s2
+        out[i] = (lp[:, 0] * cl_ee[2:] * (kern.sum(axis=1) * wphi)).sum() \
+            / (2.0 * np.pi) ** 2
+    return out
+
+
+def n0_eb_iterative_dense(Ls, cl_ee, cl_ee_total, clpp, nl_bb, lmin, lmax,
+                          nodes, n_iter=3, n_theta=1024, n_theta_bb=256,
+                          bb_nodes=None):
+    """Mirror of models/lensing_noise.n0_eb_iterative built ONLY from the
+    dense twin blocks: n0_flat_sky_dense for each N0 and lensed_bb_dense
+    (at ~40 log nodes, splined in D_l-like form) for the residual BB."""
+    from scipy.interpolate import CubicSpline
+    clpp = np.asarray(clpp, dtype=np.float64)
+    nl_bb = np.asarray(nl_bb, dtype=np.float64)
+    lmax_pp = clpp.shape[0] - 1
+    lpp = np.arange(lmax_pp + 1, dtype=np.float64)
+    if bb_nodes is None:
+        bb_nodes = np.unique(np.round(np.geomspace(2.0, lmax, 40)))
+    ells = np.arange(lmax + 1, dtype=np.float64)
+    nlb = np.zeros(lmax + 1)
+    n = min(nl_bb.shape[0], lmax + 1)
+    nlb[:n] = nl_bb[:n]
+
+    def bb_all(cpp):
+        bnodes = lensed_bb_dense(bb_nodes, cl_ee, cpp, n_theta=n_theta_bb)
+        d = bnodes * bb_nodes * (bb_nodes + 1.0)
+        out = np.zeros(lmax + 1)
+        out[2:] = CubicSpline(np.log(bb_nodes), d)(np.log(ells[2:])) \
+            / (ells[2:] * (ells[2:] + 1.0))
+        return out
+
+    def n0_eval(Lq, bb_tot):
+        return np.array([n0_flat_sky_dense(L, "EB", cl_ee, cl_ee_total,
+                                           cl_total2=bb_tot, lmin=lmin,
+                                           lmax=lmax, n_theta=n_theta)
+                         for L in Lq])
+
+    bb_tot = bb_all(clpp) + nlb
+    n0_nodes = n0_eval(nodes, bb_tot)
+    for _ in range(n_iter):
+        n0_int = np.exp(np.interp(np.log(np.maximum(lpp, 2.0)),
+                                  np.log(nodes), np.log(n0_nodes)))
+        rho2 = np.where(clpp > 0.0, clpp / (clpp + n0_int), 0.0)
+        bb_tot = bb_all(clpp * (1.0 - rho2)) + nlb
+        n0_nodes = n0_eval(nodes, bb_tot)
+    return n0_eval(np.atleast_1d(Ls), bb_tot)

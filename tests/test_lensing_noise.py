@@ -1,0 +1,201 @@
+"""CMB instrument noise + quadratic-estimator lensing N0
+(models/lensing_noise.py) vs the independent dense-grid numpy twin
+(twin/lensing_noise.py) and analytic properties.
+
+The two implementations share no code and use different quadratures
+(GL log-l x GL angle vs integer-l trapz x midpoint circle), so agreement
+bounds both discretization schemes.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hmvec_tpu.models.lensing_noise import (white_noise_nl, total_cl_tt,
+                                            n0_flat_sky,
+                                            n0_minimum_variance,
+                                            n0_kappa_from_phi)
+from hmvec_tpu.twin.lensing_noise import n0_flat_sky_dense
+
+LMAX = 3000
+
+
+def _synthetic_cls():
+    """Smooth CMB-like TT/EE spectra (muK^2, raw Cl) with acoustic-style
+    wiggles and a damping tail -- the N0 algebra is physics-agnostic."""
+    l = np.arange(LMAX + 1, dtype=np.float64)
+    lsafe = np.maximum(l, 1.0)
+    dl_tt = 2500.0 * np.exp(-((l / 1800.0) ** 2)) \
+        * (1.0 + 0.25 * np.sin(l / 48.0)) + 20.0
+    dl_ee = 40.0 * np.exp(-((l / 1500.0) ** 2)) \
+        * (1.0 + 0.4 * np.sin(l / 48.0 + 1.0)) + 0.5
+    cl_tt = 2.0 * np.pi * dl_tt / (lsafe * (lsafe + 1.0))
+    cl_ee = 2.0 * np.pi * dl_ee / (lsafe * (lsafe + 1.0))
+    cl_tt[:2] = 0.0
+    cl_ee[:2] = 0.0
+    return cl_tt, cl_ee
+
+
+CL_TT, CL_EE = _synthetic_cls()
+ELLS = np.arange(LMAX + 1, dtype=np.float64)
+NL_T = np.asarray(white_noise_nl(ELLS, 10.0, 1.4))
+NL_P = np.asarray(white_noise_nl(ELLS, 10.0 * np.sqrt(2.0), 1.4))
+TOT_TT = CL_TT + NL_T
+TOT_EE = CL_EE + NL_P
+TOT_BB = NL_P.copy()  # noise-dominated BB
+
+
+def test_white_noise_nl_analytic():
+    arcmin = np.pi / (180.0 * 60.0)
+    # beam=0: flat (DT * arcmin)^2
+    nl = np.asarray(white_noise_nl(np.array([2.0, 500.0]), 7.0, 0.0))
+    np.testing.assert_allclose(nl, (7.0 * arcmin) ** 2, rtol=1e-14)
+    # beam: exact Knox exponential at one l
+    l, fwhm = 1000.0, 2.0
+    nl = float(white_noise_nl(np.array([l]), 7.0, fwhm)[0])
+    expect = (7.0 * arcmin) ** 2 * np.exp(
+        l * (l + 1.0) * (fwhm * arcmin) ** 2 / (8.0 * np.log(2.0)))
+    np.testing.assert_allclose(nl, expect, rtol=1e-14)
+
+
+def test_total_cl_tt():
+    tot = np.asarray(total_cl_tt(CL_TT, 10.0, 1.4))
+    assert tot[0] == 0.0 and tot[1] == 0.0
+    np.testing.assert_allclose(tot[2:], (CL_TT + NL_T)[2:], rtol=1e-14)
+
+
+@pytest.mark.parametrize("est,grad,tot,tot2", [
+    ("TT", CL_TT, TOT_TT, None),
+    ("EE", CL_EE, TOT_EE, None),
+    ("EB", CL_EE, TOT_EE, TOT_BB),
+])
+def test_n0_vs_dense_twin(est, grad, tot, tot2):
+    Ls = np.array([40.0, 200.0, 700.0])
+    n0 = np.asarray(n0_flat_sky(Ls, est, grad, tot, cl_total2=tot2,
+                                lmin=30, lmax=LMAX, n_l=600, n_theta=512))
+    twin = np.array([n0_flat_sky_dense(L, est, grad, tot, cl_total2=tot2,
+                                       lmin=30, lmax=LMAX, n_theta=2048)
+                     for L in Ls])
+    assert np.all(n0 > 0) and np.all(np.isfinite(n0))
+    np.testing.assert_allclose(n0, twin, rtol=5e-3)
+
+
+def test_n0_quadrature_converged():
+    Ls = np.array([100.0, 500.0])
+    a = np.asarray(n0_flat_sky(Ls, "TT", CL_TT, TOT_TT, lmin=30,
+                               lmax=LMAX, n_l=400, n_theta=256))
+    b = np.asarray(n0_flat_sky(Ls, "TT", CL_TT, TOT_TT, lmin=30,
+                               lmax=LMAX, n_l=800, n_theta=512))
+    np.testing.assert_allclose(a, b, rtol=1e-3)
+
+
+def test_n0_noise_monotonicity():
+    Ls = np.array([100.0, 400.0])
+    hi = CL_TT + np.asarray(white_noise_nl(ELLS, 20.0, 1.4))
+    lo = CL_TT + np.asarray(white_noise_nl(ELLS, 2.0, 1.4))
+    n_hi = np.asarray(n0_flat_sky(Ls, "TT", CL_TT, hi, lmin=30, lmax=LMAX))
+    n_lo = np.asarray(n0_flat_sky(Ls, "TT", CL_TT, lo, lmin=30, lmax=LMAX))
+    assert np.all(n_lo < n_hi)
+
+
+def test_mv_and_kappa_identities():
+    Ls = np.array([100.0, 300.0])
+    n0 = np.asarray(n0_flat_sky(Ls, "TT", CL_TT, TOT_TT, lmin=30,
+                                lmax=LMAX, n_l=200, n_theta=128))
+    # equal estimators combine to half the noise
+    mv = np.asarray(n0_minimum_variance([jnp.asarray(n0), jnp.asarray(n0)]))
+    np.testing.assert_allclose(mv, 0.5 * n0, rtol=1e-14)
+    kap = np.asarray(n0_kappa_from_phi(Ls, jnp.asarray(n0)))
+    np.testing.assert_allclose(kap, (Ls * (Ls + 1) / 2) ** 2 * n0,
+                               rtol=1e-14)
+
+
+def test_eb_beats_tt_at_low_noise():
+    """At deep polarization noise the EB estimator reconstructs better
+    than TT at intermediate L -- the standard qualitative hierarchy."""
+    Ls = np.array([200.0])
+    nl_t = np.asarray(white_noise_nl(ELLS, 1.0, 1.4))
+    nl_p = np.asarray(white_noise_nl(ELLS, np.sqrt(2.0), 1.4))
+    n_tt = float(n0_kappa_from_phi(Ls, n0_flat_sky(
+        Ls, "TT", CL_TT, CL_TT + nl_t, lmin=30, lmax=LMAX))[0])
+    n_eb = float(n0_kappa_from_phi(Ls, n0_flat_sky(
+        Ls, "EB", CL_EE, CL_EE + nl_p, cl_total2=nl_p,
+        lmin=30, lmax=LMAX))[0])
+    assert n_eb < n_tt
+
+
+# ---------------------------------------------------------------- delensing
+
+LMAXPP = 2000
+
+
+def _synthetic_clpp(lmax_pp=LMAXPP):
+    """Smooth lensing-potential spectrum with the Planck-like amplitude
+    and shape (D_pp ~ 1.5e-7 peaking at L ~ 50)."""
+    L = np.arange(lmax_pp + 1, dtype=np.float64)
+    q = np.maximum(L, 1.0) / 50.0
+    d_pp = 1.5e-7 * q / (1.0 + q**3.2) ** 0.8
+    clpp = 2.0 * np.pi * d_pp / (np.maximum(L, 1.0) * (L + 1.0)) ** 2
+    clpp[:2] = 0.0
+    return clpp
+
+
+CLPP = _synthetic_clpp()
+
+
+def test_lensed_bb_vs_dense_twin():
+    from hmvec_tpu.models.lensing_noise import lensed_bb_from_ee
+    from hmvec_tpu.twin.lensing_noise import lensed_bb_dense
+    bb = lensed_bb_from_ee(CL_EE[:LMAXPP + 1], CLPP, lmax_out=LMAXPP)
+    ells = np.array([40, 200, 700, 1500])
+    twin = lensed_bb_dense(ells, CL_EE[:LMAXPP + 1], CLPP)
+    assert np.all(bb[2:] > 0)
+    np.testing.assert_allclose(bb[ells], twin, rtol=2e-2)
+    # exact linearity in clpp (the property the delensing split uses)
+    bb2 = lensed_bb_from_ee(CL_EE[:LMAXPP + 1], 2.0 * CLPP,
+                            lmax_out=LMAXPP)
+    np.testing.assert_allclose(bb2[2:], 2.0 * bb[2:], rtol=1e-12)
+
+
+def test_n0_eb_iterative_properties():
+    from hmvec_tpu.models.lensing_noise import n0_eb_iterative
+    lmax = LMAXPP
+    nl_p = np.asarray(white_noise_nl(ELLS[:lmax + 1], np.sqrt(2.0), 1.4))
+    ee_tot = CL_EE[:lmax + 1] + nl_p
+    Ls = np.array([100.0, 500.0])
+    n0, info = n0_eb_iterative(Ls, CL_EE[:lmax + 1], ee_tot, CLPP, nl_p,
+                               lmin=30, lmax=lmax, n_l=200, n_theta=128,
+                               return_info=True)
+    # delensing strictly helps at deep noise; coherence is a fraction
+    n0_first_at = np.exp(np.interp(np.log(Ls), np.log(info["nodes"]),
+                                   np.log(info["n0_first"])))
+    assert np.all(n0 < n0_first_at)
+    assert info["iters"] >= 2
+    assert np.all((info["rho2"] >= 0.0) & (info["rho2"] < 1.0))
+    assert np.all(info["cl_bb_res"][2:] >= 0.0)
+    # zero lensing: the fixed point IS the noise-only EB N0, first try
+    n0z, infoz = n0_eb_iterative(Ls, CL_EE[:lmax + 1], ee_tot,
+                                 np.zeros(lmax + 1), nl_p, lmin=30,
+                                 lmax=lmax, n_l=200, n_theta=128,
+                                 return_info=True)
+    plain = np.asarray(n0_flat_sky(Ls, "EB", CL_EE[:lmax + 1], ee_tot,
+                                   cl_total2=nl_p, lmin=30, lmax=lmax,
+                                   n_l=200, n_theta=128))
+    np.testing.assert_allclose(n0z, plain, rtol=1e-9)
+    assert infoz["iters"] == 1
+
+
+def test_n0_eb_iterative_vs_dense_twin():
+    from hmvec_tpu.models.lensing_noise import n0_eb_iterative
+    from hmvec_tpu.twin.lensing_noise import n0_eb_iterative_dense
+    lmax = LMAXPP
+    nl_p = np.asarray(white_noise_nl(ELLS[:lmax + 1], 3.0, 1.4))
+    ee_tot = CL_EE[:lmax + 1] + nl_p
+    nodes = np.unique(np.round(np.geomspace(2.0, lmax, 12)))
+    Ls = np.array([80.0, 400.0])
+    n0 = n0_eb_iterative(Ls, CL_EE[:lmax + 1], ee_tot, CLPP, nl_p,
+                         lmin=30, lmax=lmax, n_iter=2, tol=0.0,
+                         n_l=400, n_theta=256, nodes=nodes)
+    twin = n0_eb_iterative_dense(Ls, CL_EE[:lmax + 1], ee_tot, CLPP,
+                                 nl_p, 30, lmax, nodes, n_iter=2)
+    np.testing.assert_allclose(np.asarray(n0), twin, rtol=3e-2)
