@@ -115,6 +115,7 @@ from .models.emulator import (Emulator, fit_emulator,  # noqa: F401,E402
 from .models.lensing_noise import (white_noise_nl, total_cl_tt,  # noqa: F401,E402
                                    n0_flat_sky, n0_minimum_variance,
                                    n0_kappa_from_phi, lensed_bb_from_ee,
-                                   n0_eb_iterative)
+                                   n0_eb_iterative, n0_tt_fullsky,
+                                   threej000_sq)
 
 __version__ = "0.3.0"  # kept in sync with pyproject.toml

@@ -199,3 +199,51 @@ def test_n0_eb_iterative_vs_dense_twin():
     twin = n0_eb_iterative_dense(Ls, CL_EE[:lmax + 1], ee_tot, CLPP,
                                  nl_p, 30, lmax, nodes, n_iter=2)
     np.testing.assert_allclose(np.asarray(n0), twin, rtol=3e-2)
+
+
+# ------------------------------------------------------------- full sky
+
+def test_threej000_sq_exact():
+    from hmvec_tpu.models.lensing_noise import threej000_sq
+    from sympy.physics.wigner import wigner_3j
+    for l1, l2, l3 in [(2, 2, 2), (10, 40, 30), (100, 120, 40),
+                       (3, 4, 5), (500, 500, 400)]:
+        mine = float(threej000_sq(l1, l2, l3))
+        exact = float(wigner_3j(l1, l2, l3, 0, 0, 0) ** 2)
+        np.testing.assert_allclose(mine, exact, rtol=1e-11)
+    # parity zero and triangle violation
+    assert float(threej000_sq(2, 3, 4)) == 0.0
+    assert float(threej000_sq(2, 3, 10)) == 0.0
+
+
+def test_n0_fullsky_vs_flat_cross_formalism():
+    """The exact spherical 3j response and the flat-sky 2D quadrature
+    share no code, constants or conventions; their N0s must converge as
+    O(1/L).  Passing pins BOTH modules' normalizations."""
+    from hmvec_tpu.models.lensing_noise import n0_tt_fullsky
+    lmax = 1500
+    Ls = np.array([40.0, 150.0, 500.0])
+    full = np.asarray(n0_tt_fullsky(Ls, CL_TT[:lmax + 1],
+                                    TOT_TT[:lmax + 1], lmin=30,
+                                    lmax=lmax))
+    flat = np.asarray(n0_flat_sky(Ls, "TT", CL_TT[:lmax + 1],
+                                  TOT_TT[:lmax + 1], lmin=30, lmax=lmax,
+                                  n_l=600, n_theta=512))
+    err = np.abs(flat / full - 1.0)
+    assert err[0] < 0.08 and err[1] < 0.03 and err[2] < 0.015
+    # flat-sky error decreases with L
+    assert err[2] < err[1] < err[0]
+    assert np.all(full > 0)
+
+
+def test_n0_fullsky_noise_monotonic():
+    from hmvec_tpu.models.lensing_noise import n0_tt_fullsky
+    lmax = 1000
+    Ls = np.array([100.0, 300.0])
+    hi = CL_TT[:lmax + 1] + np.asarray(
+        white_noise_nl(ELLS[:lmax + 1], 20.0, 1.4))
+    lo = CL_TT[:lmax + 1] + np.asarray(
+        white_noise_nl(ELLS[:lmax + 1], 2.0, 1.4))
+    n_hi = np.asarray(n0_tt_fullsky(Ls, CL_TT[:lmax + 1], hi, lmax=lmax))
+    n_lo = np.asarray(n0_tt_fullsky(Ls, CL_TT[:lmax + 1], lo, lmax=lmax))
+    assert np.all(n_lo < n_hi)
