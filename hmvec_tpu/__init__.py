@@ -112,6 +112,7 @@ from .pipeline import (make_pmm_fn, make_lensing_cls_fn,  # noqa: F401,E402
 from .models.emulator import (Emulator, fit_emulator,  # noqa: F401,E402
                               pipeline_target, save_emulator,
                               load_emulator, sample_params)
+from .models import flatsky  # noqa: F401,E402
 from .models.lensing_noise import (white_noise_nl, total_cl_tt,  # noqa: F401,E402
                                    n0_flat_sky, n0_minimum_variance,
                                    n0_kappa_from_phi, lensed_bb_from_ee,

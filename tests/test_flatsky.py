@@ -1,0 +1,112 @@
+"""Flat-sky map simulation + FFT-domain TT quadratic estimator.
+
+The Monte-Carlo response test is the capstone of the lensing-noise
+stack's validation: <phi_hat phi*> / <phi phi*> = 1 requires the
+n0_flat_sky normalization to be correct, through a route (map-level
+simulation + the separable real-space estimator) that shares nothing
+with either the flat-sky quadrature OR the full-sky 3j formalism.
+Maps are lensed at exactly first order (spectral gradients), the order
+at which the QE response is defined, so the only tolerances are MC
+noise and grid discreteness.  The antisymmetric +-phi pair cancels the
+Gaussian T0 T0 noise AND the quadratic dT dT term exactly, leaving the
+response term alone (RDN0-style variance cancellation).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hmvec_tpu.models import flatsky as fs
+from hmvec_tpu.models.lensing_noise import n0_flat_sky
+
+from test_lensing_noise import CL_TT, _synthetic_clpp
+
+N, PIX = 512, 2.0
+LMAX_T = 2000
+CL = CL_TT[:LMAX_T + 1]
+CLPP = _synthetic_clpp(1200)
+
+
+def test_synthesis_roundtrip():
+    """Binned power of a synthesized map recovers the input C(l)."""
+    t = fs.synth_gaussian(jax.random.PRNGKey(0), N, PIX, CL)
+    edges = np.linspace(60, 1800, 20)
+    mids, chat = fs.map_power(t, t, PIX, edges)
+    cl_at = np.interp(np.asarray(mids), np.arange(LMAX_T + 1.0), CL)
+    ratio = np.asarray(chat) / cl_at
+    assert np.all(np.abs(ratio - 1.0) < 0.2)          # per-bin MC noise
+    assert abs(ratio.mean() - 1.0) < 0.03
+    # variance identity: <T^2> = sum_k C(l_k) / Omega (discrete Parseval)
+    lmod = np.asarray(fs.fourier_grid(N, PIX)[2])
+    omega = (N * PIX * np.pi / 180.0 / 60.0) ** 2
+    var_th = np.interp(lmod, np.arange(LMAX_T + 1.0), CL,
+                       right=0.0).sum() / omega
+    np.testing.assert_allclose(float(jnp.var(t)), var_th, rtol=0.05)
+
+
+def test_lens_map_identity_and_consistency():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    t0 = fs.synth_gaussian(k1, N, PIX, CL)
+    phi = fs.synth_gaussian(k2, N, PIX, CLPP)
+    # zero deflection: remap at integer coordinates is exact up to the
+    # FFT-upsampling round trip (bitwise at oversample=1)
+    tz = fs.lens_map(t0, jnp.zeros_like(t0), PIX)
+    scale = float(jnp.abs(t0).max())
+    assert float(jnp.abs(tz - t0).max()) < 1e-11 * scale
+    tz1 = fs.lens_map(t0, jnp.zeros_like(t0), PIX, oversample=1)
+    assert float(jnp.abs(tz1 - t0).max()) == 0.0
+    # all-orders remap vs spectral first order: same perturbation up to
+    # interpolation smoothing and O(phi^2)
+    d_full = np.asarray(fs.lens_map(t0, phi, PIX) - t0)
+    d_lin = np.asarray(fs.lens_map_first_order(t0, phi, PIX) - t0)
+    cos = (d_full * d_lin).sum() / np.sqrt((d_full**2).sum()
+                                           * (d_lin**2).sum())
+    assert cos > 0.9
+    assert abs(d_full.std() / d_lin.std() - 1.0) < 0.1
+
+
+def _n0_integer(lmax_rec):
+    nodes = np.unique(np.round(np.geomspace(30, lmax_rec, 20)))
+    n0n = np.asarray(n0_flat_sky(nodes, "TT", CL, CL, lmin=30,
+                                 lmax=LMAX_T))
+    L = np.arange(lmax_rec + 1, dtype=float)
+    out = np.exp(np.interp(np.log(np.maximum(L, 2.0)), np.log(nodes),
+                           np.log(n0n)))
+    out[:2] = 0.0
+    return out
+
+
+def test_qe_response_monte_carlo():
+    """<phi_hat phi*> / <phi phi*> = 1: simulation pins the n0_flat_sky
+    normalization end to end (24 sims, deterministic keys)."""
+    n0_int = _n0_integer(700)
+    bins = jnp.asarray(np.linspace(50, 400, 8))
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        t0 = fs.synth_gaussian(k1, N, PIX, CL)
+        phi = fs.synth_gaussian(k2, N, PIX, CLPP)
+        qe = lambda t: fs.qe_tt(t, PIX, CL, CL, n0_int, lmin=30,
+                                lmax=LMAX_T)
+        ph = 0.5 * (qe(fs.lens_map_first_order(t0, phi, PIX))
+                    - qe(fs.lens_map_first_order(t0, -phi, PIX)))
+        pk = jnp.fft.fft2(phi)
+        _, cx = fs.fourier_power(ph, pk, PIX, bins)
+        _, ca = fs.fourier_power(pk, pk, PIX, bins)
+        return cx, ca
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 24)
+    cx, ca = jax.vmap(one)(keys)
+    ratio = np.asarray(cx).sum(0) / np.asarray(ca).sum(0)
+    assert np.all(np.abs(ratio - 1.0) < 0.08)
+    assert abs(float(ratio.mean()) - 1.0) < 0.03
+
+
+def test_qe_output_is_hermitian():
+    """phi_hat(-L) = phi_hat(L)* -- the reconstruction is a real map."""
+    n0_int = _n0_integer(700)
+    t = fs.synth_gaussian(jax.random.PRNGKey(11), N, PIX, CL)
+    ph = fs.qe_tt(t, PIX, CL, CL, n0_int, lmin=30, lmax=LMAX_T)
+    m = jnp.fft.ifft2(ph)
+    assert float(jnp.abs(m.imag).max()) < 1e-12 * float(
+        jnp.abs(m.real).max())
