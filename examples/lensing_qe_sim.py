@@ -77,6 +77,15 @@ def main():
                           np.log(n0n)))
     n0[:2] = 0.0
 
+    # analytic N1 bias (the O(C_pp) secondary-coupling correction)
+    from hmvec_tpu.models.lensing_noise import n1_tt_flat_sky
+    L_n1 = np.array([100.0, 300.0, 600.0])
+    n0_at = np.interp(L_n1, Li, n0)
+    n1 = np.asarray(n1_tt_flat_sky(L_n1, cl_len, tot, clpp, lmin=30,
+                                   lmax=lmax_t, n0_phi=n0_at))
+    print("analytic N1/N0 at L=100/300/600:",
+          " ".join(f"{v:.4f}" for v in n1 / n0_at))
+
     bins = jnp.asarray(np.linspace(40, 600, 12))
 
     def one(key):

@@ -117,6 +117,6 @@ from .models.lensing_noise import (white_noise_nl, total_cl_tt,  # noqa: F401,E4
                                    n0_flat_sky, n0_minimum_variance,
                                    n0_kappa_from_phi, lensed_bb_from_ee,
                                    n0_eb_iterative, n0_tt_fullsky,
-                                   threej000_sq)
+                                   threej000_sq, n1_tt_flat_sky)
 
 __version__ = "0.3.0"  # kept in sync with pyproject.toml

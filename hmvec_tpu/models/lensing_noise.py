@@ -62,7 +62,7 @@ from ..utils.weights import leggauss_cached
 __all__ = ["white_noise_nl", "total_cl_tt", "n0_flat_sky",
            "n0_minimum_variance", "n0_kappa_from_phi",
            "lensed_bb_from_ee", "n0_eb_iterative",
-           "threej000_sq", "n0_tt_fullsky"]
+           "threej000_sq", "n0_tt_fullsky", "n1_tt_flat_sky"]
 
 _ARCMIN = np.pi / (180.0 * 60.0)
 
@@ -341,6 +341,127 @@ def _n0_tt_fullsky_one(L, cl_grad, cl_total, lmin, lmax, width):
     inv_a = jnp.sum(jnp.where(valid, f2 / (2.0 * c1t * c2t), 0.0)) \
         / (2.0 * L + 1.0)
     return 1.0 / inv_a
+
+
+def _n1_tt_one(L, cl_grad, cl_total, clpp, lmin, lmax, n_l, n_theta,
+               n_s, n_alpha):
+    """2 * Term1 integral of the N1 derivation (see n1_tt_flat_sky);
+    returns N1 / N0^2 (the caller multiplies by A_L^2 = N0^2)."""
+    lmax_pp = clpp.shape[0] - 1
+
+    # l1: GL in ln r over [lmin, lmax] x midpoint angle over [0, 2pi)
+    xu, wu = leggauss_cached(int(n_l))
+    lnr = 0.5 * (np.log(lmax) + np.log(lmin)) \
+        + 0.5 * (np.log(lmax) - np.log(lmin)) * xu
+    wr = 0.5 * (np.log(lmax) - np.log(lmin)) * wu
+    r1 = np.exp(lnr)
+    t1 = (np.arange(n_theta) + 0.5) * (2.0 * np.pi / n_theta)
+    w1 = (r1**2 * wr)[:, None] * (2.0 * np.pi / n_theta)   # d^2 l1 weight
+
+    # s: GL in ln s over [2, lmax_pp] x midpoint alpha over [0, pi) x 2
+    xs_, ws_ = leggauss_cached(int(n_s))
+    lns = 0.5 * (np.log(lmax_pp) + np.log(2.0)) \
+        + 0.5 * (np.log(lmax_pp) - np.log(2.0)) * xs_
+    wss = 0.5 * (np.log(lmax_pp) - np.log(2.0)) * ws_
+    rs = np.exp(lns)
+    al = (np.arange(n_alpha) + 0.5) * (np.pi / n_alpha)
+    w2 = 2.0 * (rs**2 * wss)[:, None] * (np.pi / n_alpha)  # d^2 s weight
+
+    # components, broadcast (n_l, n_theta, n_s, n_alpha); L along x
+    l1x = jnp.asarray(np.cos(t1))[None, :, None, None] \
+        * jnp.asarray(r1)[:, None, None, None]
+    l1y = jnp.asarray(np.sin(t1))[None, :, None, None] \
+        * jnp.asarray(r1)[:, None, None, None]
+    sx = jnp.asarray(np.cos(al))[None, None, None, :] \
+        * jnp.asarray(rs)[None, None, :, None]
+    sy = jnp.asarray(np.sin(al))[None, None, None, :] \
+        * jnp.asarray(rs)[None, None, :, None]
+    l2x, l2y = L - l1x, -l1y
+    l3x, l3y = sx - l1x, sy - l1y
+    l4x, l4y = -L - l3x, -l3y
+
+    m1 = jnp.sqrt(l1x**2 + l1y**2)
+    m2 = jnp.sqrt(l2x**2 + l2y**2)
+    m3 = jnp.sqrt(jnp.maximum(l3x**2 + l3y**2, 1e-30))
+    m4 = jnp.sqrt(jnp.maximum(l4x**2 + l4y**2, 1e-30))
+    c1, c2 = _interp_cl(cl_grad, m1), _interp_cl(cl_grad, m2)
+    c3, c4 = _interp_cl(cl_grad, m3), _interp_cl(cl_grad, m4)
+
+    def fdot(ca, ax, ay, cb, bx, by):
+        # f(a, b) = C_a (a+b).a + C_b (a+b).b
+        kx, ky = ax + bx, ay + by
+        return ca * (kx * ax + ky * ay) + cb * (kx * bx + ky * by)
+
+    f12 = fdot(c1, l1x, l1y, c2, l2x, l2y)
+    f34 = fdot(c3, l3x, l3y, c4, l4x, l4y)
+    f13 = fdot(c1, l1x, l1y, c3, l3x, l3y)
+    f24 = fdot(c2, l2x, l2y, c4, l4x, l4y)
+
+    t1_ = _interp_cl(cl_total, m1)
+    t2_ = _interp_cl(cl_total, m2)
+    t3_ = _interp_cl(cl_total, m3)
+    t4_ = _interp_cl(cl_total, m4)
+    band = ((m1 >= lmin) & (m1 <= lmax) & (m2 >= lmin) & (m2 <= lmax)
+            & (m3 >= lmin) & (m3 <= lmax) & (m4 >= lmin) & (m4 <= lmax))
+    F12 = jnp.where(band, f12 / (2.0 * t1_ * t2_), 0.0)
+    F34 = jnp.where(band, f34 / (2.0 * t3_ * t4_), 0.0)
+
+    cpp_s = _interp_cl(clpp, jnp.sqrt(sx**2 + sy**2))
+    integrand = F12 * F34 * f13 * f24 * cpp_s
+    w = jnp.asarray(w1)[:, :, None, None] * jnp.asarray(w2)[None, None]
+    return 2.0 * jnp.sum(w * integrand) / (2.0 * np.pi) ** 4
+
+
+def n1_tt_flat_sky(Ls, cl_grad, cl_total, clpp, lmin=30, lmax=None,
+                   n_l=96, n_theta=64, n_s=64, n_alpha=32, n0_phi=None):
+    """Flat-sky N1 bias of the TT quadratic estimator (the O(C_pp)
+    secondary-coupling noise that adds to N0).
+
+    Derivation (from scratch; Wick contractions of the first-order
+    lensed T(l) = T0(l) - int (l-m).m phi(l-m) T0(m) d^2m/(2pi)^2):
+    with <T(a)T(b)> = f(a, b) phi(a+b), f(a,b) = C_a (a+b).a +
+    C_b (a+b).b, the estimator phi_hat(L) = A_L int F(l1, L-l1) T T
+    (F = f/(2 C^tot C^tot), A_L = N0) has the connected secondary
+    4-point contribution
+
+        N1(L) = A_L^2 int int [d^2 l1 d^2 l3 / (2pi)^4] F(l1,l2)
+                F(l3,l4) [ C_pp(|l1+l3|) f(l1,l3) f(l2,l4)
+                         + C_pp(|l1+l4|) f(l1,l4) f(l2,l3) ],
+        l2 = L - l1,  l4 = -L - l3.
+
+    Substituting s = l1 + l3 in the first term makes the steep C_pp(s)
+    weight its own log-radial x angle quadrature (the integrand is
+    PEAKED at small s where C_pp ~ s^-4 -- a naive (l1, l3) grid
+    misses it); the second term equals the first under the relabeling
+    l3 <-> l4 (F is symmetric in its arguments), giving the factor 2.
+
+    Validated against an independent dense-grid numpy twin
+    (twin/lensing_noise.n1_tt_dense, piecewise-linear-s x midpoint
+    grids): converged agreement 0.1% (L=100), 0.8% (400), 5% (800).
+    Default quadrature orders are ~1% converged at L <= 400 and ~3% at
+    L = 800 against a 2x-refined reference (measured); the whole
+    (n_l x n_theta x n_s x n_alpha) integrand is one broadcast
+    expression per L.
+
+    n0_phi: optionally pass the per-L N0 (same band/cuts) to skip the
+    internal n0_flat_sky call.  Returns N1^{phiphi} at Ls.
+    """
+    cl_grad = jnp.asarray(cl_grad, dtype=jnp.float64)
+    cl_total = jnp.asarray(cl_total, dtype=jnp.float64)
+    clpp = jnp.asarray(clpp, dtype=jnp.float64)
+    if lmax is None:
+        lmax = cl_grad.shape[0] - 1
+    Ls = np.atleast_1d(np.asarray(Ls, dtype=np.float64))
+    if n0_phi is None:
+        n0_phi = n0_flat_sky(Ls, "TT", cl_grad, cl_total, lmin=lmin,
+                             lmax=lmax)
+    n0_phi = jnp.asarray(n0_phi)
+    fn = jax.jit(_n1_tt_one, static_argnames=("lmin", "lmax", "n_l",
+                                              "n_theta", "n_s", "n_alpha"))
+    core = [fn(float(L), cl_grad, cl_total, clpp, lmin=float(lmin),
+               lmax=float(lmax), n_l=int(n_l), n_theta=int(n_theta),
+               n_s=int(n_s), n_alpha=int(n_alpha)) for L in Ls]
+    return n0_phi**2 * jnp.stack(core)
 
 
 def n0_tt_fullsky(Ls, cl_grad, cl_total, lmin=30, lmax=None):

@@ -87,6 +87,72 @@ def lensed_bb_dense(ells_out, cl_ee, clpp, n_theta=256):
     return out
 
 
+def n1_tt_dense(L, cl_grad, cl_total, clpp, n0_phi_L, lmin=30, lmax=None,
+                n_theta=64, n_alpha=32):
+    """Dense-grid N1 Term1 x 2 (the l3<->l4 relabel identity is analytic).
+
+    Independent discretization from models/lensing_noise._n1_tt_one:
+    piecewise-LINEAR trapz s grid (dense [2, 60] where C_pp ~ s^-4
+    peaks, coarse above), linear integer-spaced l1 radii, midpoint
+    angles over the FULL circle for both (no reflection symmetry used),
+    plain numpy with a python loop over s rows.
+    """
+    cl_grad = np.asarray(cl_grad, dtype=np.float64)
+    cl_total = np.asarray(cl_total, dtype=np.float64)
+    clpp = np.asarray(clpp, dtype=np.float64)
+    if lmax is None:
+        lmax = cl_grad.shape[0] - 1
+    lmax_pp = clpp.shape[0] - 1
+
+    s_lo = np.arange(2.0, 60.0, 0.5)
+    s_hi = np.linspace(60.0, float(lmax_pp), 160)
+    s_grid = np.unique(np.concatenate([s_lo, s_hi]))
+    ws = np.gradient(s_grid)
+
+    r1 = np.arange(float(lmin), float(lmax) + 1.0, 20.0)
+    wr1 = np.gradient(r1)
+    th = (np.arange(n_theta) + 0.5) * (2.0 * np.pi / n_theta)
+    alf = (np.arange(n_alpha) + 0.5) * (2.0 * np.pi / n_alpha)
+
+    l1x = (r1[:, None] * np.cos(th)[None, :])[None, :, :]  # (1, nl, nth)
+    l1y = (r1[:, None] * np.sin(th)[None, :])[None, :, :]
+    w1 = (r1 * wr1)[None, :, None] * (2.0 * np.pi / n_theta)
+    l2x, l2y = L - l1x, -l1y
+
+    def f(ca, ax, ay, cb, bx, by):
+        kx, ky = ax + bx, ay + by
+        return ca * (kx * ax + ky * ay) + cb * (kx * bx + ky * by)
+
+    m1 = np.hypot(l1x, l1y)
+    m2 = np.hypot(l2x, l2y)
+    c1, c2 = _interp_cl(cl_grad, m1), _interp_cl(cl_grad, m2)
+    f12 = f(c1, l1x, l1y, c2, l2x, l2y)
+    F12 = np.where((m2 >= lmin) & (m2 <= lmax),
+                   f12 / (2.0 * _interp_cl(cl_total, m1)
+                          * _interp_cl(cl_total, m2)), 0.0)
+
+    total = 0.0
+    for s, w_s in zip(s_grid, ws):
+        sx = (s * np.cos(alf))[:, None, None]               # (nal, 1, 1)
+        sy = (s * np.sin(alf))[:, None, None]
+        l3x, l3y = sx - l1x, sy - l1y
+        l4x, l4y = -L - l3x, -l3y
+        m3 = np.maximum(np.hypot(l3x, l3y), 1e-30)
+        m4 = np.maximum(np.hypot(l4x, l4y), 1e-30)
+        c3, c4 = _interp_cl(cl_grad, m3), _interp_cl(cl_grad, m4)
+        f34 = f(c3, l3x, l3y, c4, l4x, l4y)
+        F34 = np.where((m3 >= lmin) & (m3 <= lmax) & (m4 >= lmin)
+                       & (m4 <= lmax),
+                       f34 / (2.0 * _interp_cl(cl_total, m3)
+                              * _interp_cl(cl_total, m4)), 0.0)
+        f13 = f(c1, l1x, l1y, c3, l3x, l3y)
+        f24 = f(c2, l2x, l2y, c4, l4x, l4y)
+        inner = (w1 * F12 * F34 * f13 * f24).sum()
+        total += _interp_cl(clpp, np.array([s]))[0] * s * w_s \
+            * (2.0 * np.pi / n_alpha) * inner
+    return 2.0 * n0_phi_L**2 * total / (2.0 * np.pi) ** 4
+
+
 def n0_eb_iterative_dense(Ls, cl_ee, cl_ee_total, clpp, nl_bb, lmin, lmax,
                           nodes, n_iter=3, n_theta=1024, n_theta_bb=256,
                           bb_nodes=None):

@@ -247,3 +247,39 @@ def test_n0_fullsky_noise_monotonic():
     n_hi = np.asarray(n0_tt_fullsky(Ls, CL_TT[:lmax + 1], hi, lmax=lmax))
     n_lo = np.asarray(n0_tt_fullsky(Ls, CL_TT[:lmax + 1], lo, lmax=lmax))
     assert np.all(n_lo < n_hi)
+
+
+# ------------------------------------------------------------------ N1
+
+def test_n1_tt_vs_dense_twin():
+    """Analytic flat-sky N1 vs the independent dense-grid numpy twin
+    (different s/angle/radial discretizations, no shared code)."""
+    from hmvec_tpu.models.lensing_noise import n1_tt_flat_sky
+    from hmvec_tpu.twin.lensing_noise import n1_tt_dense
+    lmax = 1500
+    clg, clt = CL_TT[:lmax + 1], TOT_TT[:lmax + 1]
+    Ls = np.array([100.0, 400.0])
+    n0 = np.asarray(n0_flat_sky(Ls, "TT", clg, clt, lmin=30, lmax=lmax))
+    n1 = np.asarray(n1_tt_flat_sky(Ls, clg, clt, CLPP, lmin=30,
+                                   lmax=lmax, n0_phi=n0))
+    twin = np.array([n1_tt_dense(L, clg, clt, CLPP, n0L, lmin=30,
+                                 lmax=lmax, n_theta=48, n_alpha=24)
+                     for L, n0L in zip(Ls, n0)])
+    assert np.all(n1 > 0)
+    np.testing.assert_allclose(n1, twin, rtol=5e-2)
+    # N1 is a correction, not the noise floor
+    assert np.all(n1 < 0.1 * n0)
+
+
+def test_n1_linear_in_clpp():
+    """The N1 integrand carries exactly one power of C_pp."""
+    from hmvec_tpu.models.lensing_noise import n1_tt_flat_sky
+    lmax = 1000
+    clg, clt = CL_TT[:lmax + 1], TOT_TT[:lmax + 1]
+    Ls = np.array([150.0])
+    n0 = np.asarray(n0_flat_sky(Ls, "TT", clg, clt, lmin=30, lmax=lmax))
+    kw = dict(lmin=30, lmax=lmax, n_l=32, n_theta=16, n_s=16,
+              n_alpha=8, n0_phi=n0)
+    a = np.asarray(n1_tt_flat_sky(Ls, clg, clt, CLPP, **kw))
+    b = np.asarray(n1_tt_flat_sky(Ls, clg, clt, 2.0 * CLPP, **kw))
+    np.testing.assert_allclose(b, 2.0 * a, rtol=1e-12)
