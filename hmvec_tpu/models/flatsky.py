@@ -45,7 +45,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["fourier_grid", "synth_gaussian", "map_power", "fourier_power",
-           "lens_map_first_order", "lens_map", "qe_tt"]
+           "lens_map_first_order", "lens_map", "qe_tt",
+           "synth_pol", "eb_from_qu", "qe_eb"]
 
 _ARCMIN = np.pi / (180.0 * 60.0)
 
@@ -205,6 +206,88 @@ def qe_tt(tmap, pix_arcmin: float, cl_grad, cl_total, n0_phi,
     # filters and the product transform, leaving
     #   phi_hat(L) = -i N0(L) [ lx FFT(P_x) + ly FFT(P_y) ](L).
     gk = lx * jnp.fft.fft2(wx * ti) + ly * jnp.fft.fft2(wy * ti)
+    n0 = jnp.asarray(n0_phi)
+    lout = (lmod >= 2.0) & (lmod <= float(n0.shape[0] - 1))
+    return jnp.where(lout, -1j * gk * _cl_on_grid(n0, lmod), 0.0)
+
+
+def _spin2_phases(n: int, pix_arcmin: float):
+    """cos(2 psi_l), sin(2 psi_l) on the fft2 grid (0 at l = 0)."""
+    lx, ly, lmod = fourier_grid(n, pix_arcmin)
+    m2 = jnp.where(lmod > 0.0, lmod**2, 1.0)
+    c2 = jnp.where(lmod > 0.0, (lx**2 - ly**2) / m2, 0.0)
+    s2 = jnp.where(lmod > 0.0, 2.0 * lx * ly / m2, 0.0)
+    return c2, s2
+
+
+def synth_pol(key, n: int, pix_arcmin: float, cl_ee, cl_bb=None):
+    """(Q, U) real maps from EE (and optionally BB) spectra.
+
+    E/B are synthesized like synth_gaussian and rotated to Q/U by the
+    spin-2 phases: Q(l) = cos(2psi) E - sin(2psi) B, U(l) = sin(2psi) E
+    + cos(2psi) B.
+    """
+    a = pix_arcmin * _ARCMIN
+    k1, k2 = jax.random.split(key)
+    lmod = fourier_grid(n, pix_arcmin)[2]
+    ek = jnp.fft.fft2(jax.random.normal(k1, (n, n)) / a) \
+        * jnp.sqrt(_cl_on_grid(cl_ee, lmod))
+    if cl_bb is None:
+        bk = jnp.zeros_like(ek)
+    else:
+        bk = jnp.fft.fft2(jax.random.normal(k2, (n, n)) / a) \
+            * jnp.sqrt(_cl_on_grid(cl_bb, lmod))
+    c2, s2 = _spin2_phases(n, pix_arcmin)
+    q = jnp.fft.ifft2(c2 * ek - s2 * bk).real
+    u = jnp.fft.ifft2(s2 * ek + c2 * bk).real
+    return q, u
+
+
+def eb_from_qu(qmap, umap, pix_arcmin: float):
+    """(E_k, B_k) fft2 arrays from Q/U maps (inverse spin rotation)."""
+    n = qmap.shape[0]
+    c2, s2 = _spin2_phases(n, pix_arcmin)
+    qk = jnp.fft.fft2(qmap)
+    uk = jnp.fft.fft2(umap)
+    return c2 * qk + s2 * uk, -s2 * qk + c2 * uk
+
+
+def qe_eb(qmap, umap, pix_arcmin: float, cl_ee_grad, cl_ee_total,
+          cl_bb_total, n0_phi, lmin=30, lmax=3000):
+    """Normalized flat-sky EB quadratic estimator phi_hat(l).
+
+    Separable real-space form of f_EB = C^EE_{l1} (L.l1) sin 2(psi1 -
+    psi2) with weights f / (C^EE,tot_{l1} C^BB,tot_{l2}) (the D=1
+    convention of models/lensing_noise.n0_flat_sky, whose N0 is the
+    normalization): expanding the sine,
+
+      phi_hat(L) = -i N0(L) L . ( FFT[(grad We_s) Ib_c]
+                                 - FFT[(grad We_c) Ib_s] ),
+      We_{s/c}(l) = sin/cos(2psi) C^EE_l E(l)/C^EE,tot_l,
+      Ib_{c/s}(x) = ifft[ cos/sin(2psi) B(l)/C^BB,tot_l ].
+
+    The Monte-Carlo response test (tests/test_flatsky.py) pins this
+    convention chain -- estimator, spin rotations AND n0_flat_sky's EB
+    normalization -- end to end.
+    """
+    n = qmap.shape[0]
+    lx, ly, lmod = fourier_grid(n, pix_arcmin)
+    c2, s2 = _spin2_phases(n, pix_arcmin)
+    ek, bk = eb_from_qu(qmap, umap, pix_arcmin)
+    band = (lmod >= lmin) & (lmod <= lmax)
+    cet = _cl_on_grid(cl_ee_total, lmod)
+    cbt = _cl_on_grid(cl_bb_total, lmod)
+    we = jnp.where(band & (cet > 0.0), _cl_on_grid(cl_ee_grad, lmod)
+                   / jnp.where(cet > 0.0, cet, 1.0), 0.0) * ek
+    ib = jnp.where(band & (cbt > 0.0),
+                   1.0 / jnp.where(cbt > 0.0, cbt, 1.0), 0.0) * bk
+    ib_c = jnp.fft.ifft2(c2 * ib).real
+    ib_s = jnp.fft.ifft2(s2 * ib).real
+    wex_s, wey_s = _grad_maps(s2 * we, lx, ly)
+    wex_c, wey_c = _grad_maps(c2 * we, lx, ly)
+    px = wex_s * ib_c - wex_c * ib_s
+    py = wey_s * ib_c - wey_c * ib_s
+    gk = lx * jnp.fft.fft2(px) + ly * jnp.fft.fft2(py)
     n0 = jnp.asarray(n0_phi)
     lout = (lmod >= 2.0) & (lmod <= float(n0.shape[0] - 1))
     return jnp.where(lout, -1j * gk * _cl_on_grid(n0, lmod), 0.0)

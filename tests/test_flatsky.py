@@ -110,3 +110,63 @@ def test_qe_output_is_hermitian():
     m = jnp.fft.ifft2(ph)
     assert float(jnp.abs(m.imag).max()) < 1e-12 * float(
         jnp.abs(m.real).max())
+
+
+# ---------------------------------------------------------- polarization
+
+def test_synth_pol_roundtrip():
+    from test_lensing_noise import CL_EE
+    cl_ee = CL_EE[:LMAX_T + 1]
+    q, u = fs.synth_pol(jax.random.PRNGKey(2), N, PIX, cl_ee)
+    ek, bk = fs.eb_from_qu(q, u, PIX)
+    edges = np.linspace(60, 1800, 15)
+    mids, chat = fs.fourier_power(ek, ek, PIX, edges)
+    cl_at = np.interp(np.asarray(mids), np.arange(LMAX_T + 1.0), cl_ee)
+    ratio = np.asarray(chat) / cl_at
+    assert abs(ratio.mean() - 1.0) < 0.04
+    # E-only synthesis rotates back to exactly zero B
+    _, cbb = fs.fourier_power(bk, bk, PIX, edges)
+    assert float(np.max(np.asarray(cbb) / cl_at)) < 1e-20
+
+
+def test_qe_eb_response_monte_carlo():
+    """<phi_hat_EB phi*>/<phi phi*> = 1 pins the whole EB chain: the
+    separable estimator, the spin rotations, and n0_flat_sky's EB
+    (D=1) normalization (16 sims, deterministic keys)."""
+    from test_lensing_noise import CL_EE
+    from hmvec_tpu.models.lensing_noise import white_noise_nl
+    clee = CL_EE[:LMAX_T + 1]
+    nlp = np.asarray(white_noise_nl(np.arange(LMAX_T + 1.0), 5.0, 0.0))
+    cet = clee + nlp
+    cbt = nlp
+    nodes = np.unique(np.round(np.geomspace(30, 700, 20)))
+    n0n = np.asarray(n0_flat_sky(nodes, "EB", clee, cet, cl_total2=cbt,
+                                 lmin=30, lmax=LMAX_T))
+    Li = np.arange(701.0)
+    n0 = np.exp(np.interp(np.log(np.maximum(Li, 2.0)), np.log(nodes),
+                          np.log(n0n)))
+    n0[:2] = 0.0
+    bins = jnp.asarray(np.linspace(50, 400, 8))
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        q0, u0 = fs.synth_pol(k1, N, PIX, clee)
+        phi = fs.synth_gaussian(k2, N, PIX, CLPP)
+
+        def rec(sign):
+            ql = fs.lens_map_first_order(q0, sign * phi, PIX)
+            ul = fs.lens_map_first_order(u0, sign * phi, PIX)
+            return fs.qe_eb(ql, ul, PIX, clee, cet, cbt, n0, lmin=30,
+                            lmax=LMAX_T)
+
+        ph = 0.5 * (rec(1.0) - rec(-1.0))
+        pk = jnp.fft.fft2(phi)
+        _, cx = fs.fourier_power(ph, pk, PIX, bins)
+        _, ca = fs.fourier_power(pk, pk, PIX, bins)
+        return cx, ca
+
+    keys = jax.random.split(jax.random.PRNGKey(13), 16)
+    cx, ca = (np.asarray(x).sum(0) for x in jax.vmap(one)(keys))
+    ratio = cx / ca
+    assert np.all(np.abs(ratio - 1.0) < 0.08)
+    assert abs(float(ratio.mean()) - 1.0) < 0.04
