@@ -118,5 +118,8 @@ from .models.lensing_noise import (white_noise_nl, total_cl_tt,  # noqa: F401,E4
                                    n0_kappa_from_phi, lensed_bb_from_ee,
                                    n0_eb_iterative, n0_tt_fullsky,
                                    threej000_sq, n1_tt_flat_sky)
+from .models.projfield import (filtered_bispectrum_cl,  # noqa: F401,E402
+                               cl_ksz2_galaxy, hybrid_bispectrum_ttg,
+                               vrms2_linear)
 
 __version__ = "0.3.0"  # kept in sync with pyproject.toml

@@ -773,6 +773,59 @@ class HaloModel(Cosmology):
                              self.h_of_z(self.zs), ez, q_edges, sigma_noise,
                              fsky=fsky, z_edges=z_edges, **scaling)
 
+    def cluster_counts_covariance(self, z_edges, mmin=None, fsky=1.0,
+                                  q=None, sigma_noise=None, ks_lin=None,
+                                  **scaling):
+        """Binned cluster-count covariance Cov_ij = delta_ij N_i +
+        <bN>_i <bN>_j sigma^2_ij (Poisson + sample variance; Hu &
+        Kravtsov 2003, Lima & Hu 2004 flat-sky windows).
+
+        Counts per z bin come from the sharp mass threshold ``mmin`` or,
+        when ``q``/``sigma_noise`` are given, the lognormal Y-M
+        completeness (models/cluster_counts.py); <bN> weights the same
+        selection by the halo bias, and sigma^2_ij is the linear-power
+        covariance of the background mode between the bin windows
+        (window_sigma2).  Returns (N_i, cov).  EXTENSION: the reference
+        ships no covariance for its manual cluster-count cross-check
+        (bin/tests.py:73-131)."""
+        from ..utils.weights import trapz_weights
+        from . import background as _bg
+        from .cluster_counts import (completeness, window_sigma2,
+                                     counts_covariance)
+        z_edges = np.asarray(z_edges, dtype=float)
+        zs = np.asarray(self.zs)
+        chis = self.comoving_radial_distance(self.zs)
+        dvdz = fsky * 4.0 * jnp.pi * chis**2 / self.h_of_z(self.zs)
+        wm = jnp.asarray(trapz_weights(np.asarray(self.ms)))
+        if q is not None:
+            ez = _bg.e_of_z(self.bg, self.zs)
+            sel = completeness(self.ms, ez, q, sigma_noise, **scaling)
+        else:
+            if mmin is None:
+                raise ValueError("pass mmin or (q, sigma_noise)")
+            sel = jnp.broadcast_to((self.ms >= mmin)[None, :],
+                                   self.nzm.shape)
+        dndz = dvdz * ((self.nzm * sel) @ wm)
+        dbndz = dvdz * ((self.nzm * self.bh * sel) @ wm)
+
+        def zbin_trapz(f):
+            rows = []
+            for lo, hi in zip(z_edges[:-1], z_edges[1:]):
+                m = (zs >= lo) & (zs < hi)
+                if m.sum() > 1:
+                    rows.append(f[m] @ jnp.asarray(trapz_weights(zs[m])))
+                else:
+                    rows.append(jnp.zeros(()))
+            return jnp.stack(rows)
+
+        N_i = zbin_trapz(dndz)
+        bN_i = zbin_trapz(dbndz)
+        if ks_lin is None:
+            ks_lin = np.geomspace(1e-4, 5.0, 400)
+        plin = self.P_lin_slow(jnp.asarray(ks_lin), self.zs)
+        s2 = window_sigma2(z_edges, self.zs, chis, ks_lin, plin, fsky)
+        return N_i, counts_covariance(N_i, bN_i, s2)
+
     def get_cl_cov_t1h(self, ells, name1, name2=None, Wz1s=None, Wz2s=None,
                        fsky=1.0, name3=None, name4=None, Wz3s=None,
                        Wz4s=None):

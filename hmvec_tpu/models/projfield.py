@@ -1,0 +1,234 @@
+"""Projected-field kSZ^2 x LSS cross-correlation.
+
+EXTENSION beyond the reference: hmvec forecasts kSZ velocity
+reconstruction (N_vv, SNR; reference hmvec/ksz.py:299-468) but ships no
+API for the *projected-field* kSZ estimator -- cross-correlating the
+SQUARE of a filtered CMB map with a tracer of large-scale structure
+(Dore, Hennawi & Spergel 2004; Ferraro et al. 2016, PRD 94, 123526;
+Hill et al. 2016; the class_sz implementation of Kusiak et al. 2021).
+That estimator needs no redshifts for the CMB side and is how kSZ^2 x
+(galaxies/lensing) has actually been detected, so it completes the
+kSZ observable family next to the reconstruction forecasts.
+
+Model.  The kSZ temperature is T(nhat) = int dchi K(z) q_r with
+K(z) = T_CMB sigma_T n_e0 x_e e^-tau (1+z)^2 (models/ksz.py
+ksz_radial_function, reference ksz.py:86-96) and q_r = (v_r/c) delta_e
+the radial electron momentum.  For a filter f(l) applied to the map,
+
+  C_l^{T_f^2 x g} = int d^2L/(2pi)^2 f(|L|) f(|l-L|) b(|L|, |l-L|, l)
+
+with the projected (flat-sky Limber) hybrid bispectrum
+
+  b(l1,l2,l3) = int dchi K^2(z) W_g(chi) / chi^4
+                    B_{q_r q_r g}(k_i = (l_i+1/2)/chi; z).
+
+The momentum bispectrum uses the standard large-scale-velocity
+factorization (the same Ma & Fry squeezed treatment as the in-repo
+kSZ auto spectrum, models/ksz.py get_ksz_auto_squeezed):
+<(v delta_e)(v delta_e) delta_g> ~= <v_r^2> B_{eeg}, i.e.
+
+  B_{q_r q_r g}(k1,k2,k3) ~= (vrms2(z)/3) B_{eeg}(k1,k2,k3)
+
+with vrms2(z) = <(v/c)^2> = int dkL (f a H / kL)^2 P_mm^lin(kL,z)
+k^2/(2pi^2) and B_{eeg} the full halo-model electron-electron-galaxy
+bispectrum (models/bispectrum.py, 1h+2h+3h).  Velocity-density
+connected corrections beyond the factorization are dropped, as in the
+literature implementations.  The lensing contribution to <T_f^2 g>
+(the dominant contaminant in real data) is a separate term the caller
+can model with the in-repo lensing modules; it is NOT included here.
+
+TPU notes: the (L, theta) filter convolution is one Gauss-Legendre
+log-radial x angular tensor quadrature over ALL output ells at once --
+every triangle configuration for every output ell goes through ONE
+bispectrum evaluation (the bispectrum machinery is a batch of
+two-gather leg lerps + static-weight mass contractions, no Python
+loops), so the whole estimator is a single fused jit program.
+
+Oracles (tests/test_projfield.py): closed-form Gaussian filter
+convolution (exact 2D geometry of the quadrature), annulus measure
+identity at l = 0, hybrid-bispectrum parity against the explicit-loop
+numpy twin (twin/bispectrum.py) with independently assembled windows,
+and filter/bispectrum linearity identities.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.quadrature import trapz_traced
+from ..utils.weights import leggauss_cached
+from . import background as bgmod
+from .ksz import ksz_radial_function
+
+
+# --------------------------------------------------------------- filters
+
+def filter_from_table(ells, fells):
+    """Linear-interpolation filter callable from a sampled f(l) table;
+    zero outside the table's support (the filter defines the analysis
+    band, so out-of-band modes must not contribute)."""
+    ells = jnp.asarray(ells, dtype=jnp.float64)
+    fells = jnp.asarray(fells, dtype=jnp.float64)
+
+    def f(l):
+        l = jnp.asarray(l)
+        val = jnp.interp(l, ells, fells)
+        return jnp.where((l < ells[0]) | (l > ells[-1]), 0.0, val)
+
+    return f
+
+
+def _as_filter(f_ell):
+    if callable(f_ell):
+        return f_ell
+    ells, fells = f_ell
+    return filter_from_table(ells, fells)
+
+
+# ------------------------------------------------------- the convolution
+
+def filtered_bispectrum_cl(ells_out, f_ell, b_fn, lmin, lmax,
+                           n_radial=48, n_angle=24, ell_chunk=None):
+    """C(l) = int d^2L/(2pi)^2 f(|L|) f(|l-L|) b(|L|, |l-L|, l).
+
+    ``f_ell``: callable l -> f(l), or a (grid, values) table (zero
+    outside the table).  ``b_fn``: maps three equal-length 1-D
+    multipole arrays (l1, l2, l3) to the reduced bispectrum b(l1,l2,l3)
+    (e.g. a closure over HaloModel.get_angular_bispectrum).  ``lmin``/
+    ``lmax`` bound the |L| integration (the filter support).
+
+    Quadrature: Gauss-Legendre in ln|L| on [ln lmin, ln lmax] (measure
+    L dL = L^2 dlnL) x Gauss-Legendre in the angle on [0, pi] (doubled
+    by symmetry).  All (n_out, n_radial, n_angle) triangle
+    configurations are evaluated through ONE b_fn call; ``ell_chunk``
+    splits the output ells across several b_fn calls when the halo-model
+    leg tables ((nz, nm, n_triangles) per leg) would not fit in memory.
+    """
+    f = _as_filter(f_ell)
+    ells_out = jnp.atleast_1d(jnp.asarray(ells_out, dtype=jnp.float64))
+    if ell_chunk is not None and ells_out.size > ell_chunk:
+        return jnp.concatenate([
+            filtered_bispectrum_cl(ells_out[i:i + ell_chunk], f, b_fn,
+                                   lmin, lmax, n_radial, n_angle)
+            for i in range(0, ells_out.size, ell_chunk)])
+
+    xr, wr = leggauss_cached(n_radial)
+    la, lb = np.log(float(lmin)), np.log(float(lmax))
+    lnL = 0.5 * (xr + 1.0) * (lb - la) + la
+    wL = jnp.asarray(wr * 0.5 * (lb - la))
+    L = jnp.exp(jnp.asarray(lnL))                       # (nr,)
+
+    xa, wa = leggauss_cached(n_angle)
+    theta = jnp.asarray(0.5 * (xa + 1.0) * np.pi)       # (na,)
+    wth = jnp.asarray(wa * 0.5 * np.pi)
+
+    lo = ells_out[:, None, None]                        # (no, 1, 1)
+    L1 = jnp.broadcast_to(L[None, :, None],
+                          (ells_out.size, L.size, theta.size))
+    L2 = jnp.sqrt(jnp.maximum(
+        lo**2 + L1**2 - 2.0 * lo * L1 * jnp.cos(theta[None, None, :]),
+        0.0))
+    L3 = jnp.broadcast_to(lo, L1.shape)
+
+    b = b_fn(L1.reshape(-1), L2.reshape(-1), L3.reshape(-1))
+    b = jnp.asarray(b).reshape(L1.shape)                # (no, nr, na)
+
+    integrand = f(L1) * f(L2) * b * L1**2               # L^2 dlnL measure
+    # angle integral doubled (theta -> 2pi - theta symmetry), /(2pi)^2
+    inner = jnp.einsum("ora,a->or", integrand, wth)
+    return 2.0 * jnp.einsum("or,r->o", inner, wL) / (2.0 * jnp.pi) ** 2
+
+
+# ------------------------------------------------------ the kSZ assembly
+
+def vrms2_linear(hm, zs=None, kLs=None):
+    """<(v/c)^2>(z) = int dkL (f a H / kL)^2 P_mm^lin(kL, z) kL^2/(2pi^2)
+    -- the same linear-theory velocity variance as the Ma & Fry squeezed
+    kSZ auto path (models/ksz.py:444-445; reference ksz.py:806-810)."""
+    if zs is None:
+        zs = hm.zs
+    zs = jnp.atleast_1d(jnp.asarray(zs))
+    if kLs is None:
+        kLs = np.geomspace(1e-4, 3.0, 200)
+    kLs = jnp.asarray(kLs)
+    p = hm.P_lin_slow(kLs, zs)                           # (nz, nkL)
+    faH = (hm.get_growth_rate_f(zs) / (1.0 + zs) * hm.h_of_z(zs))
+    integrand = p * faH[:, None] ** 2                    # (faH/k)^2 k^2 P
+    return trapz_traced(integrand, kLs, axis=-1) / (2.0 * jnp.pi**2)
+
+
+def ksz_t_windows(hm, zs=None, gdndz=None, xe=1, tau=0, gasfrac=0.9,
+                  vrms2=None):
+    """Per-z windows for the two kSZ temperature legs and the galaxy leg
+    in the projected_bispectrum convention (per-chi window = H x W):
+
+      W_T = sqrt(vrms2/3) K(z) / H(z)      (each momentum leg carries
+                                            one factor of v_rms/sqrt(3))
+      W_g = dndz / int dndz dz             (None -> uniform in z).
+
+    Returns (W_T, W_g, zs)."""
+    if zs is None:
+        zs = hm.zs
+    zs = jnp.atleast_1d(jnp.asarray(zs))
+    if vrms2 is None:
+        vrms2 = vrms2_linear(hm, zs)
+    K = ksz_radial_function(zs, hm.ombh2, hm.YHe, gasfrac=gasfrac,
+                            xe=xe, tau=tau, params=hm.p)
+    H = hm.h_of_z(zs)
+    W_T = jnp.sqrt(jnp.asarray(vrms2) / 3.0) * K / H
+    if gdndz is None:
+        W_g = jnp.ones_like(zs)
+        if zs.size > 1:
+            W_g = W_g / trapz_traced(W_g, zs)
+    else:
+        W_g = jnp.asarray(gdndz) / trapz_traced(jnp.asarray(gdndz), zs)
+    return W_T, W_g, zs
+
+
+def hybrid_bispectrum_ttg(hm, ells1, ells2, ells3, gdndz=None,
+                          name_e="e", name_g="g", terms="total",
+                          xe=1, tau=0, gasfrac=0.9, vrms2=None):
+    """Projected hybrid bispectrum b_{TTg}(l1,l2,l3) in uK^2: the two T
+    legs carry the kSZ radial kernel and the large-scale velocity rms,
+    the third leg the normalized galaxy dndz; the 3D bispectrum is the
+    halo-model B_{eeg} of the registered electron and HOD tracers."""
+    W_T, W_g, _ = ksz_t_windows(hm, None, gdndz, xe, tau, gasfrac, vrms2)
+    return hm.get_angular_bispectrum(ells1, ells2, ells3, name=name_e,
+                                     name2=name_e, name3=name_g,
+                                     Wz1s=W_T, Wz2s=W_T, Wz3s=W_g,
+                                     terms=terms)
+
+
+def cl_ksz2_galaxy(hm, ells_out, f_ell, lmin=None, lmax=None, gdndz=None,
+                   name_e="e", name_g="g", terms="total", xe=1, tau=0,
+                   gasfrac=0.9, vrms2=None, n_radial=48, n_angle=24,
+                   ell_chunk=None):
+    """Projected-field kSZ^2 x galaxy cross power C_l^{T_f^2 g} in uK^2.
+
+    ``hm``: a HaloModel (or kSZ) instance with an electron profile
+    ``name_e`` and an HOD ``name_g`` registered; its k grid should reach
+    ~lmax/chi(z_min).  ``f_ell``: the map filter (callable or (grid,
+    values) table -- typically b_l/C_l^total).  ``lmin``/``lmax``
+    default to the filter table's support and bound the internal |L|
+    integral.  ``gdndz``: galaxy dndz on hm.zs (None = uniform).
+    ``vrms2``: override <v^2>(z) (defaults to linear theory on the
+    instance cosmology).  Returns (n_ell,) C_l values.
+    """
+    if lmin is None or lmax is None:
+        if callable(f_ell):
+            raise ValueError("lmin/lmax are required for a callable filter")
+        grid = np.asarray(f_ell[0], dtype=float)
+        lmin = grid[0] if lmin is None else lmin
+        lmax = grid[-1] if lmax is None else lmax
+    W_T, W_g, _ = ksz_t_windows(hm, None, gdndz, xe, tau, gasfrac, vrms2)
+
+    def b_fn(l1, l2, l3):
+        return hm.get_angular_bispectrum(l1, l2, l3, name=name_e,
+                                         name2=name_e, name3=name_g,
+                                         Wz1s=W_T, Wz2s=W_T, Wz3s=W_g,
+                                         terms=terms)
+
+    return filtered_bispectrum_cl(ells_out, f_ell, b_fn, lmin, lmax,
+                                  n_radial=n_radial, n_angle=n_angle,
+                                  ell_chunk=ell_chunk)

@@ -27,6 +27,33 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs",
                   float(os.environ.get("HMVEC_CACHE_MIN_SECS", "0.0")))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+# Guard against the native serialize() segfault on GIANT executables:
+# two independent cold-suite crashes (sessions 2 and 11, DEVNOTES) died
+# inside compilation_cache.put_executable_and_time ->
+# LoadedExecutable.serialize() while writing a tens-of-seconds-compile
+# program (the 8-device sharded boltzlite; the fused-kSZ grad), with
+# thousands of small writes always succeeding.  Skip persistent-cache
+# WRITES above a compile-time cap (reads unaffected): the handful of
+# giant programs recompile per process, everything else stays cached.
+_CACHE_MAX_SECS = float(os.environ.get("HMVEC_CACHE_MAX_COMPILE_SECS", "20"))
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_orig_put = _cc.put_executable_and_time
+
+
+def _guarded_put(cache_key, module_name, executable, backend, compile_time):
+    if compile_time > _CACHE_MAX_SECS:
+        return
+    return _orig_put(cache_key, module_name, executable, backend,
+                     compile_time)
+
+
+_cc.put_executable_and_time = _guarded_put
+# jax.compiler binds the name at call time through the module, so the
+# monkeypatch above is sufficient; assert that assumption holds.
+import jax._src.compiler as _compiler  # noqa: E402
+assert _compiler.compilation_cache is _cc
+
 import pytest  # noqa: E402
 
 

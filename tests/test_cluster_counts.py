@@ -139,3 +139,93 @@ def test_grad_finite_through_inf_edge(hm):
 
     g = jax.grad(tot)(SCALING["sigma_lnY"])
     assert np.isfinite(float(g))
+
+
+# ------------------------------------------------- sample variance (SSC)
+
+def test_window_sigma2_gaussian_1d_oracle():
+    """R -> 0 (tiny fsky) limit with a Gaussian P(k) = A exp(-k^2 s^2):
+    the disk window drops out over the spectrum's support and
+
+      sigma^2_ij -> (1/(D_i D_j)) int_i int_j xi_1D(chi - chi') dchi dchi'
+
+    with xi_1D(r) = A exp(-r^2/4s^2) / (8 pi^{3/2} s^3) -- an independent
+    real-space double-interval oracle evaluated by dense trapz."""
+    A, s = 3.0e4, 50.0
+    zs = np.linspace(0.1, 0.9, 41)
+    chis = 3000.0 * zs                       # any monotone chi(z) works
+    ks = np.geomspace(1e-4, 2.0, 2048)
+    plin = np.broadcast_to(A * np.exp(-(ks**2) * s**2), (zs.size, ks.size))
+    zedges = np.array([0.15, 0.25, 0.35, 0.55, 0.75])
+    fsky = 1e-11                             # theta_s ~ 6e-6: W_disk -> 1
+
+    got = np.asarray(cc.window_sigma2(zedges, zs, chis, ks, plin, fsky))
+
+    chi_e = np.interp(zedges, zs, chis)
+    nb = zedges.size - 1
+
+    def xi(r):
+        return A * np.exp(-(r**2) / (4 * s**2)) / (8 * np.pi**1.5 * s**3)
+
+    expected = np.zeros((nb, nb))
+    for i in range(nb):
+        xi_grid = np.linspace(chi_e[i], chi_e[i + 1], 801)
+        for j in range(nb):
+            yj_grid = np.linspace(chi_e[j], chi_e[j + 1], 801)
+            vals = xi(xi_grid[:, None] - yj_grid[None, :])
+            inner = np.trapezoid(vals, yj_grid, axis=1)
+            expected[i, j] = (np.trapezoid(inner, xi_grid)
+                              / ((chi_e[i + 1] - chi_e[i])
+                                 * (chi_e[j + 1] - chi_e[j])))
+
+    # entries many orders below the diagonal sit on the oscillatory-
+    # quadrature noise floor; compare where the signal is real
+    mask = expected > 1e-4 * expected.max()
+    np.testing.assert_allclose(got[mask], expected[mask], rtol=1e-3)
+    # the deeply suppressed entries are still small in absolute terms
+    np.testing.assert_allclose(got[~mask], expected[~mask], atol=1e-3 * expected.max())
+    # fully-separated bins really are decorrelated
+    assert abs(got[0, 3]) < 1e-6 * got[0, 0]
+
+
+def test_window_sigma2_properties(hm):
+    zs = np.asarray(hm.zs)
+    ks = np.geomspace(1e-4, 5.0, 400)
+    plin = np.asarray(hm.P_lin_slow(jnp.asarray(ks), hm.zs))
+    chis = np.asarray(hm.comoving_radial_distance(hm.zs))
+    zedges = np.array([0.2, 0.45, 0.7, 0.95, 1.2])
+    s2 = np.asarray(cc.window_sigma2(zedges, zs, chis, ks, plin,
+                                     fsky=0.4))
+    np.testing.assert_allclose(s2, s2.T, rtol=0, atol=1e-18)
+    assert np.all(np.diag(s2) > 0)
+    # positive semidefinite (it is a covariance of window averages)
+    ev = np.linalg.eigvalsh(s2)
+    assert ev.min() > -1e-10 * ev.max()
+    # correlation decays with bin separation
+    assert s2[0, 0] > abs(s2[0, 2]) and abs(s2[0, 1]) > abs(s2[0, 3])
+    # deeper bins at the same fsky see a larger comoving window -> smaller
+    # variance of the mean
+    assert s2[0, 0] > s2[-1, -1]
+
+
+def test_counts_covariance_assembly_and_class_api(hm):
+    N = np.array([120.0, 80.0, 40.0])
+    bN = np.array([300.0, 250.0, 160.0])
+    # sigma2 = 0: pure Poisson
+    cov0 = np.asarray(cc.counts_covariance(N, bN, np.zeros((3, 3))))
+    np.testing.assert_allclose(cov0, np.diag(N), rtol=0, atol=0)
+
+    zedges = np.array([0.2, 0.6, 1.0, 1.4])
+    N_i, cov = hm.cluster_counts_covariance(zedges, mmin=2e14, fsky=0.3)
+    N_i, cov = np.asarray(N_i), np.asarray(cov)
+    assert N_i.shape == (3,) and cov.shape == (3, 3)
+    assert np.all(N_i > 0)
+    # sample variance only ADDS variance on the diagonal
+    assert np.all(np.diag(cov) > N_i)
+    np.testing.assert_allclose(cov, cov.T, rtol=0, atol=1e-12 * cov.max())
+    # completeness-weighted selection also runs
+    N_q, cov_q = hm.cluster_counts_covariance(zedges, q=5.0,
+                                              sigma_noise=1e-4, fsky=0.3,
+                                              **SCALING)
+    assert np.all(np.isfinite(np.asarray(cov_q)))
+    assert np.all(np.asarray(N_q) >= 0)

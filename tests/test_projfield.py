@@ -1,0 +1,177 @@
+"""Projected-field kSZ^2 x galaxy estimator (models/projfield.py).
+
+Oracles: closed-form Gaussian filter convolution (pins the full 2D
+quadrature geometry incl. the |l - L| law), the annulus measure identity
+at l = 0, explicit-loop numpy twin parity for the projected hybrid
+bispectrum (twin/bispectrum.py with independently assembled windows),
+and linearity identities.  EXTENSION beyond the reference (hmvec ships
+velocity-reconstruction forecasts only, ksz.py:299-468).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hmvec_tpu.models.halo_model import HaloModel
+from hmvec_tpu.models import projfield as pf
+from hmvec_tpu.models.ksz import ksz_radial_function
+from hmvec_tpu.twin.halo_ext import TwinHaloModelExt
+from hmvec_tpu.twin import bispectrum as tbsp
+
+ZS = np.array([0.4, 0.8])
+MS = np.geomspace(2e10, 1e16, 48)
+KS = np.geomspace(1e-3, 60.0, 88)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    hm = HaloModel(ZS, KS, ms=MS)
+    hm.add_battaglia_profile("e", family="AGN", nxs=500, xmax=12)
+    hm.add_hod("g", ngal=np.full(ZS.size, 1e-4))
+    tw = TwinHaloModelExt(ZS, KS, MS)
+    tw.add_battaglia_profile("e", family="AGN", nxs=500, xmax=12)
+    tw.add_hod("g", ngal=np.full(ZS.size, 1e-4))
+    return hm, tw
+
+
+# ------------------------------------------------------------ quadrature
+
+def test_annulus_measure_identity():
+    """b = 1, f = 1 on [lmin, lmax], l_out = 0: the |l-L| leg equals L so
+    C(0) = int_annulus d^2L/(2pi)^2 = (lmax^2 - lmin^2)/(4 pi) exactly."""
+    lmin, lmax = 100.0, 3000.0
+    grid = np.linspace(lmin, lmax, 2001)
+    f = (grid, np.ones_like(grid))
+
+    def b_one(l1, l2, l3):
+        return jnp.ones_like(l1)
+
+    got = float(pf.filtered_bispectrum_cl(0.0, f, b_one, lmin, lmax,
+                                          n_radial=64, n_angle=8)[0])
+    expected = (lmax**2 - lmin**2) / (4.0 * np.pi)
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+
+
+def test_gaussian_convolution_closed_form():
+    """f(L) = exp(-L^2 / 2 sigma^2), b = 1:
+
+      C(l) = int d^2L/(2pi)^2 e^{-L^2/2s^2} e^{-|l-L|^2/2s^2}
+           = s^2 e^{-l^2/4s^2} / (4 pi)
+
+    (complete the square: L^2 + |l-L|^2 = 2|L - l/2|^2 + l^2/2).  This
+    pins the quadrature's 2D geometry including the cosine law."""
+    sigma = 500.0
+
+    def f(l):
+        return jnp.exp(-(l**2) / (2.0 * sigma**2))
+
+    def b_one(l1, l2, l3):
+        return jnp.ones_like(l1)
+
+    ells = np.array([0.0, 250.0, 700.0, 1400.0])
+    # lmin = 0.01 makes the |L| -> 0 truncation (~ f(l) lmin^2 / 4pi)
+    # negligible against the rtol below
+    got = np.asarray(pf.filtered_bispectrum_cl(
+        ells, f, b_one, 0.01, 6000.0, n_radial=128, n_angle=64))
+    expected = sigma**2 * np.exp(-(ells**2) / (4.0 * sigma**2)) / (4 * np.pi)
+    np.testing.assert_allclose(got, expected, rtol=2e-6)
+
+
+def test_filter_and_bispectrum_linearity():
+    """C scales as f^2 and linearly in b."""
+    lmin, lmax = 100.0, 2000.0
+    grid = np.geomspace(lmin, lmax, 200)
+    f1 = (grid, 1.0 / (1.0 + (grid / 800.0) ** 2))
+    f2 = (grid, 3.0 * f1[1])
+
+    def b_fn(l1, l2, l3):
+        return 1e-12 * (l1 + l2) / (l3 + 100.0)
+
+    ells = np.array([300.0, 900.0])
+    c1 = np.asarray(pf.filtered_bispectrum_cl(ells, f1, b_fn, lmin, lmax,
+                                              n_radial=24, n_angle=12))
+    c2 = np.asarray(pf.filtered_bispectrum_cl(ells, f2, b_fn, lmin, lmax,
+                                              n_radial=24, n_angle=12))
+    np.testing.assert_allclose(c2, 9.0 * c1, rtol=1e-12)
+
+    def b_scaled(l1, l2, l3):
+        return 2.5 * b_fn(l1, l2, l3)
+
+    c3 = np.asarray(pf.filtered_bispectrum_cl(ells, f1, b_scaled, lmin,
+                                              lmax, n_radial=24,
+                                              n_angle=12))
+    np.testing.assert_allclose(c3, 2.5 * c1, rtol=1e-12)
+
+
+def test_ell_chunking_is_exact():
+    lmin, lmax = 100.0, 2000.0
+    grid = np.geomspace(lmin, lmax, 100)
+    f = (grid, np.exp(-grid / 1500.0))
+
+    def b_fn(l1, l2, l3):
+        return 1e-10 / (1.0 + l1 + l2 + l3)
+
+    ells = np.array([200.0, 500.0, 800.0, 1200.0, 1600.0])
+    full = np.asarray(pf.filtered_bispectrum_cl(ells, f, b_fn, lmin, lmax,
+                                                n_radial=16, n_angle=8))
+    chunked = np.asarray(pf.filtered_bispectrum_cl(
+        ells, f, b_fn, lmin, lmax, n_radial=16, n_angle=8, ell_chunk=2))
+    np.testing.assert_allclose(chunked, full, rtol=0, atol=0)
+
+
+# ------------------------------------------------------- the kSZ pieces
+
+def test_vrms2_linear_explicit(pair):
+    """Explicit numpy trapz of the same linear-theory integrand."""
+    hm, _ = pair
+    kLs = np.geomspace(1e-4, 3.0, 300)
+    got = np.asarray(pf.vrms2_linear(hm, kLs=kLs))
+    p = np.asarray(hm.P_lin_slow(jnp.asarray(kLs), jnp.asarray(ZS)))
+    faH = (np.asarray(hm.get_growth_rate_f(jnp.asarray(ZS)))
+           / (1.0 + ZS) * np.asarray(hm.h_of_z(jnp.asarray(ZS))))
+    expected = np.trapezoid(p * faH[:, None] ** 2, kLs, axis=-1) \
+        / (2.0 * np.pi**2)
+    np.testing.assert_allclose(got, expected, rtol=1e-10)
+    # (v/c)^2 ~ (300-400 km/s / c)^2 ~ 1e-6 at these redshifts
+    assert np.all(got > 1e-7) and np.all(got < 1e-5)
+
+
+def test_hybrid_bispectrum_twin_parity(pair):
+    """Module hybrid b_TTg vs the explicit-loop twin projected bispectrum
+    with the T/g windows assembled independently in numpy."""
+    hm, tw = pair
+    vrms2 = np.array([1.1e-6, 0.7e-6])
+    gdndz = np.array([1.0, 2.0])
+
+    ells = np.array([300.0, 1000.0, 3000.0])
+    bj = np.asarray(pf.hybrid_bispectrum_ttg(hm, ells, ells, ells,
+                                             gdndz=gdndz, vrms2=vrms2))
+
+    K = np.asarray(ksz_radial_function(ZS, hm.ombh2, hm.YHe, params=hm.p))
+    H = np.asarray(hm.h_of_z(jnp.asarray(ZS)))
+    W_T = np.sqrt(vrms2 / 3.0) * K / H
+    W_g = gdndz / np.trapezoid(gdndz, ZS)
+    bt = tbsp.projected_bispectrum(tw, ells, ells, ells, "e", "e", "g",
+                                   Wz1s=W_T, Wz2s=W_T, Wz3s=W_g)
+    np.testing.assert_allclose(bj, bt, rtol=1e-7)
+    assert np.all(bj > 0)
+
+
+def test_cl_ksz2_galaxy_end_to_end(pair):
+    """Full estimator on a small filter: finite, positive, uK^2-scale,
+    and exactly quadratic in the filter."""
+    hm, _ = pair
+    grid = np.geomspace(300.0, 8000.0, 64)
+    # Wiener-ish filter ~ b_l / C_l^tot in 1/uK^2 units
+    fvals = 1e-3 / (1.0 + (grid / 3000.0) ** 2)
+    ells = np.array([200.0, 600.0, 1500.0])
+
+    cl = np.asarray(pf.cl_ksz2_galaxy(hm, ells, (grid, fvals), terms="1h",
+                                      n_radial=16, n_angle=8))
+    assert np.all(np.isfinite(cl))
+    assert np.all(cl > 0)
+
+    cl2 = np.asarray(pf.cl_ksz2_galaxy(hm, ells, (grid, 2.0 * fvals),
+                                       terms="1h", n_radial=16, n_angle=8))
+    np.testing.assert_allclose(cl2, 4.0 * cl, rtol=1e-12)
