@@ -120,6 +120,7 @@ from .models.lensing_noise import (white_noise_nl, total_cl_tt,  # noqa: F401,E4
                                    threej000_sq, n1_tt_flat_sky)
 from .models.projfield import (filtered_bispectrum_cl,  # noqa: F401,E402
                                cl_ksz2_galaxy, hybrid_bispectrum_ttg,
-                               vrms2_linear)
+                               vrms2_linear, cl_t2_lensing,
+                               bispectrum_ttg_lensing)
 
 __version__ = "0.3.0"  # kept in sync with pyproject.toml

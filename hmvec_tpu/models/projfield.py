@@ -140,6 +140,62 @@ def filtered_bispectrum_cl(ells_out, f_ell, b_fn, lmin, lmax,
     return 2.0 * jnp.einsum("or,r->o", inner, wL) / (2.0 * jnp.pi) ** 2
 
 
+# ------------------------------------------- lensing contamination term
+
+def bispectrum_ttg_lensing(cl_tt, cl_xg):
+    """b_fn for the CMB-LENSING contribution to <T_f^2 x g> -- the
+    dominant contaminant of the projected-field kSZ^2 estimator in real
+    data (Ferraro et al. 2016 sec. III; Hill et al. 2016).
+
+    First-order lensing T~ = T + grad(phi).grad(T) gives, for a tracer g
+    correlated with the lensing potential (vectors v1 + v2 + v3 = 0):
+
+      <T~(v1) T~(v2) g(v3)> = -C^{phi g}(l3) [ (v3.v1) C^TT(l1)
+                                             + (v3.v2) C^TT(l2) ].
+
+    This module's convolution parameterizes triangles as v3 = v1 + v2
+    (l1 = |L|, l2 = |l-L|, l3 = |l|), i.e. v3 -> -v3 of the symmetric
+    convention, so in magnitudes (law of cosines):
+
+      b(l1,l2,l3) = [ (l3^2 + l1^2 - l2^2)/2 * C^TT(l1)
+                    + (l3^2 + l2^2 - l1^2)/2 * C^TT(l2) ] * C^{phi g}(l3).
+
+    ``cl_tt``/``cl_xg``: integer-l indexed tables (C^{phi g} = C^{phi phi}
+    for g = phi).  For a density tracer, C^{phi g} > 0 and decaying C^TT
+    make the term negative -- lensing smooths small-scale power where g
+    is overdense.  Validated at map level against flatsky synthesis +
+    first-order lensing (tests/test_projfield.py), pinning this module's
+    convolution normalization through an independent route.
+    """
+    cl_tt = jnp.asarray(cl_tt, dtype=jnp.float64)
+    cl_xg = jnp.asarray(cl_xg, dtype=jnp.float64)
+    grid_t = jnp.arange(cl_tt.shape[0], dtype=jnp.float64)
+    grid_x = jnp.arange(cl_xg.shape[0], dtype=jnp.float64)
+
+    def b_fn(l1, l2, l3):
+        ct1 = jnp.interp(l1, grid_t, cl_tt, right=0.0)
+        ct2 = jnp.interp(l2, grid_t, cl_tt, right=0.0)
+        cx3 = jnp.interp(l3, grid_x, cl_xg, right=0.0)
+        d31 = 0.5 * (l3**2 + l1**2 - l2**2)
+        d32 = 0.5 * (l3**2 + l2**2 - l1**2)
+        return (d31 * ct1 + d32 * ct2) * cx3
+
+    return b_fn
+
+
+def cl_t2_lensing(ells_out, f_ell, cl_tt, cl_xg, lmin, lmax,
+                  n_radial=64, n_angle=48):
+    """Lensing contribution to the filtered-squared-map cross spectrum
+    C_l^{T_f^2 x g}: the filtered_bispectrum_cl convolution of
+    bispectrum_ttg_lensing.  Subtract this (with the measured C^TT and a
+    modeled C^{phi g}) from a measured projected-field spectrum before
+    interpreting it as kSZ^2."""
+    return filtered_bispectrum_cl(ells_out, f_ell,
+                                  bispectrum_ttg_lensing(cl_tt, cl_xg),
+                                  lmin, lmax, n_radial=n_radial,
+                                  n_angle=n_angle)
+
+
 # ------------------------------------------------------ the kSZ assembly
 
 def vrms2_linear(hm, zs=None, kLs=None):

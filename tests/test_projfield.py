@@ -175,3 +175,65 @@ def test_cl_ksz2_galaxy_end_to_end(pair):
     cl2 = np.asarray(pf.cl_ksz2_galaxy(hm, ells, (grid, 2.0 * fvals),
                                        terms="1h", n_radial=16, n_angle=8))
     np.testing.assert_allclose(cl2, 4.0 * cl, rtol=1e-12)
+
+
+# ----------------------------------------- lensing contamination (map MC)
+
+def test_lensing_term_map_level_monte_carlo():
+    """Map-level validation of the lensing contribution to <T_f^2 g>:
+    synthesize Gaussian (T, phi), lens at first order with +phi and -phi
+    (the difference isolates the 2 F(T) F(grad phi . grad T) cross term
+    EXACTLY, cancelling all Gaussian noise), square the filtered maps,
+    cross with g = phi, and compare annulus-binned spectra against the
+    analytic cl_t2_lensing convolution.  This pins the sign, the factor
+    of 2 (two lensed legs), and the full 2D quadrature through a route
+    (FFT maps) that shares no code with the quadrature."""
+    import jax
+    from hmvec_tpu.models import flatsky as fs
+
+    n, pix = 256, 2.0
+    lmax_tab = 8000
+    ls = np.arange(lmax_tab + 1, dtype=float)
+    cl_tt = 1e4 / (ls + 60.0) ** 2 * np.exp(-((ls / 4000.0) ** 2))
+    cl_pp = 5e-2 / (ls + 40.0) ** 4
+
+    # smooth band filter well inside the grid's l support
+    fgrid = np.arange(0.0, 6001.0, 10.0)
+    fvals = np.exp(-((fgrid - 1800.0) / 1400.0) ** 2)
+    lx, ly, lmod = fs.fourier_grid(n, pix)
+    fmap_l = jnp.interp(lmod, jnp.asarray(fgrid), jnp.asarray(fvals),
+                        right=0.0)
+
+    def one_pair(key):
+        kt, kp = jax.random.split(key)
+        t = fs.synth_gaussian(kt, n, pix, cl_tt)
+        phi = fs.synth_gaussian(kp, n, pix, cl_pp)
+        tp = fs.lens_map_first_order(t, phi, pix)
+        tm = fs.lens_map_first_order(t, -phi, pix)
+        fp = jnp.fft.ifft2(jnp.fft.fft2(tp) * fmap_l).real
+        fm = jnp.fft.ifft2(jnp.fft.fft2(tm) * fmap_l).real
+        sq = 0.5 * (fp**2 - fm**2)        # = 2 F(T) F(grad phi grad T)
+        return jnp.fft.fft2(sq), jnp.fft.fft2(phi)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 96)
+    sqk, gk = jax.vmap(one_pair)(keys)
+    edges = np.array([150.0, 350.0, 600.0, 900.0, 1300.0])
+    mids_list, cls_list = jax.vmap(
+        lambda a, b: fs.fourier_power(a, b, pix, edges))(sqk, gk)
+    mids = np.asarray(mids_list[0])
+    measured = np.asarray(jnp.mean(cls_list, axis=0))
+    scatter = np.asarray(jnp.std(cls_list, axis=0)) / np.sqrt(len(keys))
+
+    predicted = np.asarray(pf.cl_t2_lensing(
+        mids, (fgrid, fvals), cl_tt, cl_pp, lmin=50.0, lmax=6000.0,
+        n_radial=96, n_angle=64))
+
+    # lensing-smoothing sign: negative where g is overdense at low ell
+    # (the term changes sign at higher ell for this spectrum -- both
+    # sides must track that through the zero crossing)
+    assert predicted[0] < 0 and measured[0] < 0
+    assert predicted[-1] > 0 and measured[-1] > 0
+    # each bin within MC noise + a few-percent systematic floor
+    # (finite-grid modes vs the continuum quadrature)
+    assert np.all(np.abs(measured - predicted)
+                  < 4.0 * scatter + 0.04 * np.abs(predicted))
