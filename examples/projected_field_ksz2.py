@@ -65,6 +65,19 @@ def main():
     for l, c, s in zip(ells, lens, cl_ksz2g):
         print(f"{l:7.0f}  {c: .3e}          {abs(c) / s:6.2f}")
 
+    # detection forecast: Gaussian estimator noise x galaxy bandpowers
+    cl_ss = np.asarray(pf.cl_t2_t2_gaussian(ells, (fgrid, fvals),
+                                            cl_tt + nl, lmin=2.0,
+                                            lmax=8000.0))
+    pgg = hm.get_power("g", name2="g")
+    ngal2d = 1e-4 * np.trapezoid(
+        np.asarray(hm.comoving_radial_distance(zs)) ** 2
+        / np.asarray(hm.h_of_z(zs)) * dndz / np.trapezoid(dndz, zs), zs)
+    clgg = np.asarray(limb.C_gg(hm.bg, ells, zs, ks, pgg, zs,
+                                gdndz=dndz)) + 1.0 / ngal2d
+    snr2, snr = pf.ksz2_snr(ells, cl_ksz2g, cl_ss, clgg, fsky=0.4)
+    print(f"\ntotal kSZ^2 x g detection SNR (fsky=0.4): {float(snr):.1f}")
+
 
 if __name__ == "__main__":
     main()

@@ -196,6 +196,58 @@ def cl_t2_lensing(ells_out, f_ell, cl_tt, cl_xg, lmin, lmax,
                                   n_angle=n_angle)
 
 
+# ------------------------------------------------- estimator noise / SNR
+
+def cl_t2_t2_gaussian(ells_out, f_ell, cl_total, lmin, lmax,
+                      n_radial=64, n_angle=48):
+    """Gaussian (disconnected) auto-spectrum of the mean-subtracted
+    filtered-squared map s = T_f^2 - <T_f^2>:
+
+      C^{ss}(l) = 2 int d^2L/(2pi)^2 [f^2 C^tot](|L|) [f^2 C^tot](|l-L|)
+
+    -- the noise spectrum of the projected-field estimator (the analogue
+    of N0 for a quadratic estimator with trivial weights).  ``cl_total``:
+    integer-l table of the TOTAL map spectrum (signal + foregrounds +
+    noise, beam-convolved consistently with f).  Reuses the filter
+    convolution with the filter squared and b = 2 C^tot(l1) C^tot(l2).
+    MC-validated against Gaussian map synthesis (tests/test_projfield.py).
+    """
+    f = _as_filter(f_ell)
+    cl_total = jnp.asarray(cl_total, dtype=jnp.float64)
+    grid = jnp.arange(cl_total.shape[0], dtype=jnp.float64)
+
+    def f2(l):
+        return f(l) ** 2
+
+    def b_fn(l1, l2, l3):
+        c1 = jnp.interp(l1, grid, cl_total, right=0.0)
+        c2 = jnp.interp(l2, grid, cl_total, right=0.0)
+        return 2.0 * c1 * c2
+
+    return filtered_bispectrum_cl(ells_out, f2, b_fn, lmin, lmax,
+                                  n_radial=n_radial, n_angle=n_angle)
+
+
+def ksz2_snr(ells, cl_sg, cl_ss, cl_gg, fsky, delta_ell=None):
+    """Gaussian bandpower SNR of a projected-field cross-spectrum:
+
+      SNR^2 = sum_b (C^{sg}_b)^2 (2 l_b + 1) dl_b fsky
+                    / (C^{ss}_b C^{gg}_b + (C^{sg}_b)^2).
+
+    ``ells``: band centers (delta_ell defaults to their spacing);
+    ``cl_gg`` must include shot noise.  Returns (per-band SNR^2, total
+    SNR)."""
+    ells = jnp.asarray(ells, dtype=jnp.float64)
+    if delta_ell is None:
+        e = jnp.concatenate([ells[:1], ells, ells[-1:]])
+        delta_ell = 0.5 * (e[2:] - e[:-2])
+    cl_sg = jnp.asarray(cl_sg)
+    var = (jnp.asarray(cl_ss) * jnp.asarray(cl_gg) + cl_sg**2)
+    snr2 = (cl_sg**2 / var * (2.0 * ells + 1.0)
+            * jnp.asarray(delta_ell) * fsky)
+    return snr2, jnp.sqrt(jnp.sum(snr2))
+
+
 # ------------------------------------------------------ the kSZ assembly
 
 def vrms2_linear(hm, zs=None, kLs=None):

@@ -237,3 +237,62 @@ def test_lensing_term_map_level_monte_carlo():
     # (finite-grid modes vs the continuum quadrature)
     assert np.all(np.abs(measured - predicted)
                   < 4.0 * scatter + 0.04 * np.abs(predicted))
+
+
+# ------------------------------------------------- estimator noise / SNR
+
+def test_t2_noise_spectrum_map_monte_carlo():
+    """C^{ss} of the mean-subtracted filtered-squared GAUSSIAN map against
+    the analytic disconnected convolution: synthesize T with C^tot,
+    filter, square, subtract the map mean, measure the binned auto
+    power over many sims."""
+    import jax
+    from hmvec_tpu.models import flatsky as fs
+
+    n, pix = 256, 2.0
+    ls = np.arange(8001, dtype=float)
+    cl_tot = 1e4 / (ls + 60.0) ** 2 * np.exp(-((ls / 4000.0) ** 2)) + 1e-4
+    fgrid = np.arange(0.0, 6001.0, 10.0)
+    fvals = np.exp(-((fgrid - 1800.0) / 1400.0) ** 2)
+    lmod = fs.fourier_grid(n, pix)[2]
+    fmap_l = jnp.interp(lmod, jnp.asarray(fgrid), jnp.asarray(fvals),
+                        right=0.0)
+
+    def one(key):
+        t = fs.synth_gaussian(key, n, pix, cl_tot)
+        tf = jnp.fft.ifft2(jnp.fft.fft2(t) * fmap_l).real
+        s = tf**2 - jnp.mean(tf**2)
+        return jnp.fft.fft2(s)
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 48)
+    sk = jax.vmap(one)(keys)
+    edges = np.array([150.0, 400.0, 800.0, 1400.0, 2200.0])
+    mids_l, cls_l = jax.vmap(
+        lambda a: fs.fourier_power(a, a, pix, edges))(sk, )
+    mids = np.asarray(mids_l[0])
+    measured = np.asarray(jnp.mean(cls_l, axis=0))
+    scatter = np.asarray(jnp.std(cls_l, axis=0)) / np.sqrt(len(keys))
+
+    predicted = np.asarray(pf.cl_t2_t2_gaussian(
+        mids, (fgrid, fvals), cl_tot, lmin=50.0, lmax=6000.0,
+        n_radial=96, n_angle=64))
+    assert np.all(predicted > 0)
+    assert np.all(np.abs(measured - predicted)
+                  < 4.0 * scatter + 0.05 * predicted)
+
+
+def test_ksz2_snr_closed_form():
+    """Hand-checkable single-band SNR and quadrature additivity."""
+    snr2, tot = pf.ksz2_snr(np.array([500.0]), np.array([2.0]),
+                            np.array([8.0]), np.array([2.0]),
+                            fsky=0.5, delta_ell=np.array([100.0]))
+    # (2*500+1)*100*0.5 * 4 / (16 + 4) = 50050 * 0.2 = 10010
+    np.testing.assert_allclose(float(snr2[0]), 10010.0, rtol=1e-12)
+    np.testing.assert_allclose(float(tot), np.sqrt(10010.0), rtol=1e-12)
+    # two independent bands add in quadrature
+    snr2b, totb = pf.ksz2_snr(np.array([500.0, 900.0]),
+                              np.array([2.0, 1.0]),
+                              np.array([8.0, 8.0]), np.array([2.0, 2.0]),
+                              fsky=0.5, delta_ell=np.array([100.0, 100.0]))
+    np.testing.assert_allclose(float(totb),
+                               np.sqrt(float(snr2b.sum())), rtol=1e-12)
