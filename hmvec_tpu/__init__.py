@@ -122,6 +122,6 @@ from .models.projfield import (filtered_bispectrum_cl,  # noqa: F401,E402
                                cl_ksz2_galaxy, hybrid_bispectrum_ttg,
                                vrms2_linear, cl_t2_lensing,
                                bispectrum_ttg_lensing, cl_t2_t2_gaussian,
-                               ksz2_snr)
+                               ksz2_snr, cl_ksz2_kappa)
 
 __version__ = "0.3.0"  # kept in sync with pyproject.toml

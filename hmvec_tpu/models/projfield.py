@@ -340,3 +340,36 @@ def cl_ksz2_galaxy(hm, ells_out, f_ell, lmin=None, lmax=None, gdndz=None,
     return filtered_bispectrum_cl(ells_out, f_ell, b_fn, lmin, lmax,
                                   n_radial=n_radial, n_angle=n_angle,
                                   ell_chunk=ell_chunk)
+
+
+def cl_ksz2_kappa(hm, ells_out, f_ell, lmin=None, lmax=None,
+                  zstar=1089.0, name_e="e", name_matter="nfw",
+                  terms="total", xe=1, tau=0, gasfrac=0.9, vrms2=None,
+                  n_radial=48, n_angle=24, ell_chunk=None):
+    """Projected-field kSZ^2 x CMB-lensing-convergence cross power
+    C_l^{T_f^2 kappa} in uK^2 (the Hill et al. 2016 companion observable
+    to the galaxy cross): the third bispectrum leg is the matter tracer
+    through the CMB lensing window W_kappa(z -> zstar).
+
+    The halo model's zs grid is the integration support -- it should
+    span the redshifts where the electron pressure of the W_kappa
+    overlap lives (z ~ 0.1-4 in practice)."""
+    from .limber import lensing_window
+    if lmin is None or lmax is None:
+        if callable(f_ell):
+            raise ValueError("lmin/lmax are required for a callable filter")
+        grid = np.asarray(f_ell[0], dtype=float)
+        lmin = grid[0] if lmin is None else lmin
+        lmax = grid[-1] if lmax is None else lmax
+    W_T, _, zs = ksz_t_windows(hm, None, None, xe, tau, gasfrac, vrms2)
+    W_k = lensing_window(hm.bg, zs, zstar)
+
+    def b_fn(l1, l2, l3):
+        return hm.get_angular_bispectrum(l1, l2, l3, name=name_e,
+                                         name2=name_e, name3=name_matter,
+                                         Wz1s=W_T, Wz2s=W_T, Wz3s=W_k,
+                                         terms=terms)
+
+    return filtered_bispectrum_cl(ells_out, f_ell, b_fn, lmin, lmax,
+                                  n_radial=n_radial, n_angle=n_angle,
+                                  ell_chunk=ell_chunk)

@@ -296,3 +296,34 @@ def test_ksz2_snr_closed_form():
                               fsky=0.5, delta_ell=np.array([100.0, 100.0]))
     np.testing.assert_allclose(float(totb),
                                np.sqrt(float(snr2b.sum())), rtol=1e-12)
+
+
+# -------------------------------------------------------- kSZ^2 x kappa
+
+def test_cl_ksz2_kappa_twin_and_run(pair):
+    """The kappa-leg hybrid bispectrum against the twin with the lensing
+    window computed independently, plus an end-to-end estimator run."""
+    import jax.numpy as jnp2
+    from hmvec_tpu.models.limber import lensing_window
+
+    hm, tw = pair
+    vrms2 = np.array([1.0e-6, 0.8e-6])
+    W_T = np.asarray(
+        pf.ksz_t_windows(hm, None, None, 1, 0, 0.9, vrms2)[0])
+    W_k = np.asarray(lensing_window(hm.bg, jnp2.asarray(ZS), 1089.0))
+    ells = np.array([400.0, 1200.0])
+    bj = np.asarray(hm.get_angular_bispectrum(
+        ells, name="e", name2="e", name3="nfw",
+        Wz1s=jnp.asarray(W_T), Wz2s=jnp.asarray(W_T),
+        Wz3s=jnp.asarray(W_k)))
+    bt = tbsp.projected_bispectrum(tw, ells, ells, ells, "e", "e", "nfw",
+                                   Wz1s=W_T, Wz2s=W_T, Wz3s=W_k)
+    np.testing.assert_allclose(bj, bt, rtol=1e-7)
+    assert np.all(bj > 0)
+
+    grid = np.geomspace(300.0, 8000.0, 64)
+    fvals = 1e-3 / (1.0 + (grid / 3000.0) ** 2)
+    cl = np.asarray(pf.cl_ksz2_kappa(hm, np.array([300.0, 900.0]),
+                                     (grid, fvals), terms="1h",
+                                     vrms2=vrms2, n_radial=12, n_angle=8))
+    assert np.all(np.isfinite(cl)) and np.all(cl > 0)
