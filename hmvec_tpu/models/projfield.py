@@ -279,6 +279,9 @@ def ksz_t_windows(hm, zs=None, gdndz=None, xe=1, tau=0, gasfrac=0.9,
     if zs is None:
         zs = hm.zs
     zs = jnp.atleast_1d(jnp.asarray(zs))
+    if zs.size < 2:
+        raise ValueError("the projected hybrid bispectrum integrates over "
+                         "z: build the HaloModel with >= 2 redshifts")
     if vrms2 is None:
         vrms2 = vrms2_linear(hm, zs)
     K = ksz_radial_function(zs, hm.ombh2, hm.YHe, gasfrac=gasfrac,

@@ -35,6 +35,14 @@ def pair():
     return hm, tw
 
 
+def test_single_z_model_rejected(pair):
+    """The projected hybrid bispectrum is a z integral; a 1-z HaloModel
+    would silently trapezoid to zero, so ksz_t_windows refuses it."""
+    hm, _ = pair
+    with pytest.raises(ValueError, match=">= 2 redshifts"):
+        pf.ksz_t_windows(hm, zs=np.array([0.5]))
+
+
 # ------------------------------------------------------------ quadrature
 
 def test_annulus_measure_identity():
