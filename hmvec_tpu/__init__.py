@@ -117,7 +117,9 @@ from .models.lensing_noise import (white_noise_nl, total_cl_tt,  # noqa: F401,E4
                                    n0_flat_sky, n0_minimum_variance,
                                    n0_kappa_from_phi, lensed_bb_from_ee,
                                    n0_eb_iterative, n0_tt_fullsky,
-                                   threej000_sq, n1_tt_flat_sky)
+                                   threej000_sq, n1_tt_flat_sky,
+                                   n0_pair_flat_sky, n0_cross_flat_sky,
+                                   n0_mv_flat_sky)
 from .models.projfield import (filtered_bispectrum_cl,  # noqa: F401,E402
                                cl_ksz2_galaxy, hybrid_bispectrum_ttg,
                                vrms2_linear, cl_t2_lensing,

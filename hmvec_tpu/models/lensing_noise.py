@@ -30,6 +30,16 @@ those forecasts self-contained:
   vmapped over L -- no per-L python loops, everything MXU/VPU-shaped.
   `n0_minimum_variance` combines estimators by inverse variance (the
   usual approximation that drops inter-estimator covariances);
+* the FULL Hu-Okamoto family: `n0_pair_flat_sky` extends the above to
+  all five estimators (adds TE with its non-diagonal optimal weight
+  mixing C^TT/C^EE/C^TE totals, and TB), `n0_cross_flat_sky` evaluates
+  the inter-estimator covariance N^{(ab)(cd)} (HO02 eq. 17; the
+  even {TT,TE,EE} and odd {EB,TB} sectors decouple exactly), and
+  `n0_mv_flat_sky` performs the exact minimum-variance combination
+  [1^T N^{-1} 1]^{-1} with the full per-L covariance matrix -- the MV
+  noise real analyses quote.  Self-consistency N_(ab)(ab) = N_ab (an
+  identity only the OPTIMAL weights satisfy) is pinned in tests along
+  with an independent dense twin for TE/TB and the crosses;
 * `n0_tt_fullsky`: the EXACT full-sky TT N0 from the spherical-harmonic
   response (closed-form 3j^2 via gammaln, `threej000_sq`) -- an
   independent formalism that cross-validates the flat-sky module at
@@ -60,6 +70,7 @@ from jax.scipy.special import gammaln
 from ..utils.weights import leggauss_cached
 
 __all__ = ["white_noise_nl", "total_cl_tt", "n0_flat_sky",
+           "n0_pair_flat_sky", "n0_cross_flat_sky", "n0_mv_flat_sky",
            "n0_minimum_variance", "n0_kappa_from_phi",
            "lensed_bb_from_ee", "n0_eb_iterative",
            "threej000_sq", "n0_tt_fullsky", "n1_tt_flat_sky"]
@@ -187,6 +198,266 @@ def n0_minimum_variance(n0s):
     neglects inter-estimator covariances (exact when they vanish)."""
     n0s = [jnp.asarray(n) for n in n0s]
     return 1.0 / sum(1.0 / n for n in n0s)
+
+
+# ---------------------------------------------------------------------------
+# Full Hu-Okamoto (2002) estimator family: TT, TE, EE, EB, TB, their
+# cross-covariances N^{(ab)(cd)}, and the exact minimum-variance
+# combination.  Spectra enter as dicts keyed 'TT'/'EE'/'BB'/'TE' so the
+# TE estimator's non-diagonal optimal weight (which mixes all four) has
+# everything it needs; the single-pair `n0_flat_sky` above remains the
+# lightweight entry point for TT/EE/EB.
+# ---------------------------------------------------------------------------
+
+# (leg1 field spectrum, leg2 field spectrum) of each estimator's two legs
+_EST_LEGS = {"TT": ("TT", "TT"), "TE": ("TT", "EE"), "EE": ("EE", "EE"),
+             "EB": ("EE", "BB"), "TB": ("TT", "BB")}
+# which theory spectrum carries the lensing response f of each estimator
+_EST_GRAD = {"TT": "TT", "TE": "TE", "EE": "EE", "EB": "EE", "TB": "TE"}
+
+
+def _nodes_flat_sky(lmin, lmax, n_l, n_theta):
+    """Shared GL log-l x angle quadrature nodes (theta in [0, pi], the
+    integrands below are even under theta -> -theta; factor 2 applied by
+    the callers)."""
+    xu, wu = leggauss_cached(int(n_l))
+    xt, wt = leggauss_cached(int(n_theta))
+    lnl = 0.5 * (np.log(lmax) + np.log(lmin)) \
+        + 0.5 * (np.log(lmax) - np.log(lmin)) * xu
+    wl = 0.5 * (np.log(lmax) - np.log(lmin)) * wu
+    th = 0.5 * np.pi * (xt + 1.0)
+    wth = 0.5 * np.pi * wt
+    l1 = jnp.asarray(np.exp(lnl))[:, None]
+    ct = jnp.asarray(np.cos(th))[None, :]
+    st = jnp.asarray(np.sin(th))[None, :]
+    wgt = jnp.asarray(wl)[:, None] * jnp.asarray(wth)[None, :] * l1**2
+    return l1, ct, st, wgt
+
+
+def _f_12(est, g1, g2, Ldotl1, Ldotl2, cos2d, sin2d):
+    """Hu-Okamoto flat-sky response f_est(l1, l2); g1/g2 = the
+    estimator's gradient spectrum at l1/l2, cos2d/sin2d = cos/sin of
+    2(phi_1 - phi_2)."""
+    if est == "TT":
+        return g1 * Ldotl1 + g2 * Ldotl2
+    if est == "EE":
+        return (g1 * Ldotl1 + g2 * Ldotl2) * cos2d
+    if est == "TE":
+        return g1 * cos2d * Ldotl1 + g2 * Ldotl2
+    if est in ("EB", "TB"):
+        return g1 * Ldotl1 * sin2d
+    raise ValueError(f"unknown estimator {est!r}")
+
+
+def _f_21(est, g1, g2, Ldotl1, Ldotl2, cos2d, sin2d):
+    """f_est(l2, l1): leg roles swapped.  phi_2 - phi_1 = -(phi_1 -
+    phi_2), so cos 2(.) is unchanged and sin 2(.) flips sign."""
+    if est in ("TT", "EE"):
+        return _f_12(est, g1, g2, Ldotl1, Ldotl2, cos2d, sin2d)
+    if est == "TE":
+        return g2 * cos2d * Ldotl2 + g1 * Ldotl1
+    if est in ("EB", "TB"):
+        return -g2 * Ldotl2 * sin2d
+    raise ValueError(f"unknown estimator {est!r}")
+
+
+def _tot_xy(tots, x, y):
+    """Total cross-spectrum pair lookup: TB and EB totals vanish (no
+    parity-violating primary power, uncorrelated noise)."""
+    key = x + y if x <= y else y + x
+    if key in ("BE", "BT", "EB", "TB"):
+        return None  # identically zero
+    return tots[key if key in tots else key[::-1]]
+
+
+def _est_FF(est, grads, tots, Ldotl1, Ldotl2, cos2d, sin2d):
+    """f(l1,l2), F(l1,l2), F(l2,l1) for one estimator on the node grid.
+
+    grads/tots: dicts mapping spectrum key -> (value at l1, value at l2)
+    already interpolated onto the (n_l, 1) / (n_l, n_theta) node arrays.
+    F is the optimal weight of Hu & Okamoto 2002 eq. (14)-(16): diagonal
+    f/(2 C C) for TT/EE, f/(C^aa C^bb) for the uncorrelated-leg EB/TB,
+    and the full non-diagonal form for TE (whose legs correlate through
+    C^TE)."""
+    gk = _EST_GRAD[est]
+    g1, g2 = grads[gk]
+    f12 = _f_12(est, g1, g2, Ldotl1, Ldotl2, cos2d, sin2d)
+    f21 = _f_21(est, g1, g2, Ldotl1, Ldotl2, cos2d, sin2d)
+    a, b = _EST_LEGS[est]
+    ca1, ca2 = tots[a]
+    cb1, cb2 = tots[b]
+    if est in ("TT", "EE"):
+        F12 = f12 / (2.0 * ca1 * cb2)
+        F21 = F12
+    elif est in ("EB", "TB"):
+        F12 = f12 / (ca1 * cb2)
+        F21 = f21 / (ca2 * cb1)
+    else:  # TE
+        cte1, cte2 = tots["TE"]
+        denom = ca1 * cb2 * ca2 * cb1 - (cte1 * cte2) ** 2
+        F12 = (cb1 * ca2 * f12 - cte1 * cte2 * f21) / denom
+        F21 = (cb2 * ca1 * f21 - cte1 * cte2 * f12) / denom
+    return f12, F12, F21
+
+
+def _interp_spec_pair(spec, l1col, l2mat):
+    s = jnp.asarray(spec, dtype=jnp.float64)
+    return (_interp_cl(s, l1col[:, 0])[:, None], _interp_cl(s, l2mat))
+
+
+def _qe_family_one_L(L, ests, cls_grad, cls_total, l1, ct, st,
+                     lmin, lmax):
+    """Per-L node-grid quantities shared by the N0 / cross-N0 paths:
+    returns (per-est dict of (f12, F12, F21), tots dict, valid mask)."""
+    l2 = jnp.sqrt(jnp.maximum(L**2 + l1**2 - 2.0 * L * l1 * ct, 1e-30))
+    Ldotl1 = L * l1 * ct
+    Ldotl2 = L**2 - Ldotl1
+    cosd = (L * ct - l1) / l2
+    sind = L * st / l2
+    cos2d = 2.0 * cosd**2 - 1.0
+    sin2d = 2.0 * sind * cosd
+    need_g = {_EST_GRAD[e] for e in ests}
+    need_t = set()
+    for e in ests:
+        need_t.update(_EST_LEGS[e])
+        if e == "TE":
+            need_t.add("TE")
+    if len(set(ests)) > 1:
+        # cross terms sample every available total cross-spectrum
+        need_t.update(k for k in ("TT", "EE", "BB", "TE")
+                      if k in cls_total)
+    grads = {k: _interp_spec_pair(cls_grad[k], l1, l2) for k in need_g}
+    tots = {k: _interp_spec_pair(cls_total[k], l1, l2) for k in need_t}
+    FF = {e: _est_FF(e, grads, tots, Ldotl1, Ldotl2, cos2d, sin2d)
+          for e in ests}
+    valid = (l2 >= lmin) & (l2 <= lmax)
+    return FF, tots, valid
+
+
+def _resolve_lrange(cls_grad, lmin, lmax):
+    if lmax is None:
+        lmax = min(np.asarray(c).shape[0] for c in cls_grad.values()) - 1
+    return float(lmin), float(lmax)
+
+
+def n0_pair_flat_sky(Ls, est, cls_grad, cls_total, lmin=30, lmax=None,
+                     n_l=400, n_theta=256):
+    """N0^{phiphi}(L) for any of the five Hu-Okamoto estimators.
+
+    est: 'TT' | 'TE' | 'EE' | 'EB' | 'TB'.
+    cls_grad: dict of theory spectra entering the response f -- needs
+        'TT' for TT, 'EE' for EE/EB, 'TE' for TE/TB.
+    cls_total: dict of total (theory+noise) spectra -- 'TT', 'EE', 'BB'
+        as the estimator's legs require, plus 'TE' for the TE
+        estimator's non-diagonal optimal weight (noise is assumed
+        uncorrelated between T and E, so the TE total is the theory TE).
+
+    N0 = [int d^2 l1/(2pi)^2 f(l1,l2) F(l1,l2)]^{-1} with the optimal
+    weights of Hu & Okamoto 2002 eq. (14)-(16); for TT/EE/EB this reduces
+    exactly to `n0_flat_sky` (tested).  EXTENSION beyond the reference
+    (no reconstruction-noise model at all, SURVEY section 2)."""
+    lmin, lmax = _resolve_lrange(cls_grad, lmin, lmax)
+    l1, ct, st, wgt = _nodes_flat_sky(lmin, lmax, n_l, n_theta)
+    cls_grad = {k: jnp.asarray(v, dtype=jnp.float64)
+                for k, v in cls_grad.items()}
+    cls_total = {k: jnp.asarray(v, dtype=jnp.float64)
+                 for k, v in cls_total.items()}
+
+    def one_L(L):
+        FF, _, valid = _qe_family_one_L(L, (est,), cls_grad, cls_total,
+                                        l1, ct, st, lmin, lmax)
+        f12, F12, _ = FF[est]
+        integrand = jnp.where(valid, f12 * F12, 0.0)
+        return 1.0 / (2.0 * jnp.sum(wgt * integrand) / (2.0 * np.pi) ** 2)
+
+    return jax.vmap(one_L)(jnp.atleast_1d(jnp.asarray(Ls,
+                                                      dtype=jnp.float64)))
+
+
+def n0_cross_flat_sky(Ls, est1, est2, cls_grad, cls_total, n0_1=None,
+                      n0_2=None, lmin=30, lmax=None, n_l=400, n_theta=256):
+    """Cross-covariance N^{(ab)(cd)}(L) between two quadratic estimators
+    (Hu & Okamoto 2002 eq. 17):
+
+        N_(ab)(cd) = N_ab N_cd int d^2 l1/(2pi)^2 F_ab(l1,l2)
+                     [ F_cd(l1,l2) C^ac(l1) C^bd(l2)
+                       + F_cd(l2,l1) C^ad(l1) C^bc(l2) ],
+
+    all C totals (TB/EB totals vanish).  N_(ab)(ab) = N_ab exactly for
+    the optimal weights -- a self-consistency identity the tests pin.
+    n0_1/n0_2 may be passed to reuse precomputed auto-N0s."""
+    lmin, lmax = _resolve_lrange(cls_grad, lmin, lmax)
+    l1, ct, st, wgt = _nodes_flat_sky(lmin, lmax, n_l, n_theta)
+    cls_grad = {k: jnp.asarray(v, dtype=jnp.float64)
+                for k, v in cls_grad.items()}
+    cls_total = {k: jnp.asarray(v, dtype=jnp.float64)
+                 for k, v in cls_total.items()}
+    if n0_1 is None:
+        n0_1 = n0_pair_flat_sky(Ls, est1, cls_grad, cls_total, lmin=lmin,
+                                lmax=lmax, n_l=n_l, n_theta=n_theta)
+    if n0_2 is None:
+        n0_2 = n0_pair_flat_sky(Ls, est2, cls_grad, cls_total, lmin=lmin,
+                                lmax=lmax, n_l=n_l, n_theta=n_theta)
+    a, b = _EST_LEGS[est1][0][0], _EST_LEGS[est1][1][0]
+    c, d = _EST_LEGS[est2][0][0], _EST_LEGS[est2][1][0]
+
+    def one_L(L):
+        FF, tots, valid = _qe_family_one_L(L, (est1, est2), cls_grad,
+                                           cls_total, l1, ct, st,
+                                           lmin, lmax)
+        _, F12_1, _ = FF[est1]
+        _, F12_2, F21_2 = FF[est2]
+        cac, cbd = _tot_xy(tots, a, c), _tot_xy(tots, b, d)
+        cad, cbc = _tot_xy(tots, a, d), _tot_xy(tots, b, c)
+        term = jnp.zeros_like(F12_1)
+        if cac is not None and cbd is not None:
+            term = term + F12_2 * cac[0] * cbd[1]
+        if cad is not None and cbc is not None:
+            term = term + F21_2 * cad[0] * cbc[1]
+        integrand = jnp.where(valid, F12_1 * term, 0.0)
+        return 2.0 * jnp.sum(wgt * integrand) / (2.0 * np.pi) ** 2
+
+    integ = jax.vmap(one_L)(jnp.atleast_1d(jnp.asarray(Ls,
+                                                       dtype=jnp.float64)))
+    return jnp.asarray(n0_1) * jnp.asarray(n0_2) * integ
+
+
+def n0_mv_flat_sky(Ls, cls_grad, cls_total,
+                   ests=("TT", "TE", "EE", "EB", "TB"),
+                   lmin=30, lmax=None, n_l=400, n_theta=256,
+                   return_matrix=False):
+    """Exact minimum-variance combination of quadratic estimators:
+
+        N_mv(L) = [ 1^T N(L)^{-1} 1 ]^{-1},  w = N^{-1} 1 / (1^T N^{-1} 1)
+
+    with N(L) the full estimator covariance matrix (auto N0s on the
+    diagonal, Hu-Okamoto cross-N0s off it) -- the exact version of the
+    `n0_minimum_variance` diagonal approximation.  Returns N_mv(L); with
+    return_matrix=True also the (nL, n_est, n_est) matrix."""
+    ests = tuple(ests)
+    ne = len(ests)
+    Ls = jnp.atleast_1d(jnp.asarray(Ls, dtype=jnp.float64))
+    autos = {e: n0_pair_flat_sky(Ls, e, cls_grad, cls_total, lmin=lmin,
+                                 lmax=lmax, n_l=n_l, n_theta=n_theta)
+             for e in ests}
+    N = jnp.zeros((Ls.shape[0], ne, ne), dtype=jnp.float64)
+    for i, e1 in enumerate(ests):
+        N = N.at[:, i, i].set(autos[e1])
+        for j in range(i + 1, ne):
+            e2 = ests[j]
+            nij = n0_cross_flat_sky(Ls, e1, e2, cls_grad, cls_total,
+                                    n0_1=autos[e1], n0_2=autos[e2],
+                                    lmin=lmin, lmax=lmax, n_l=n_l,
+                                    n_theta=n_theta)
+            N = N.at[:, i, j].set(nij)
+            N = N.at[:, j, i].set(nij)
+    ones = jnp.broadcast_to(jnp.ones((ne,), dtype=jnp.float64),
+                            (Ls.shape[0], ne))
+    winv = jnp.linalg.solve(N, ones[..., None])[..., 0]
+    n_mv = 1.0 / jnp.einsum("le->l", winv)
+    if return_matrix:
+        return n_mv, N
+    return n_mv
 
 
 def lensed_bb_from_ee(cl_ee, clpp, lmax_out=None, n_phi=256):

@@ -61,6 +61,122 @@ def n0_flat_sky_dense(L, est, cl_grad, cl_total, cl_total2=None,
     return 1.0 / integral
 
 
+def _ho_fF_dense(est, L, l1, ct, st, cls_grad, cls_total, lmin, lmax):
+    """Hu-Okamoto response f(l1,l2) and optimal weight F(l1,l2),
+    F(l2,l1) on a dense (n_l, n_theta) node grid, plus the l2 radii.
+    Spectra are dicts ('TT'/'EE'/'BB'/'TE').  Written out per estimator
+    straight from HO02 Table 1 / eq (14)-(16); independent of the jax
+    module's shared-helper structure."""
+    l2 = np.sqrt(np.maximum(L**2 + l1**2 - 2.0 * L * l1 * ct, 1e-30))
+    Ld1 = L * l1 * ct
+    Ld2 = L**2 - Ld1
+    cosd = (L * ct - l1) / l2
+    sind = L * st / l2
+    c2d = 2.0 * cosd**2 - 1.0
+    s2d = 2.0 * sind * cosd
+
+    def at1(key):
+        return _interp_cl(np.asarray(cls_total[key], float), l1[:, 0])[:, None]
+
+    def at2(key):
+        return _interp_cl(np.asarray(cls_total[key], float), l2)
+
+    def g1(key):
+        return _interp_cl(np.asarray(cls_grad[key], float), l1[:, 0])[:, None]
+
+    def g2(key):
+        return _interp_cl(np.asarray(cls_grad[key], float), l2)
+
+    if est == "TT":
+        f12 = g1("TT") * Ld1 + g2("TT") * Ld2
+        F12 = f12 / (2.0 * at1("TT") * at2("TT"))
+        F21 = F12
+    elif est == "EE":
+        f12 = (g1("EE") * Ld1 + g2("EE") * Ld2) * c2d
+        F12 = f12 / (2.0 * at1("EE") * at2("EE"))
+        F21 = F12
+    elif est == "EB":
+        f12 = g1("EE") * Ld1 * s2d
+        f21 = -g2("EE") * Ld2 * s2d
+        F12 = f12 / (at1("EE") * at2("BB"))
+        F21 = f21 / (at2("EE") * at1("BB"))
+    elif est == "TB":
+        f12 = g1("TE") * Ld1 * s2d
+        f21 = -g2("TE") * Ld2 * s2d
+        F12 = f12 / (at1("TT") * at2("BB"))
+        F21 = f21 / (at2("TT") * at1("BB"))
+    elif est == "TE":
+        f12 = g1("TE") * c2d * Ld1 + g2("TE") * Ld2
+        f21 = g2("TE") * c2d * Ld2 + g1("TE") * Ld1
+        tt1, tt2 = at1("TT"), at2("TT")
+        ee1, ee2 = at1("EE"), at2("EE")
+        te1, te2 = at1("TE"), at2("TE")
+        den = tt1 * ee2 * tt2 * ee1 - (te1 * te2) ** 2
+        F12 = (ee1 * tt2 * f12 - te1 * te2 * f21) / den
+        F21 = (ee2 * tt1 * f21 - te1 * te2 * f12) / den
+    else:
+        raise ValueError(est)
+    mask = (l2 >= lmin) & (l2 <= lmax)
+    return f12, np.where(mask, F12, 0.0), np.where(mask, F21, 0.0), l2
+
+
+def _dense_nodes(lmin, lmax, n_theta):
+    l1 = np.arange(int(lmin), int(lmax) + 1, dtype=np.float64)[:, None]
+    th = (np.arange(n_theta) + 0.5) * (2.0 * np.pi / n_theta)
+    ct, st = np.cos(th)[None, :], np.sin(th)[None, :]
+    wl = np.ones_like(l1[:, 0])
+    wl[0] = wl[-1] = 0.5
+    w = (wl * l1[:, 0])[:, None] * (2.0 * np.pi / n_theta)  # l1 dl1 dth
+    return l1, ct, st, w
+
+
+def n0_pair_dense(L, est, cls_grad, cls_total, lmin=30, lmax=None,
+                  n_theta=512):
+    """Dense-grid N0 for any of TT/TE/EE/EB/TB (full-circle midpoint
+    angles x integer-l trapz; optimal HO weights incl. the TE
+    non-diagonal form)."""
+    if lmax is None:
+        lmax = min(np.asarray(c).shape[0] for c in cls_grad.values()) - 1
+    l1, ct, st, w = _dense_nodes(lmin, lmax, n_theta)
+    f12, F12, _, _ = _ho_fF_dense(est, L, l1, ct, st, cls_grad, cls_total,
+                                  lmin, lmax)
+    return 1.0 / ((w * f12 * F12).sum() / (2.0 * np.pi) ** 2)
+
+
+def n0_cross_dense(L, est1, est2, cls_grad, cls_total, lmin=30, lmax=None,
+                   n_theta=512):
+    """Dense-grid HO02 eq (17) cross-covariance N^{(ab)(cd)}(L)."""
+    if lmax is None:
+        lmax = min(np.asarray(c).shape[0] for c in cls_grad.values()) - 1
+    l1, ct, st, w = _dense_nodes(lmin, lmax, n_theta)
+    _, Fab, _, l2 = _ho_fF_dense(est1, L, l1, ct, st, cls_grad, cls_total,
+                                 lmin, lmax)
+    _, Fcd12, Fcd21, _ = _ho_fF_dense(est2, L, l1, ct, st, cls_grad,
+                                      cls_total, lmin, lmax)
+    zero = np.zeros(np.asarray(cls_total["TT"], float).shape[0])
+
+    def tot(x, y):
+        key = "".join(sorted(x + y))
+        if key in ("BE", "BT"):
+            return zero
+        key = {"ET": "TE"}.get(key, key)
+        return np.asarray(cls_total[key], dtype=np.float64)
+
+    a, b = est1[0], est1[1]
+    c, d = est2[0], est2[1]
+    t_ac1 = _interp_cl(tot(a, c), l1[:, 0])[:, None]
+    t_bd2 = _interp_cl(tot(b, d), l2)
+    t_ad1 = _interp_cl(tot(a, d), l1[:, 0])[:, None]
+    t_bc2 = _interp_cl(tot(b, c), l2)
+    integ = (w * Fab * (Fcd12 * t_ac1 * t_bd2
+                        + Fcd21 * t_ad1 * t_bc2)).sum() / (2.0 * np.pi) ** 2
+    na = n0_pair_dense(L, est1, cls_grad, cls_total, lmin=lmin, lmax=lmax,
+                       n_theta=n_theta)
+    nc = n0_pair_dense(L, est2, cls_grad, cls_total, lmin=lmin, lmax=lmax,
+                       n_theta=n_theta)
+    return na * nc * integ
+
+
 def lensed_bb_dense(ells_out, cl_ee, clpp, n_theta=256):
     """First-order lensing BB at the requested multipoles, dense sum:
 

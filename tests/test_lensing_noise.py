@@ -124,6 +124,124 @@ def test_eb_beats_tt_at_low_noise():
     assert n_eb < n_tt
 
 
+# ------------------------------------------- full Hu-Okamoto family
+
+# synthetic TE with CMB-like sign changes, safely inside Cauchy-Schwarz
+CL_TE = 0.6 * np.sqrt(CL_TT * CL_EE) * np.cos(ELLS / 52.0 + 0.4)
+CL_TE[:2] = 0.0
+GRADS = {"TT": CL_TT, "EE": CL_EE, "TE": CL_TE}
+TOTS = {"TT": TOT_TT, "EE": TOT_EE, "BB": TOT_BB, "TE": CL_TE.copy()}
+
+
+def _import_family():
+    from hmvec_tpu.models.lensing_noise import (n0_pair_flat_sky,
+                                                n0_cross_flat_sky,
+                                                n0_mv_flat_sky)
+    from hmvec_tpu.twin.lensing_noise import n0_pair_dense, n0_cross_dense
+    return (n0_pair_flat_sky, n0_cross_flat_sky, n0_mv_flat_sky,
+            n0_pair_dense, n0_cross_dense)
+
+
+def test_n0_pair_reduces_to_single_estimator_path():
+    """The dict-based family path must agree with n0_flat_sky exactly
+    (same quadrature) for the three estimators both support."""
+    n0_pair, _, _, _, _ = _import_family()
+    Ls = np.array([60.0, 300.0])
+    for est, grad, tot, tot2 in (("TT", CL_TT, TOT_TT, None),
+                                 ("EE", CL_EE, TOT_EE, None),
+                                 ("EB", CL_EE, TOT_EE, TOT_BB)):
+        a = np.asarray(n0_flat_sky(Ls, est, grad, tot, cl_total2=tot2,
+                                   lmin=30, lmax=LMAX, n_l=200,
+                                   n_theta=128))
+        b = np.asarray(n0_pair(Ls, est, GRADS, TOTS, lmin=30, lmax=LMAX,
+                               n_l=200, n_theta=128))
+        np.testing.assert_allclose(a, b, rtol=1e-12, err_msg=est)
+
+
+@pytest.mark.parametrize("est", ["TE", "TB"])
+def test_n0_te_tb_vs_dense_twin(est):
+    n0_pair, _, _, n0_dense, _ = _import_family()
+    Ls = np.array([40.0, 200.0, 700.0])
+    n0 = np.asarray(n0_pair(Ls, est, GRADS, TOTS, lmin=30, lmax=LMAX,
+                            n_l=600, n_theta=512))
+    twin = np.array([n0_dense(L, est, GRADS, TOTS, lmin=30, lmax=LMAX,
+                              n_theta=2048) for L in Ls])
+    assert np.all(n0 > 0) and np.all(np.isfinite(n0))
+    np.testing.assert_allclose(n0, twin, rtol=5e-3)
+
+
+@pytest.mark.parametrize("est", ["TT", "TE", "EB"])
+def test_cross_self_consistency(est):
+    """N_(ab)(ab) = N_ab pointwise in the integrand for the OPTIMAL
+    weights -- validates the TE non-diagonal weight and the cross-N0
+    assembly against each other with no external input."""
+    n0_pair, n0_cross, _, _, _ = _import_family()
+    Ls = np.array([80.0, 400.0])
+    auto = np.asarray(n0_pair(Ls, est, GRADS, TOTS, lmin=30, lmax=LMAX,
+                              n_l=300, n_theta=128))
+    cross = np.asarray(n0_cross(Ls, est, est, GRADS, TOTS, lmin=30,
+                                lmax=LMAX, n_l=300, n_theta=128))
+    np.testing.assert_allclose(cross, auto, rtol=1e-10)
+
+
+def test_cross_even_odd_decoupling_and_te_dependence():
+    _, n0_cross, _, _, _ = _import_family()
+    Ls = np.array([100.0])
+    # even x odd estimator crosses vanish identically (B totals with T/E)
+    for pair in (("TT", "EB"), ("EE", "TB"), ("TE", "EB")):
+        v = float(np.asarray(n0_cross(Ls, *pair, GRADS, TOTS, lmin=30,
+                                      lmax=LMAX, n_l=200, n_theta=128))[0])
+        assert v == 0.0, pair
+    # TT x EE is mediated purely by the TE total: zero when TE = 0
+    tots0 = dict(TOTS, TE=np.zeros_like(CL_TE))
+    grads0 = dict(GRADS, TE=np.zeros_like(CL_TE))
+    v = float(np.asarray(n0_cross(Ls, "TT", "EE", grads0, tots0, lmin=30,
+                                  lmax=LMAX, n_l=200, n_theta=128))[0])
+    assert v == 0.0
+    # ... and nonzero with the synthetic TE
+    v = float(np.asarray(n0_cross(Ls, "TT", "EE", GRADS, TOTS, lmin=30,
+                                  lmax=LMAX, n_l=200, n_theta=128))[0])
+    assert v != 0.0
+
+
+def test_cross_tt_ee_vs_dense_twin():
+    _, n0_cross, _, _, cross_dense = _import_family()
+    Ls = np.array([100.0, 500.0])
+    got = np.asarray(n0_cross(Ls, "TT", "EE", GRADS, TOTS, lmin=30,
+                              lmax=LMAX, n_l=600, n_theta=512))
+    twin = np.array([cross_dense(L, "TT", "EE", GRADS, TOTS, lmin=30,
+                                 lmax=LMAX, n_theta=1024) for L in Ls])
+    np.testing.assert_allclose(got, twin, rtol=2e-2)
+    # EB x TB: the only odd-sector cross, mediated by TE and BB
+    got = np.asarray(n0_cross(Ls, "EB", "TB", GRADS, TOTS, lmin=30,
+                              lmax=LMAX, n_l=600, n_theta=512))
+    twin = np.array([cross_dense(L, "EB", "TB", GRADS, TOTS, lmin=30,
+                                 lmax=LMAX, n_theta=1024) for L in Ls])
+    np.testing.assert_allclose(got, twin, rtol=2e-2)
+
+
+def test_mv_full_vs_naive():
+    n0_pair, _, n0_mv, _, _ = _import_family()
+    Ls = np.array([100.0, 400.0])
+    kw = dict(lmin=30, lmax=LMAX, n_l=200, n_theta=128)
+    mv, mat = n0_mv(Ls, GRADS, TOTS, ests=("TT", "TE", "EE", "EB", "TB"),
+                    return_matrix=True, **kw)
+    mv = np.asarray(mv)
+    mat = np.asarray(mat)
+    autos = np.diagonal(mat, axis1=1, axis2=2)
+    # beats every individual estimator; matrix symmetric PSD-ish
+    assert np.all(mv < autos.min(axis=1) * (1.0 + 1e-12))
+    np.testing.assert_allclose(mat, np.swapaxes(mat, 1, 2), rtol=1e-13)
+    assert np.all(np.linalg.eigvalsh(mat) > 0)
+    # with TE = 0 the T/E crosses vanish -> exact MV == naive inverse-sum
+    tots0 = dict(TOTS, TE=np.zeros_like(CL_TE))
+    mv0 = np.asarray(n0_mv(Ls, GRADS, tots0, ests=("TT", "EE", "EB"),
+                           **kw))
+    naive = np.asarray(n0_minimum_variance(
+        [n0_pair(Ls, e, GRADS, tots0, **kw) for e in ("TT", "EE", "EB")]))
+    np.testing.assert_allclose(mv0, naive, rtol=1e-10)
+
+
 # ---------------------------------------------------------------- delensing
 
 LMAXPP = 2000
