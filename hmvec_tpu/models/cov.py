@@ -282,6 +282,123 @@ def cl_cov_ssc(ells, zs, ks, pk_zk, Wz1s, Wz2s, hzs, chis, sigma_b2_z,
     return jnp.einsum("z,az,bz->ab", wz * pref, RP, RP)
 
 
+# ---------------------------------------------------------------------------
+# Joint cluster-counts x C_ell super-sample covariance.  EXTENSION: the
+# cross term every joint (counts + power-spectrum) likelihood needs --
+# both observables respond to the same super-survey background modes, so
+# neglecting the cross block double-counts their information.  The
+# background mode is discretized onto the SAME redshift-bin windows as
+# the counts (models/cluster_counts.window_sigma2, Lima-Hu separable
+# flat-sky windows), which makes the three SSC blocks manifestly
+# consistent:
+#
+#   delta N_i   = <bN>_i delta_b,i
+#   delta C_l   = sum_j r_{l,j} delta_b,j,
+#   r_{l,j}     = int_{z-bin j} dz H W1 W2 / chi^2 [R P](k_l, z)
+#
+#   Cov(N_i, N_j)   = <bN>_i <bN>_j sigma^2_ij      (counts_covariance)
+#   Cov(N_i, C_l)   = <bN>_i sum_j sigma^2_ij r_{l,j}
+#   Cov(C_l, C_l')  = sum_ij r_{l,i} sigma^2_ij r_{l',j}
+#
+# The C_l-C_l' block converges to the continuous per-z form cl_cov_ssc
+# when the bins are wide vs the radial correlation length (sinc^2
+# integral -> 1/D_i, cross terms -> 0) and narrow vs evolution -- a
+# cross-formalism check the tests pin quantitatively.
+# ---------------------------------------------------------------------------
+
+def cl_ssc_response_binned(ells, zedges, zs, ks, pk_zk, Wz1s, Wz2s, hzs,
+                           chis, resp_zk=None):
+    """Per-redshift-bin SSC response r_{b,l} of C_ell (shape (nbin, nl)).
+
+    zedges must lie inside the zs grid; each bin integrates the Limber
+    integrand times the power response over [lo, hi] with INCLUSIVE
+    endpoints, so bins sharing an on-grid edge sum exactly to the
+    full-range integral (tested).  resp_zk defaults to
+    pk_response_ssc(ks, pk_zk)."""
+    from .limber import interp_pzk_at_curve
+    ells = jnp.asarray(ells)
+    zs_np = np.asarray(zs)
+    zs_j = jnp.asarray(zs)
+    chis = jnp.asarray(chis)
+    if resp_zk is None:
+        resp_zk = pk_response_ssc(ks, pk_zk)
+    kevals = (ells[:, None] + 0.5) / chis[None, :]          # (nl, nz)
+    RP = interp_pzk_at_curve(zs_j, jnp.asarray(ks),
+                             jnp.atleast_2d(jnp.asarray(resp_zk)),
+                             zs_j, kevals)                  # (nl, nz)
+    rho = RP * (jnp.asarray(hzs) * jnp.asarray(Wz1s) * jnp.asarray(Wz2s)
+                / chis**2)[None, :]                         # (nl, nz)
+    Wb = _bin_overlap_weights(zedges, zs_np)
+    return jnp.einsum("bz,lz->bl", jnp.asarray(Wb), rho)
+
+
+def _bin_overlap_weights(zedges, zs):
+    """(nbin, nz) weight matrix integrating a piecewise-linear function
+    of zs over each [lo, hi] bin EXACTLY: every grid interval's overlap
+    with the bin is integrated analytically (partial intervals included,
+    the integrand at an off-grid edge folded onto the two neighboring
+    grid weights by its lerp coefficients).  Rows therefore sum across
+    bins to the full-range trapz weights whenever the bins tile the
+    range -- additivity holds for ARBITRARY edges, not only on-grid
+    ones."""
+    zs = np.asarray(zs, dtype=float)
+    zedges = np.asarray(zedges, dtype=float)
+    nb = zedges.size - 1
+    Wb = np.zeros((nb, zs.size))
+    z0, z1 = zs[:-1], zs[1:]
+    dz = z1 - z0
+    for b, (lo, hi) in enumerate(zip(zedges[:-1], zedges[1:])):
+        a = np.clip(np.maximum(lo, z0), z0, z1)
+        c = np.clip(np.minimum(hi, z1), z0, z1)
+        olen = np.maximum(c - a, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ta = np.where(dz > 0, (a - z0) / dz, 0.0)
+            tc = np.where(dz > 0, (c - z0) / dz, 0.0)
+        # int_a^c lerp(f_i, f_i+1) dz = olen/2 [(1-ta)+(1-tc)] f_i
+        #                              + olen/2 [ta+tc] f_i+1
+        Wb[b, :-1] += olen * (2.0 - ta - tc) / 2.0
+        Wb[b, 1:] += olen * (ta + tc) / 2.0
+    return Wb
+
+
+def cov_counts_cl_ssc(bN_i, sigma2_ij, r_bl):
+    """SSC cross-covariance Cov(N_i, C_l) = <bN>_i (sigma^2 r)_{i,l}.
+
+    bN_i: bias-weighted counts per z bin; sigma2_ij from window_sigma2 on
+    the SAME zedges as r_bl (cl_ssc_response_binned).  Returns (nbin, nl).
+    """
+    return jnp.asarray(bN_i)[:, None] * (jnp.asarray(sigma2_ij)
+                                         @ jnp.asarray(r_bl))
+
+
+def cov_cl_cl_ssc_binned(r_bl, sigma2_ij, r_bl2=None):
+    """Binned-window C_l SSC block: r^T sigma^2 r' (nl, nl')."""
+    r_bl2 = r_bl if r_bl2 is None else r_bl2
+    return jnp.asarray(r_bl).T @ jnp.asarray(sigma2_ij) @ jnp.asarray(r_bl2)
+
+
+def joint_counts_cl_cov(N_i, bN_i, sigma2_ij, r_bl, cov_cl_gauss=None):
+    """Full joint covariance of (N_1..N_nb, C_l1..C_lnl):
+
+        [ diag(N) + bN bN^T o sigma^2   diag(bN) sigma^2 r        ]
+        [ (diag(bN) sigma^2 r)^T        r^T sigma^2 r (+ Gaussian) ]
+
+    The SSC part is M sigma^2 M^T with M = [diag(bN); r^T] stacked, so it
+    is PSD whenever sigma^2 is (tested); Poisson and the optional
+    Gaussian C_l covariance add on the diagonal blocks."""
+    N_i = jnp.asarray(N_i)
+    bN_i = jnp.asarray(bN_i)
+    sigma2_ij = jnp.asarray(sigma2_ij)
+    r_bl = jnp.asarray(r_bl)
+    top_left = jnp.diag(N_i) + bN_i[:, None] * bN_i[None, :] * sigma2_ij
+    top_right = cov_counts_cl_ssc(bN_i, sigma2_ij, r_bl)
+    bot_right = cov_cl_cl_ssc_binned(r_bl, sigma2_ij)
+    if cov_cl_gauss is not None:
+        bot_right = bot_right + jnp.asarray(cov_cl_gauss)
+    return jnp.block([[top_left, top_right],
+                      [top_right.T, bot_right]])
+
+
 def pk_response_ssc(ks, pk):
     """Linear-response dP/d(delta_b): (68/21 - (1/3) dln k^3 P/dlnk) P.
 

@@ -792,6 +792,7 @@ class HaloModel(Cosmology):
         from . import background as _bg
         from .cluster_counts import (completeness, window_sigma2,
                                      counts_covariance)
+        return_parts = scaling.pop("_return_parts", False)
         z_edges = np.asarray(z_edges, dtype=float)
         zs = np.asarray(self.zs)
         chis = self.comoving_radial_distance(self.zs)
@@ -824,7 +825,41 @@ class HaloModel(Cosmology):
             ks_lin = np.geomspace(1e-4, 5.0, 400)
         plin = self.P_lin_slow(jnp.asarray(ks_lin), self.zs)
         s2 = window_sigma2(z_edges, self.zs, chis, ks_lin, plin, fsky)
+        if return_parts:
+            return N_i, bN_i, s2
         return N_i, counts_covariance(N_i, bN_i, s2)
+
+    def joint_counts_cl_cov(self, z_edges, ells, name1, name2=None,
+                            Wz1s=None, Wz2s=None, mmin=None, fsky=1.0,
+                            q=None, sigma_noise=None, ks_lin=None,
+                            cov_cl_gauss=None, **scaling):
+        """Joint SSC covariance of binned cluster counts AND C_ell of the
+        tracer pair -- the cross block every joint (counts + power
+        spectrum) likelihood needs, since both observables respond to the
+        same super-survey modes.  The background mode is discretized onto
+        the z_edges count-bin windows (window_sigma2), making all three
+        blocks mutually consistent (models/cov.py, joint block docs).
+
+        Returns (N_i, cov) with cov of shape (nbin + nl, nbin + nl):
+        Poisson + sample-variance counts block, the Cov(N_i, C_l) cross
+        block, and the binned-window C_l SSC block (+``cov_cl_gauss``
+        if given, e.g. a Knox diagonal).  Selection via ``mmin`` or
+        ``(q, sigma_noise)`` exactly as cluster_counts_covariance.
+        EXTENSION beyond the reference (Gaussian-only cov.py)."""
+        from . import cov as covm
+        N_i, bN_i, s2 = self.cluster_counts_covariance(
+            z_edges, mmin=mmin, fsky=fsky, q=q, sigma_noise=sigma_noise,
+            ks_lin=ks_lin, _return_parts=True, **scaling)
+        P = self.get_power(name1, name2)
+        hzs = self.h_of_z(self.zs)
+        chis = self.comoving_radial_distance(self.zs)
+        ones = jnp.ones_like(jnp.asarray(self.zs))
+        Wz1s = ones if Wz1s is None else Wz1s
+        Wz2s = ones if Wz2s is None else Wz2s
+        r_bl = covm.cl_ssc_response_binned(ells, z_edges, self.zs, self.ks,
+                                           P, Wz1s, Wz2s, hzs, chis)
+        return N_i, covm.joint_counts_cl_cov(N_i, bN_i, s2, r_bl,
+                                             cov_cl_gauss=cov_cl_gauss)
 
     def get_cl_cov_t1h(self, ells, name1, name2=None, Wz1s=None, Wz2s=None,
                        fsky=1.0, name3=None, name4=None, Wz3s=None,

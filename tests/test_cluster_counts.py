@@ -229,3 +229,113 @@ def test_counts_covariance_assembly_and_class_api(hm):
                                               **SCALING)
     assert np.all(np.isfinite(np.asarray(cov_q)))
     assert np.all(np.asarray(N_q) >= 0)
+
+
+# --------------------------------------- joint counts x C_ell SSC block
+
+def test_cl_response_binned_additivity(hm):
+    """Bins sharing on-grid edges sum exactly to the full-range response
+    (inclusive-endpoint per-bin trapz)."""
+    from hmvec_tpu.models import cov as covm
+    zs = np.asarray(hm.zs)
+    ells = np.array([100.0, 800.0])
+    chis = np.asarray(hm.comoving_radial_distance(hm.zs))
+    hzs = np.asarray(hm.h_of_z(hm.zs))
+    P = hm.get_power("nfw")
+    ones = np.ones_like(zs)
+    # edges at grid points zs[0], zs[4], zs[8], zs[-1]
+    zedges = np.array([zs[0], zs[4], zs[8], zs[-1]])
+    r = np.asarray(covm.cl_ssc_response_binned(
+        ells, zedges, zs, hm.ks, P, ones, ones, hzs, chis))
+    full = np.asarray(covm.cl_ssc_response_binned(
+        ells, np.array([zs[0], zs[-1]]), zs, hm.ks, P, ones, ones,
+        hzs, chis))
+    assert r.shape == (3, 2)
+    np.testing.assert_allclose(r.sum(axis=0), full[0], rtol=1e-12)
+    assert np.all(r > 0)  # positive response for matter power
+
+
+def test_joint_counts_cl_cov_blocks(hm):
+    """Class-level joint covariance: explicit block assembly, symmetry,
+    PSD of the SSC part, and the exact relation of the cross block to
+    its factors."""
+    from hmvec_tpu.models import cov as covm
+    zedges = np.array([0.2, 0.6, 1.0, 1.4])
+    ells = np.array([100.0, 500.0, 2000.0])
+    N_i, cov = hm.joint_counts_cl_cov(zedges, ells, "nfw", mmin=2e14,
+                                      fsky=0.3)
+    N_i, cov = np.asarray(N_i), np.asarray(cov)
+    nb, nl = 3, 3
+    assert cov.shape == (nb + nl, nb + nl)
+    np.testing.assert_allclose(cov, cov.T, rtol=0,
+                               atol=1e-12 * np.abs(cov).max())
+    # counts block must equal the standalone counts covariance
+    _, cov_nn = hm.cluster_counts_covariance(zedges, mmin=2e14, fsky=0.3)
+    np.testing.assert_allclose(cov[:nb, :nb], np.asarray(cov_nn),
+                               rtol=1e-12)
+    # SSC part (subtract Poisson) is PSD: it is M sigma^2 M^T
+    ssc = cov - np.diag(np.concatenate([N_i, np.zeros(nl)]))
+    ev = np.linalg.eigvalsh(ssc)
+    assert ev.min() > -1e-10 * ev.max()
+    # cross block: manual reassembly from the exposed parts
+    N2, bN, s2 = hm.cluster_counts_covariance(zedges, mmin=2e14, fsky=0.3,
+                                              _return_parts=True)
+    chis = np.asarray(hm.comoving_radial_distance(hm.zs))
+    hzs = np.asarray(hm.h_of_z(hm.zs))
+    ones = np.ones_like(np.asarray(hm.zs))
+    r = covm.cl_ssc_response_binned(ells, zedges, hm.zs, hm.ks,
+                                    hm.get_power("nfw"), ones, ones,
+                                    hzs, chis)
+    expect_cross = np.asarray(bN)[:, None] * (np.asarray(s2) @ np.asarray(r))
+    np.testing.assert_allclose(cov[:nb, nb:], expect_cross, rtol=1e-12)
+    # counts correlate POSITIVELY with the large-scale power (ell=100);
+    # high-ell far-bin entries may go slightly negative through window
+    # anti-correlations (the cos(k_r dc) term), so no global sign claim
+    assert np.all(cov[:nb, nb] > 0)
+    # cov_cl_gauss adds only on the C_l diagonal block
+    g = np.diag(np.full(nl, 1e-4 * cov[nb:, nb:].max()))
+    _, cov_g = hm.joint_counts_cl_cov(zedges, ells, "nfw", mmin=2e14,
+                                      fsky=0.3, cov_cl_gauss=g)
+    np.testing.assert_allclose(np.asarray(cov_g)[nb:, nb:],
+                               cov[nb:, nb:] + g, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(cov_g)[:nb, :], cov[:nb, :],
+                               rtol=1e-12)
+
+
+def test_cl_cl_binned_vs_continuous_ssc_continuum_limit():
+    """Cross-formalism anchor: the binned-window C_l SSC quadratic form
+    r^T sigma^2 r converges FROM BELOW to the continuous delta-shell
+    form (cl_cov_ssc, per-z transverse sigma_b^2) as the bins shrink --
+    the two treat the radial background correlations with different
+    approximations (explicit sinc-window covariance vs Limber-style
+    delta shells) and share no window code.  Measured: 0.46 -> 0.90 ->
+    0.94 of the continuous value at 8/32/64 bins on a dense synthetic
+    setup; the residual ~5-6%% is the genuine radial-structure
+    difference at this survey geometry.  Thick count bins legitimately
+    SUPPRESS the C_l SSC relative to the delta-shell formula -- physics
+    the joint covariance keeps."""
+    from hmvec_tpu.models import cov as covm
+    zs = np.linspace(0.1, 1.5, 281)
+    chis = 3000.0 * zs / (1 + 0.2 * zs)
+    hzs = np.gradient(zs, chis)                       # dz/dchi = H [1/Mpc]
+    ks = np.geomspace(1e-5, 5.0, 400)
+    P0 = 2e4 * (ks / 0.02) ** 0.96 / (1 + (ks / 0.02) ** 3.8) ** 0.5
+    plin = np.outer((1.0 / (1.0 + zs)) ** 2, P0)
+    ones = np.ones_like(zs)
+    ells = np.array([100.0, 500.0])
+    fsky = 0.01
+    sb2 = np.asarray(covm.sigma_b2_disk(fsky, jnp.asarray(chis),
+                                        jnp.asarray(ks), jnp.asarray(plin)))
+    cont = np.asarray(covm.cl_cov_ssc(ells, zs, ks, plin, ones, ones,
+                                      hzs, chis, sb2, resp_zk=plin))
+    ratios = []
+    for nb in (8, 32, 64):
+        zedges = np.linspace(zs[0], zs[-1], nb + 1)
+        s2 = cc.window_sigma2(zedges, zs, chis, ks, plin, fsky,
+                              n_kr=4096, kr_max=1.0, n_kperp=129)
+        r = covm.cl_ssc_response_binned(ells, zedges, zs, ks, plin, ones,
+                                        ones, hzs, chis, resp_zk=plin)
+        binned = np.asarray(covm.cov_cl_cl_ssc_binned(r, np.asarray(s2)))
+        ratios.append((binned / cont)[0, 0])
+    assert ratios[0] < ratios[1] < ratios[2], ratios   # monotone from below
+    assert 0.85 < ratios[2] < 1.02, ratios             # measured 0.940
