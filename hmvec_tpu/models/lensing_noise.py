@@ -237,7 +237,9 @@ def _nodes_flat_sky(lmin, lmax, n_l, n_theta):
 def _f_12(est, g1, g2, Ldotl1, Ldotl2, cos2d, sin2d):
     """Hu-Okamoto flat-sky response f_est(l1, l2); g1/g2 = the
     estimator's gradient spectrum at l1/l2, cos2d/sin2d = cos/sin of
-    2(phi_1 - phi_2)."""
+    2(phi_1 - phi_2).  For the curl (field-rotation psi) mode, pass
+    Ldotl_i -> the cross products (L x l_i); the spectrum/angle
+    structure is identical (Namikawa et al. 2012 convention)."""
     if est == "TT":
         return g1 * Ldotl1 + g2 * Ldotl2
     if est == "EE":
@@ -306,12 +308,21 @@ def _interp_spec_pair(spec, l1col, l2mat):
 
 
 def _qe_family_one_L(L, ests, cls_grad, cls_total, l1, ct, st,
-                     lmin, lmax):
+                     lmin, lmax, mode="grad"):
     """Per-L node-grid quantities shared by the N0 / cross-N0 paths:
-    returns (per-est dict of (f12, F12, F21), tots dict, valid mask)."""
+    returns (per-est dict of (f12, F12, F21), tots dict, valid mask).
+    mode='curl' swaps the dot-product couplings (L.l_i) for the cross
+    products (L x l_i) = +/- L l1 sin(theta) -- the field-rotation
+    (psi) estimator's response; everything else is unchanged."""
     l2 = jnp.sqrt(jnp.maximum(L**2 + l1**2 - 2.0 * L * l1 * ct, 1e-30))
-    Ldotl1 = L * l1 * ct
-    Ldotl2 = L**2 - Ldotl1
+    if mode == "curl":
+        Ldotl1 = L * l1 * st          # (L x l1)
+        Ldotl2 = -Ldotl1              # l2 = L - l1 => L x l2 = -L x l1
+    elif mode == "grad":
+        Ldotl1 = L * l1 * ct
+        Ldotl2 = L**2 - Ldotl1
+    else:
+        raise ValueError(f"unknown mode {mode!r}; use 'grad' or 'curl'")
     cosd = (L * ct - l1) / l2
     sind = L * st / l2
     cos2d = 2.0 * cosd**2 - 1.0
@@ -341,7 +352,7 @@ def _resolve_lrange(cls_grad, lmin, lmax):
 
 
 def n0_pair_flat_sky(Ls, est, cls_grad, cls_total, lmin=30, lmax=None,
-                     n_l=400, n_theta=256):
+                     n_l=400, n_theta=256, mode="grad"):
     """N0^{phiphi}(L) for any of the five Hu-Okamoto estimators.
 
     est: 'TT' | 'TE' | 'EE' | 'EB' | 'TB'.
@@ -354,8 +365,14 @@ def n0_pair_flat_sky(Ls, est, cls_grad, cls_total, lmin=30, lmax=None,
 
     N0 = [int d^2 l1/(2pi)^2 f(l1,l2) F(l1,l2)]^{-1} with the optimal
     weights of Hu & Okamoto 2002 eq. (14)-(16); for TT/EE/EB this reduces
-    exactly to `n0_flat_sky` (tested).  EXTENSION beyond the reference
-    (no reconstruction-noise model at all, SURVEY section 2)."""
+    exactly to `n0_flat_sky` (tested).  mode='curl' returns the
+    reconstruction noise of the field-rotation (curl psi) estimator --
+    the standard lensing systematics NULL TEST (no cosmological curl at
+    leading order): same spectra, (L.l_i) -> (L x l_i) in the response
+    (Namikawa, Yamauchi & Taruya 2012).  The grad-curl cross-N0 vanishes
+    identically by angular parity, so the two reconstructions are
+    uncorrelated and need no joint matrix.  EXTENSION beyond the
+    reference (no reconstruction-noise model at all, SURVEY section 2)."""
     lmin, lmax = _resolve_lrange(cls_grad, lmin, lmax)
     l1, ct, st, wgt = _nodes_flat_sky(lmin, lmax, n_l, n_theta)
     cls_grad = {k: jnp.asarray(v, dtype=jnp.float64)
@@ -365,7 +382,7 @@ def n0_pair_flat_sky(Ls, est, cls_grad, cls_total, lmin=30, lmax=None,
 
     def one_L(L):
         FF, _, valid = _qe_family_one_L(L, (est,), cls_grad, cls_total,
-                                        l1, ct, st, lmin, lmax)
+                                        l1, ct, st, lmin, lmax, mode=mode)
         f12, F12, _ = FF[est]
         integrand = jnp.where(valid, f12 * F12, 0.0)
         return 1.0 / (2.0 * jnp.sum(wgt * integrand) / (2.0 * np.pi) ** 2)

@@ -61,15 +61,20 @@ def n0_flat_sky_dense(L, est, cl_grad, cl_total, cl_total2=None,
     return 1.0 / integral
 
 
-def _ho_fF_dense(est, L, l1, ct, st, cls_grad, cls_total, lmin, lmax):
+def _ho_fF_dense(est, L, l1, ct, st, cls_grad, cls_total, lmin, lmax,
+                 mode="grad"):
     """Hu-Okamoto response f(l1,l2) and optimal weight F(l1,l2),
     F(l2,l1) on a dense (n_l, n_theta) node grid, plus the l2 radii.
     Spectra are dicts ('TT'/'EE'/'BB'/'TE').  Written out per estimator
     straight from HO02 Table 1 / eq (14)-(16); independent of the jax
     module's shared-helper structure."""
     l2 = np.sqrt(np.maximum(L**2 + l1**2 - 2.0 * L * l1 * ct, 1e-30))
-    Ld1 = L * l1 * ct
-    Ld2 = L**2 - Ld1
+    if mode == "curl":
+        Ld1 = L * l1 * st
+        Ld2 = -Ld1
+    else:
+        Ld1 = L * l1 * ct
+        Ld2 = L**2 - Ld1
     cosd = (L * ct - l1) / l2
     sind = L * st / l2
     c2d = 2.0 * cosd**2 - 1.0
@@ -131,15 +136,15 @@ def _dense_nodes(lmin, lmax, n_theta):
 
 
 def n0_pair_dense(L, est, cls_grad, cls_total, lmin=30, lmax=None,
-                  n_theta=512):
+                  n_theta=512, mode="grad"):
     """Dense-grid N0 for any of TT/TE/EE/EB/TB (full-circle midpoint
     angles x integer-l trapz; optimal HO weights incl. the TE
-    non-diagonal form)."""
+    non-diagonal form).  mode='curl': the field-rotation estimator."""
     if lmax is None:
         lmax = min(np.asarray(c).shape[0] for c in cls_grad.values()) - 1
     l1, ct, st, w = _dense_nodes(lmin, lmax, n_theta)
     f12, F12, _, _ = _ho_fF_dense(est, L, l1, ct, st, cls_grad, cls_total,
-                                  lmin, lmax)
+                                  lmin, lmax, mode=mode)
     return 1.0 / ((w * f12 * F12).sum() / (2.0 * np.pi) ** 2)
 
 

@@ -220,6 +220,42 @@ def test_cross_tt_ee_vs_dense_twin():
     np.testing.assert_allclose(got, twin, rtol=2e-2)
 
 
+@pytest.mark.parametrize("est", ["TT", "TE", "EB"])
+def test_n0_curl_vs_dense_twin(est):
+    """Field-rotation (curl) estimator noise vs the independent dense
+    twin; the null-test channel real analyses run."""
+    n0_pair, _, _, n0_dense, _ = _import_family()
+    Ls = np.array([40.0, 300.0])
+    n0 = np.asarray(n0_pair(Ls, est, GRADS, TOTS, lmin=30, lmax=LMAX,
+                            n_l=600, n_theta=512, mode="curl"))
+    twin = np.array([n0_dense(L, est, GRADS, TOTS, lmin=30, lmax=LMAX,
+                              n_theta=2048, mode="curl") for L in Ls])
+    assert np.all(n0 > 0) and np.all(np.isfinite(n0))
+    np.testing.assert_allclose(n0, twin, rtol=5e-3)
+    # distinct from the gradient-mode noise
+    grad = np.asarray(n0_pair(Ls, est, GRADS, TOTS, lmin=30, lmax=LMAX,
+                              n_l=600, n_theta=512))
+    assert np.max(np.abs(n0 / grad - 1.0)) > 0.05
+
+
+def test_grad_curl_orthogonality():
+    """The grad-curl response overlap int f_grad F_curl d^2l vanishes by
+    angular parity -- the two reconstructions are uncorrelated, so no
+    joint grad+curl covariance matrix is needed (checked on the twin's
+    full-circle node grid, where the cancellation is between theta and
+    -theta rather than enforced by a half-circle fold)."""
+    from hmvec_tpu.twin.lensing_noise import _ho_fF_dense, _dense_nodes
+    l1, ct, st, w = _dense_nodes(30, LMAX, 512)
+    for est in ("TT", "EB"):
+        fg, _, _, _ = _ho_fF_dense(est, 300.0, l1, ct, st, GRADS, TOTS,
+                                   30, LMAX, mode="grad")
+        _, Fc, _, _ = _ho_fF_dense(est, 300.0, l1, ct, st, GRADS, TOTS,
+                                   30, LMAX, mode="curl")
+        overlap = (w * fg * Fc).sum()
+        scale = (w * np.abs(fg * Fc)).sum()
+        assert abs(overlap) < 1e-10 * scale, est
+
+
 def test_mv_full_vs_naive():
     n0_pair, _, n0_mv, _, _ = _import_family()
     Ls = np.array([100.0, 400.0])
