@@ -392,7 +392,8 @@ def n0_pair_flat_sky(Ls, est, cls_grad, cls_total, lmin=30, lmax=None,
 
 
 def n0_cross_flat_sky(Ls, est1, est2, cls_grad, cls_total, n0_1=None,
-                      n0_2=None, lmin=30, lmax=None, n_l=400, n_theta=256):
+                      n0_2=None, lmin=30, lmax=None, n_l=400, n_theta=256,
+                      mode="grad"):
     """Cross-covariance N^{(ab)(cd)}(L) between two quadratic estimators
     (Hu & Okamoto 2002 eq. 17):
 
@@ -402,7 +403,8 @@ def n0_cross_flat_sky(Ls, est1, est2, cls_grad, cls_total, n0_1=None,
 
     all C totals (TB/EB totals vanish).  N_(ab)(ab) = N_ab exactly for
     the optimal weights -- a self-consistency identity the tests pin.
-    n0_1/n0_2 may be passed to reuse precomputed auto-N0s."""
+    n0_1/n0_2 may be passed to reuse precomputed auto-N0s; mode='curl'
+    gives the covariances between the curl-mode estimators."""
     lmin, lmax = _resolve_lrange(cls_grad, lmin, lmax)
     l1, ct, st, wgt = _nodes_flat_sky(lmin, lmax, n_l, n_theta)
     cls_grad = {k: jnp.asarray(v, dtype=jnp.float64)
@@ -411,17 +413,19 @@ def n0_cross_flat_sky(Ls, est1, est2, cls_grad, cls_total, n0_1=None,
                  for k, v in cls_total.items()}
     if n0_1 is None:
         n0_1 = n0_pair_flat_sky(Ls, est1, cls_grad, cls_total, lmin=lmin,
-                                lmax=lmax, n_l=n_l, n_theta=n_theta)
+                                lmax=lmax, n_l=n_l, n_theta=n_theta,
+                                mode=mode)
     if n0_2 is None:
         n0_2 = n0_pair_flat_sky(Ls, est2, cls_grad, cls_total, lmin=lmin,
-                                lmax=lmax, n_l=n_l, n_theta=n_theta)
+                                lmax=lmax, n_l=n_l, n_theta=n_theta,
+                                mode=mode)
     a, b = _EST_LEGS[est1][0][0], _EST_LEGS[est1][1][0]
     c, d = _EST_LEGS[est2][0][0], _EST_LEGS[est2][1][0]
 
     def one_L(L):
         FF, tots, valid = _qe_family_one_L(L, (est1, est2), cls_grad,
                                            cls_total, l1, ct, st,
-                                           lmin, lmax)
+                                           lmin, lmax, mode=mode)
         _, F12_1, _ = FF[est1]
         _, F12_2, F21_2 = FF[est2]
         cac, cbd = _tot_xy(tots, a, c), _tot_xy(tots, b, d)
@@ -442,7 +446,7 @@ def n0_cross_flat_sky(Ls, est1, est2, cls_grad, cls_total, n0_1=None,
 def n0_mv_flat_sky(Ls, cls_grad, cls_total,
                    ests=("TT", "TE", "EE", "EB", "TB"),
                    lmin=30, lmax=None, n_l=400, n_theta=256,
-                   return_matrix=False):
+                   return_matrix=False, mode="grad"):
     """Exact minimum-variance combination of quadratic estimators:
 
         N_mv(L) = [ 1^T N(L)^{-1} 1 ]^{-1},  w = N^{-1} 1 / (1^T N^{-1} 1)
@@ -450,12 +454,14 @@ def n0_mv_flat_sky(Ls, cls_grad, cls_total,
     with N(L) the full estimator covariance matrix (auto N0s on the
     diagonal, Hu-Okamoto cross-N0s off it) -- the exact version of the
     `n0_minimum_variance` diagonal approximation.  Returns N_mv(L); with
-    return_matrix=True also the (nL, n_est, n_est) matrix."""
+    return_matrix=True also the (nL, n_est, n_est) matrix.  mode='curl'
+    gives the combined curl null-test noise."""
     ests = tuple(ests)
     ne = len(ests)
     Ls = jnp.atleast_1d(jnp.asarray(Ls, dtype=jnp.float64))
     autos = {e: n0_pair_flat_sky(Ls, e, cls_grad, cls_total, lmin=lmin,
-                                 lmax=lmax, n_l=n_l, n_theta=n_theta)
+                                 lmax=lmax, n_l=n_l, n_theta=n_theta,
+                                 mode=mode)
              for e in ests}
     N = jnp.zeros((Ls.shape[0], ne, ne), dtype=jnp.float64)
     for i, e1 in enumerate(ests):
@@ -465,7 +471,7 @@ def n0_mv_flat_sky(Ls, cls_grad, cls_total,
             nij = n0_cross_flat_sky(Ls, e1, e2, cls_grad, cls_total,
                                     n0_1=autos[e1], n0_2=autos[e2],
                                     lmin=lmin, lmax=lmax, n_l=n_l,
-                                    n_theta=n_theta)
+                                    n_theta=n_theta, mode=mode)
             N = N.at[:, i, j].set(nij)
             N = N.at[:, j, i].set(nij)
     ones = jnp.broadcast_to(jnp.ones((ne,), dtype=jnp.float64),

@@ -238,6 +238,21 @@ def test_n0_curl_vs_dense_twin(est):
     assert np.max(np.abs(n0 / grad - 1.0)) > 0.05
 
 
+def test_curl_mv_and_self_consistency():
+    """The full MV machinery works in curl mode: self-cross identity
+    holds for the curl optimal weights too, and the curl MV beats every
+    individual curl estimator."""
+    n0_pair, n0_cross, n0_mv, _, _ = _import_family()
+    Ls = np.array([100.0])
+    kw = dict(lmin=30, lmax=LMAX, n_l=200, n_theta=128, mode="curl")
+    auto = np.asarray(n0_pair(Ls, "TE", GRADS, TOTS, **kw))
+    cross = np.asarray(n0_cross(Ls, "TE", "TE", GRADS, TOTS, **kw))
+    np.testing.assert_allclose(cross, auto, rtol=1e-10)
+    mv, mat = n0_mv(Ls, GRADS, TOTS, return_matrix=True, **kw)
+    autos = np.diagonal(np.asarray(mat), axis1=1, axis2=2)
+    assert np.all(np.asarray(mv) < autos.min(axis=1) * (1.0 + 1e-12))
+
+
 def test_grad_curl_orthogonality():
     """The grad-curl response overlap int f_grad F_curl d^2l vanishes by
     angular parity -- the two reconstructions are uncorrelated, so no
