@@ -69,6 +69,17 @@ def main():
     n0_mv = np.asarray(hm.n0_kappa_from_phi(
         Ls, hm.n0_minimum_variance([n0_tt, n0_eb_it])))
 
+    # --- exact five-estimator MV (TT/TE/EE/EB/TB + cross-covariances) ---
+    cl_te = np.asarray(cls["total"][:, 3])
+    grads = {"TT": cl_tt, "EE": cl_ee, "TE": cl_te}
+    tots = {"TT": tot_tt, "EE": tot_ee, "BB": tot_bb, "TE": cl_te}
+    n0_mv5 = np.asarray(hm.n0_kappa_from_phi(
+        Ls, hm.n0_mv_flat_sky(Ls, grads, tots, lmin=30, lmax=lmax)))
+    i = np.searchsorted(Ls, 100)
+    print(f"five-estimator exact MV at L~100: N0 = {n0_mv5[i]:.3e} "
+          f"(x{np.asarray(hm.n0_kappa_from_phi(Ls, n0_tt))[i] / n0_mv5[i]:.2f} "
+          f"better than TT alone)")
+
     # --- halo-model C_kk and per-L S/N ---
     clkk_L = np.interp(Ls, np.asarray(ells_kk), np.asarray(clkk_kk))
     fsky = 0.4
