@@ -98,6 +98,8 @@ from .ops.rootfind import (invert_monotone,  # noqa: F401,E402
 from .ops.quadrature import interp  # noqa: F401,E402
 from .models.linear_power import (EHEngine,  # noqa: F401,E402
                                   TabulatedEngine)
+from .models.boltz_engine import (BoltzEngine,  # noqa: F401,E402
+                                  rs_drag_integral)
 
 # reference tinker.py module-level name (tinker.py:26)
 bias = bias_tinker

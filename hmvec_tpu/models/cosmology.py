@@ -62,7 +62,7 @@ def get_eds_model(fb=0.15, H0=68.0, YHe=0.25):
 class Cosmology:
     def __init__(self, params=None, halofit=None, engine="eh",
                  accuracy="medium", pk_table=None, cls_table=None,
-                 growth="auto"):
+                 growth="auto", engine_opts=None):
         self.accuracy = accuracy
         self.p = merge_params(params)
         # growth-factor mode: 'closed' = Heath/2F1 (LCDM-exact), 'ode' =
@@ -72,8 +72,9 @@ class Cosmology:
         self.growth_mode = (bgmod.growth_mode_for(self.p)
                             if growth == "auto" else growth)
         self.params = self.p
-        self.engine_name = engine
-        self.engine = lpm.make_engine(engine, pk_table)
+        self.engine_name = engine if isinstance(engine, str) else \
+            getattr(engine, "name", "custom")
+        self._engine_opts = engine_opts
         self.halofit = halofit
         # Precomputed CMB spectra (same host-table mechanism as pk_table):
         # a mapping with any of 'cls_lensed'/'cls_unlensed' ((nl, 4) TT EE
@@ -88,6 +89,12 @@ class Cosmology:
         if params and "theta100" in params:
             from .distances_ext import solve_h0_from_theta100
             self.p["H0"] = solve_h0_from_theta100(self.p, params["theta100"])
+
+        # engine AFTER theta100 (a 'boltz' engine solve must see the
+        # resolved H0); As/sigma8 rescaling below needs no engine rebuild
+        # because every engine serves amplitude from the traced As
+        self.engine = lpm.make_engine(engine, pk_table, params=self.p,
+                                      engine_opts=engine_opts)
 
         self.bg = bgmod.background(self.p)
 

@@ -52,10 +52,10 @@ class HaloModel(Cosmology):
                  mass_function="sheth-torman", halofit=None, mdef="vir",
                  nfw_numeric=False, skip_nfw=False, accuracy="medium",
                  engine="eh", pk_table=None, cls_table=None,
-                 concmode="duffy", tinker_delta=None):
+                 concmode="duffy", tinker_delta=None, engine_opts=None):
         super().__init__(params=params, halofit=halofit, engine=engine,
                          accuracy=accuracy, pk_table=pk_table,
-                         cls_table=cls_table)
+                         cls_table=cls_table, engine_opts=engine_opts)
         self.zs = jnp.asarray(zs)
         self.ks = jnp.asarray(ks)
         self.mdef = mdef
@@ -788,11 +788,21 @@ class HaloModel(Cosmology):
         (window_sigma2).  Returns (N_i, cov).  EXTENSION: the reference
         ships no covariance for its manual cluster-count cross-check
         (bin/tests.py:73-131)."""
+        from .cluster_counts import counts_covariance
+        N_i, bN_i, s2 = self._counts_cov_parts(
+            z_edges, mmin=mmin, fsky=fsky, q=q, sigma_noise=sigma_noise,
+            ks_lin=ks_lin, **scaling)
+        return N_i, counts_covariance(N_i, bN_i, s2)
+
+    def _counts_cov_parts(self, z_edges, mmin=None, fsky=1.0, q=None,
+                          sigma_noise=None, ks_lin=None, **scaling):
+        """Ingredients of the binned count covariance: (N_i, <bN>_i,
+        sigma^2_ij).  Private helper shared by cluster_counts_covariance
+        and joint_counts_cl_cov (kept OFF the **scaling kwargs so a
+        typo'd scaling key cannot silently change the return arity)."""
         from ..utils.weights import trapz_weights
         from . import background as _bg
-        from .cluster_counts import (completeness, window_sigma2,
-                                     counts_covariance)
-        return_parts = scaling.pop("_return_parts", False)
+        from .cluster_counts import completeness, window_sigma2
         z_edges = np.asarray(z_edges, dtype=float)
         zs = np.asarray(self.zs)
         chis = self.comoving_radial_distance(self.zs)
@@ -825,14 +835,13 @@ class HaloModel(Cosmology):
             ks_lin = np.geomspace(1e-4, 5.0, 400)
         plin = self.P_lin_slow(jnp.asarray(ks_lin), self.zs)
         s2 = window_sigma2(z_edges, self.zs, chis, ks_lin, plin, fsky)
-        if return_parts:
-            return N_i, bN_i, s2
-        return N_i, counts_covariance(N_i, bN_i, s2)
+        return N_i, bN_i, s2
 
     def joint_counts_cl_cov(self, z_edges, ells, name1, name2=None,
                             Wz1s=None, Wz2s=None, mmin=None, fsky=1.0,
                             q=None, sigma_noise=None, ks_lin=None,
-                            cov_cl_gauss=None, **scaling):
+                            cov_cl_gauss=None, pad_background=True,
+                            **scaling):
         """Joint SSC covariance of binned cluster counts AND C_ell of the
         tracer pair -- the cross block every joint (counts + power
         spectrum) likelihood needs, since both observables respond to the
@@ -845,21 +854,66 @@ class HaloModel(Cosmology):
         block, and the binned-window C_l SSC block (+``cov_cl_gauss``
         if given, e.g. a Knox diagonal).  Selection via ``mmin`` or
         ``(q, sigma_noise)`` exactly as cluster_counts_covariance.
-        EXTENSION beyond the reference (Gaussian-only cov.py)."""
+        EXTENSION beyond the reference (Gaussian-only cov.py).
+
+        The background mode is discretized on the count-bin windows, so
+        with ``pad_background=False`` super-sample modes at redshifts
+        OUTSIDE [z_edges[0], z_edges[-1]] are dropped from the C_l SSC
+        and cross blocks -- a real underestimate when the tracer kernels
+        are broad (e.g. CMB lensing) and the count bins narrow.  The
+        default ``pad_background=True`` appends zero-count background
+        bins tiling the rest of this instance's zs grid (count rows
+        forced to zero; they contribute only through the C_l response),
+        which restores those modes exactly in the binned formalism.
+        z_edges must lie inside the zs grid (ValueError otherwise --
+        edges beyond the grid would be silently truncated by the
+        overlap weights)."""
         from . import cov as covm
-        N_i, bN_i, s2 = self.cluster_counts_covariance(
-            z_edges, mmin=mmin, fsky=fsky, q=q, sigma_noise=sigma_noise,
-            ks_lin=ks_lin, _return_parts=True, **scaling)
+        z_edges = np.asarray(z_edges, dtype=float)
+        zs_np = np.asarray(self.zs)
+        if z_edges[0] < zs_np[0] - 1e-12 or z_edges[-1] > zs_np[-1] + 1e-12:
+            raise ValueError(
+                f"z_edges [{z_edges[0]}, {z_edges[-1]}] extend beyond the "
+                f"zs grid [{zs_np[0]}, {zs_np[-1]}]; background-mode "
+                "windows outside the grid cannot be represented")
+        nb = z_edges.size - 1
+        lo_pads = hi_pads = np.empty(0)
+        if pad_background:
+            width = np.median(np.diff(z_edges))
+
+            def _pads(a, b):
+                if b - a <= 1e-10:
+                    return np.empty(0)
+                n = min(16, max(1, int(np.ceil((b - a) / width))))
+                return np.linspace(a, b, n + 1)[:-1] if a < z_edges[0] \
+                    else np.linspace(a, b, n + 1)[1:]
+
+            lo_pads = _pads(zs_np[0], z_edges[0])
+            hi_pads = _pads(z_edges[-1], zs_np[-1])
+        edges_full = np.concatenate([lo_pads, z_edges, hi_pads])
+        n_lo = lo_pads.size
+        N_f, bN_f, s2 = self._counts_cov_parts(
+            edges_full, mmin=mmin, fsky=fsky, q=q, sigma_noise=sigma_noise,
+            ks_lin=ks_lin, **scaling)
+        # pad bins are pure background modes: no observed counts there
+        count_row = np.zeros(edges_full.size - 1)
+        count_row[n_lo:n_lo + nb] = 1.0
+        N_f = N_f * jnp.asarray(count_row)
+        bN_f = bN_f * jnp.asarray(count_row)
         P = self.get_power(name1, name2)
         hzs = self.h_of_z(self.zs)
         chis = self.comoving_radial_distance(self.zs)
         ones = jnp.ones_like(jnp.asarray(self.zs))
         Wz1s = ones if Wz1s is None else Wz1s
         Wz2s = ones if Wz2s is None else Wz2s
-        r_bl = covm.cl_ssc_response_binned(ells, z_edges, self.zs, self.ks,
-                                           P, Wz1s, Wz2s, hzs, chis)
-        return N_i, covm.joint_counts_cl_cov(N_i, bN_i, s2, r_bl,
-                                             cov_cl_gauss=cov_cl_gauss)
+        r_bl = covm.cl_ssc_response_binned(ells, edges_full, self.zs,
+                                           self.ks, P, Wz1s, Wz2s, hzs, chis)
+        cov_full = covm.joint_counts_cl_cov(N_f, bN_f, s2, r_bl,
+                                            cov_cl_gauss=cov_cl_gauss)
+        keep = np.concatenate([np.arange(n_lo, n_lo + nb),
+                               np.arange(edges_full.size - 1,
+                                         cov_full.shape[0])])
+        return N_f[n_lo:n_lo + nb], cov_full[np.ix_(keep, keep)]
 
     def get_cl_cov_t1h(self, ells, name1, name2=None, Wz1s=None, Wz2s=None,
                        fsky=1.0, name3=None, name4=None, Wz3s=None,

@@ -468,6 +468,12 @@ def n0_mv_flat_sky(Ls, cls_grad, cls_total,
         N = N.at[:, i, i].set(autos[e1])
         for j in range(i + 1, ne):
             e2 = ests[j]
+            # cross-N0 between parity sectors (even {TT,TE,EE} x odd
+            # {EB,TB}) vanishes identically: every C^ac C^bd / C^ad C^bc
+            # product contains one TB or EB total, which is zero -- skip
+            # the quadrature and leave the entry 0
+            if e1.count("B") % 2 != e2.count("B") % 2:
+                continue
             nij = n0_cross_flat_sky(Ls, e1, e2, cls_grad, cls_total,
                                     n0_1=autos[e1], n0_2=autos[e2],
                                     lmin=lmin, lmax=lmax, n_l=n_l,

@@ -230,9 +230,17 @@ class TabulatedEngine:
         return bg.as8**2 * self._interp(tab, zs, ks)
 
 
-def make_engine(engine="eh", pk_table=None):
-    if isinstance(engine, (EHEngine, TabulatedEngine)):
+def make_engine(engine="eh", pk_table=None, params=None, engine_opts=None):
+    if not isinstance(engine, str):
+        # an already-constructed engine object (EHEngine, TabulatedEngine,
+        # BoltzEngine, or any duck-typed plin/pzk_grid provider)
         return engine
+    if engine == "boltz":
+        # engine-grade linear P(k,z) from the boltzlite hierarchy solve
+        # (the reference's default tier is a Boltzmann P_lin,
+        # cosmology.py:376,:784-786); shape pinned at `params`
+        from .boltz_engine import BoltzEngine
+        return BoltzEngine(params, **(engine_opts or {}))
     if engine in ("eh", "camb", "class"):
         # 'camb'/'class' accepted for API compatibility: they resolve to a
         # table if one is supplied, else the analytic engine.

@@ -263,7 +263,7 @@ def test_joint_counts_cl_cov_blocks(hm):
     zedges = np.array([0.2, 0.6, 1.0, 1.4])
     ells = np.array([100.0, 500.0, 2000.0])
     N_i, cov = hm.joint_counts_cl_cov(zedges, ells, "nfw", mmin=2e14,
-                                      fsky=0.3)
+                                      fsky=0.3, pad_background=False)
     N_i, cov = np.asarray(N_i), np.asarray(cov)
     nb, nl = 3, 3
     assert cov.shape == (nb + nl, nb + nl)
@@ -278,8 +278,7 @@ def test_joint_counts_cl_cov_blocks(hm):
     ev = np.linalg.eigvalsh(ssc)
     assert ev.min() > -1e-10 * ev.max()
     # cross block: manual reassembly from the exposed parts
-    N2, bN, s2 = hm.cluster_counts_covariance(zedges, mmin=2e14, fsky=0.3,
-                                              _return_parts=True)
+    N2, bN, s2 = hm._counts_cov_parts(zedges, mmin=2e14, fsky=0.3)
     chis = np.asarray(hm.comoving_radial_distance(hm.zs))
     hzs = np.asarray(hm.h_of_z(hm.zs))
     ones = np.ones_like(np.asarray(hm.zs))
@@ -295,11 +294,42 @@ def test_joint_counts_cl_cov_blocks(hm):
     # cov_cl_gauss adds only on the C_l diagonal block
     g = np.diag(np.full(nl, 1e-4 * cov[nb:, nb:].max()))
     _, cov_g = hm.joint_counts_cl_cov(zedges, ells, "nfw", mmin=2e14,
-                                      fsky=0.3, cov_cl_gauss=g)
+                                      fsky=0.3, cov_cl_gauss=g,
+                                      pad_background=False)
     np.testing.assert_allclose(np.asarray(cov_g)[nb:, nb:],
                                cov[nb:, nb:] + g, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(cov_g)[:nb, :], cov[:nb, :],
                                rtol=1e-12)
+
+
+def test_joint_counts_cl_cov_background_padding(hm):
+    """pad_background=True (default): super-sample modes OUTSIDE the
+    count-bin range contribute to the C_l SSC block via zero-count
+    background bins; the counts block and N_i are unchanged, and the
+    C_l SSC diagonal can only grow (it gains PSD quadratic terms)."""
+    zedges = np.array([0.2, 0.6, 1.0, 1.4])  # zs grid spans [0.1, 1.5]
+    ells = np.array([100.0, 500.0, 2000.0])
+    nb = 3
+    N0, cov0 = hm.joint_counts_cl_cov(zedges, ells, "nfw", mmin=2e14,
+                                      fsky=0.3, pad_background=False)
+    N1, cov1 = hm.joint_counts_cl_cov(zedges, ells, "nfw", mmin=2e14,
+                                      fsky=0.3)
+    N0, N1 = np.asarray(N0), np.asarray(N1)
+    cov0, cov1 = np.asarray(cov0), np.asarray(cov1)
+    assert cov1.shape == cov0.shape  # pad rows are sliced away
+    np.testing.assert_allclose(N1, N0, rtol=1e-12)
+    np.testing.assert_allclose(cov1[:nb, :nb], cov0[:nb, :nb], rtol=1e-12)
+    dcl = np.diag(cov1[nb:, nb:]) - np.diag(cov0[nb:, nb:])
+    assert np.all(dcl > 0)  # the z<0.2 / z>1.4 modes were really missing
+    np.testing.assert_allclose(cov1, cov1.T, rtol=0,
+                               atol=1e-12 * np.abs(cov1).max())
+    # edges beyond the zs grid are an error, not a silent truncation
+    with pytest.raises(ValueError):
+        hm.joint_counts_cl_cov(np.array([0.05, 0.6]), ells, "nfw",
+                               mmin=2e14)
+    with pytest.raises(ValueError):
+        hm.joint_counts_cl_cov(np.array([0.6, 1.8]), ells, "nfw",
+                               mmin=2e14)
 
 
 def test_cl_cl_binned_vs_continuous_ssc_continuum_limit():
