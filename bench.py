@@ -305,8 +305,15 @@ def main():
     print(f"# twin baselines done at t+{time.perf_counter() - t_round0:.1f}s",
           file=sys.stderr)
 
-    # ---- phase 3: emit the BASELINE gates in order (compiles already
-    # running; each wait() returns as soon as that program is ready)
+    # ---- phase 3: barrier on ALL compiles before timing anything --
+    # in-flight compile RPCs contend with execute RPCs on the tunnel and
+    # inflate measured latencies (config1 read 80 ms instead of 42 ms
+    # when timed during the other compiles)
+    for p in progs.values():
+        p.wait()
+    print(f"# all compiles done at t+{time.perf_counter() - t_round0:.1f}s: "
+          + " ".join(f"{k}={p.compile_s:.0f}s" for k, p in progs.items()),
+          file=sys.stderr)
     all_ok = True
 
     def report(key, metric, twin_s, ref, unpack=None, extra=None,
