@@ -129,6 +129,129 @@ def test_synth_pol_roundtrip():
     assert float(np.max(np.asarray(cbb) / cl_at)) < 1e-20
 
 
+def test_qe_te_mc_response():
+    """TE second route, map level: <phi_hat_TE phi*>/<phi phi*> = 1 for
+    the simple-weight TE estimator normalized by
+    n0_te_simple_flat_sky's response -- pins f_TE, the T/E synthesis
+    correlation, the spin rotations and the response quadrature through
+    a route sharing nothing with the node-grid algebra.  Tolerances
+    match the TT MC baseline (the same droop pattern, mean ~0.98 /
+    bins to ~0.95, appears for TT with identical settings/keys --
+    an O(phi^2) + grid effect of the map route, not estimator error;
+    the <=1e-2 TE pin is the deterministic dense-grid oracle in
+    test_lensing_noise.py)."""
+    from test_lensing_noise import CL_EE, CL_TE_POS, TOT_EE, NL_T
+    from hmvec_tpu.models.lensing_noise import n0_te_simple_flat_sky
+    cte = CL_TE_POS[:LMAX_T + 1]
+    cee = CL_EE[:LMAX_T + 1]
+    tot_t = np.asarray(CL_TT[:LMAX_T + 1]) + np.asarray(NL_T[:LMAX_T + 1])
+    tot_e = np.asarray(TOT_EE[:LMAX_T + 1])
+    nodes = np.unique(np.round(np.geomspace(30, 700, 16)))
+    resp, _ = n0_te_simple_flat_sky(
+        nodes, {"TT": CL[:LMAX_T + 1], "EE": cee, "TE": cte},
+        {"TT": tot_t, "EE": tot_e, "TE": cte}, lmin=30, lmax=LMAX_T)
+    resp = np.asarray(resp)
+    Li = np.arange(701.0)
+    a_phi = np.zeros(701)
+    a_phi[2:] = 1.0 / np.exp(np.interp(np.log(np.maximum(Li[2:], 2.0)),
+                                       np.log(nodes), np.log(resp)))
+    bins = jnp.asarray(np.linspace(50, 400, 8))
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        t0, q0, u0 = fs.synth_tqu(k1, N, PIX, CL[:LMAX_T + 1], cee, cte)
+        phi = fs.synth_gaussian(k2, N, PIX, CLPP)
+
+        def rec(sign):
+            tl = fs.lens_map_first_order(t0, sign * phi, PIX)
+            ql = fs.lens_map_first_order(q0, sign * phi, PIX)
+            ul = fs.lens_map_first_order(u0, sign * phi, PIX)
+            return fs.qe_te(tl, ql, ul, PIX, cte, tot_t, tot_e, a_phi,
+                            lmin=30, lmax=LMAX_T)
+
+        ph = 0.5 * (rec(1.0) - rec(-1.0))
+        pk = jnp.fft.fft2(phi)
+        _, cx = fs.fourier_power(ph, pk, PIX, bins)
+        _, ca = fs.fourier_power(pk, pk, PIX, bins)
+        return cx, ca
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 16)
+    cx, ca = (np.asarray(x).sum(0) for x in jax.vmap(one)(keys))
+    ratio = cx / ca
+    assert np.all(np.abs(ratio - 1.0) < 0.12)
+    assert abs(float(ratio.mean()) - 1.0) < 0.06
+
+
+def test_qe_cross_n0_monte_carlo():
+    """Cross-N0 sanity by MC (VERDICT r3 item 6): on unlensed noisy
+    correlated T/Q/U sims, Cov(phi_hat_TT, phi_hat_EE) matches
+    n0_cross_flat_sky('TT','EE') -- the first map-level pin of the
+    Hu-Okamoto inter-estimator covariance (predicted correlation
+     0.14-0.22 over these bins, so the cross is a real signal, not a
+    parity zero)."""
+    from test_lensing_noise import CL_EE, CL_TE_POS, TOT_EE, NL_T, NL_P
+    from hmvec_tpu.models.lensing_noise import (n0_flat_sky,
+                                                n0_cross_flat_sky)
+    ctt = CL[:LMAX_T + 1]
+    cee = CL_EE[:LMAX_T + 1]
+    cte = CL_TE_POS[:LMAX_T + 1]
+    tot_t = np.asarray(ctt) + np.asarray(NL_T[:LMAX_T + 1])
+    tot_e = np.asarray(TOT_EE[:LMAX_T + 1])
+    nlt = np.asarray(NL_T[:LMAX_T + 1])
+    nlp = np.asarray(NL_P[:LMAX_T + 1])
+    nodes = np.unique(np.round(np.geomspace(30, 700, 16)))
+    n0_tt_n = np.asarray(n0_flat_sky(nodes, "TT", ctt, tot_t, lmin=30,
+                                     lmax=LMAX_T))
+    n0_ee_n = np.asarray(n0_flat_sky(nodes, "EE", cee, tot_e, lmin=30,
+                                     lmax=LMAX_T))
+    ncr_n = np.asarray(n0_cross_flat_sky(
+        nodes, "TT", "EE", {"TT": ctt, "EE": cee, "TE": cte},
+        {"TT": tot_t, "EE": tot_e, "TE": cte}, lmin=30, lmax=LMAX_T))
+    Li = np.arange(701.0)
+
+    def ip(v):
+        o = np.zeros(701)
+        o[2:] = np.exp(np.interp(np.log(np.maximum(Li[2:], 2.0)),
+                                 np.log(nodes), np.log(v)))
+        return o
+
+    n0_tt_i, n0_ee_i = ip(n0_tt_n), ip(n0_ee_n)
+    Nc, PIXc = 256, 4.0
+    binsc = jnp.asarray(np.linspace(60, 400, 7))
+
+    def one(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        t0, q0, u0 = fs.synth_tqu(k1, Nc, PIXc, ctt, cee, cte)
+        t0 = t0 + fs.synth_gaussian(k2, Nc, PIXc, nlt)
+        qn, un = fs.synth_pol(k3, Nc, PIXc, nlp, cl_bb=nlp)
+        ptt = fs.qe_tt(t0, PIXc, ctt, tot_t, n0_tt_i, lmin=30,
+                       lmax=LMAX_T)
+        pee = fs.qe_ee(q0 + qn, u0 + un, PIXc, cee, tot_e, n0_ee_i,
+                       lmin=30, lmax=LMAX_T)
+        _, cc = fs.fourier_power(ptt, pee, PIXc, binsc)
+        _, ct = fs.fourier_power(ptt, ptt, PIXc, binsc)
+        _, ce = fs.fourier_power(pee, pee, PIXc, binsc)
+        return cc, ct, ce
+
+    keys = jax.random.split(jax.random.PRNGKey(17), 64)
+    cc, ct, ce = (np.asarray(x).mean(0) for x in jax.vmap(one)(keys))
+    mids = 0.5 * (np.asarray(binsc)[1:] + np.asarray(binsc)[:-1])
+    ncr_at = np.interp(mids, nodes, ncr_n)
+    ntt_at = np.interp(mids, nodes, n0_tt_n)
+    nee_at = np.interp(mids, nodes, n0_ee_n)
+    # the prediction is a real, positive correlation over these bins
+    rho = ncr_at / np.sqrt(ntt_at * nee_at)
+    assert np.all(rho > 0.08)
+    # per-bin MC scatter ~ sqrt((1 + rho^-2)/(nmodes nsims)) ~ 20%
+    assert np.all(np.abs(cc / ncr_at - 1.0) < 0.35)
+    assert abs(float((cc / ncr_at).mean()) - 1.0) < 0.10
+    # the auto noises check the normalizations along the way
+    assert np.all(np.abs(ct / ntt_at - 1.0) < 0.25)
+    assert np.all(np.abs(ce / nee_at - 1.0) < 0.25)
+    assert abs(float((ct / ntt_at).mean()) - 1.0) < 0.08
+    assert abs(float((ce / nee_at).mean()) - 1.0) < 0.08
+
+
 def test_qe_eb_response_monte_carlo():
     """<phi_hat_EB phi*>/<phi phi*> = 1 pins the whole EB chain: the
     separable estimator, the spin rotations, and n0_flat_sky's EB
