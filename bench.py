@@ -267,6 +267,23 @@ def main():
                         growth="closed"), ("omch2", "As"), jit=False),
             (theta,), pool),
     }
+    # optimized serving tier (VERDICT r3 item 5): B=128, trimmed sigma^2
+    # grid (1250 Simpson pts -- 1.6e-8 vs the 10000-pt twin), mixed32
+    # sigma^2 MXU matmul (also lifts the B>=128 HBM OOM of the emulated
+    # f64 dot), f32 output cast (halves the device->host fetch).  Gated
+    # against the INDEPENDENT full-resolution f64 twin like batch16.
+    BN = 32 if smoke else 128
+    thetaN = jnp.asarray(np.column_stack([np.linspace(0.11, 0.13, BN),
+                                          np.linspace(2.0e-9, 2.4e-9, BN)]))
+    progs["bN"] = _Program("bN", make_batched_fn(
+        make_pmm_fn(zs, ks, ms, fast=on_tpu, jit=False, growth="closed",
+                    static_params={"sigma2_numks": 1250},
+                    # the low-k u(k) thinning assumes the real 1001-point
+                    # grid's density; on the 64-point smoke grid it would
+                    # alias (7e-5) -- and saves nothing there anyway
+                    uk_subsample=None if smoke else (0.2, 4)),
+        ("omch2", "As"), jit=False, out_dtype=jnp.float32),
+        (thetaN,), pool)
     if on_tpu:
         # the "exact tier" fast path: v3 double-single Pallas NFW kernel,
         # gated at 1e-7 (VERDICT r2 item 3) -- compiled along with the
@@ -365,6 +382,16 @@ def main():
                     _relerr(out_b[0], p_twin_b0),
                     extra={"batch": B, "batch_latency_ms": round(tb * 1e3, 3),
                            "compile_s": round(pb.compile_s, 1)})
+
+    # optimized serving tier at B=128 (f32 output, trimmed sigma^2 grid)
+    pn = progs["bN"]
+    tn = pn.timeit(2 if smoke else 5)
+    out_n = np.asarray(_fetch(pn.compiled(*pn.args)))
+    all_ok &= _emit(f"batch{BN}_pmm_per_cosmology", tn / BN, tw1,
+                    _relerr(out_n[0].astype(np.float64), p_twin_b0),
+                    extra={"batch": BN,
+                           "batch_latency_ms": round(tn * 1e3, 3),
+                           "compile_s": round(pn.compile_s, 1)})
 
     # ---- phase 4: optional lines LAST (a timeout can only cost these)
     if on_tpu:

@@ -255,12 +255,41 @@ def sigma2_k_grid(params):
                         params["sigma2_numks"])
 
 
-def sigma2_R(bg, R_m, zs, spzk, ks_sigma2, taylor_switch=0.01):
+def _mixed32_matmul(a64, b64):
+    """(... , K) @ (K, M) double-single matmul: hi/lo f32 split, 3 true-f32
+    MXU passes, f64 combination.  The TPU's emulated-f64 dot_general runs
+    at ~21 GMAC/s AND (batched) materializes an expanded [8, ..., K, M]
+    f32 temp (9.8 GB for the B=128 sigma^2 contraction -- an HBM OOM);
+    this form stays MXU-shaped at any batch.  Accuracy: products exact to
+    ~2^-48, f32 tree accumulation ~1e-7 relative on positive-term sums
+    (measured; same recipe as ops/sine_transform._sine_dft_mixed)."""
+    ah = a64.astype(jnp.float32)
+    al = (a64 - ah.astype(jnp.float64)).astype(jnp.float32)
+    bh = b64.astype(jnp.float32)
+    bl = (b64 - bh.astype(jnp.float64)).astype(jnp.float32)
+
+    def mm(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    return (mm(ah, bh).astype(jnp.float64)
+            + (mm(ah, bl) + mm(al, bh)).astype(jnp.float64))
+
+
+def sigma2_R(bg, R_m, zs, spzk, ks_sigma2, taylor_switch=0.01,
+             matmul: str = "f64"):
     """sigma^2(z, m) = int dk k^2 P(z,k) W^2(k R_m) / (2 pi^2).
 
     ``R_m``: (nm,) Lagrangian radii; ``spzk``: (nz, nks) linear power on the
     sigma^2 grid; ``ks_sigma2``: static numpy grid.  One matmul:
     (nz, nk) @ (nk, nm).  Reference: cosmology.py:245-269.
+
+    matmul='mixed32': the double-single f32 MXU contraction (the fast /
+    batch-serving tier -- ~1e-7 relative on sigma^2, amplified to at most
+    a few 1e-6 on the mass-function tail, inside the 1e-5 twin gate;
+    keep 'f64' for the exact tiers).
     """
     ks_np = np.asarray(ks_sigma2)
     ks = jnp.asarray(ks_np)
@@ -268,4 +297,6 @@ def sigma2_R(bg, R_m, zs, spzk, ks_sigma2, taylor_switch=0.01):
     kw = jnp.asarray(simpson_weights(ks_np) * ks_np**2 / (2.0 * np.pi**2))
     W2 = Wkr(ks[None, :], jnp.asarray(R_m)[:, None], taylor_switch) ** 2  # (nm, nk)
     lhs = spzk * kw[None, :]                                             # (nz, nk)
+    if matmul == "mixed32":
+        return _mixed32_matmul(lhs, W2.T)
     return lhs @ W2.T

@@ -49,13 +49,22 @@ def _growth_mode_from(overrides, setting: str) -> str:
 
 
 def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
-            fast_nfw: bool = False, growth_mode: str = "closed"):
+            fast_nfw: bool = False, growth_mode: str = "closed",
+            uk_subsample=None):
     """Shared staged computation: background through mass function + NFW.
 
     fast_nfw: replace the f64 Si/Ci analytic NFW stage (the largest single
     on-chip cost of the flagship config) with the f32 Pallas kernel
     (ops/pallas_kernels.nfw_uk_fast, ~1e-6-class absolute on u; needs
-    x64 for its double-single splits -- falls back to f64 otherwise)."""
+    x64 for its double-single splits -- falls back to f64 otherwise).
+
+    uk_subsample: (ksplit, every) -- serving-tier option: evaluate u(k)
+    on a k-grid thinned by ``every`` below ``ksplit`` (where x = k r_s
+    (1+z) << 1 for every halo and u is glass-smooth) and fill in by
+    static-tap Catmull-Rom in ln k.  (0.2, 4) drops 41% of the NFW
+    kernel work at 3.9e-6 on Pmm vs the twin; do NOT thin above
+    ~0.3/Mpc -- u oscillates there for the largest high-z halos and
+    aliases (measured 1e-3-class)."""
     bg = bgmod.background(p)
     zsj = jnp.asarray(zs)
     ksj = jnp.asarray(ks)
@@ -73,7 +82,13 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
                        growth_mode=growth_mode)
     rho_m0 = bgmod.rho_matter_z(bg, 0.0)
     R = mfm.R_from_M(msj, rho_m0, delta=1.0)
-    sigma2 = lpm.sigma2_R(bg, R, zsj, spzk, ks_s2, p["Wkr_taylor_switch"])
+    # fast tier: double-single f32 MXU sigma^2 contraction (the emulated
+    # f64 dot is ~21 GMAC/s and its batched form materializes a huge
+    # expanded temp -- an HBM OOM at B >= 128); 'exact' keeps f64
+    s2_mm = "mixed32" if (fast_nfw is True
+                          and jax.default_backend() != "cpu") else "f64"
+    sigma2 = lpm.sigma2_R(bg, R, zsj, spzk, ks_s2, p["Wkr_taylor_switch"],
+                          matmul=s2_mm)
     nzm, bh = mfm.mass_function_grid(sigma2, zsj, msj, rho_m0,
                                      mass_function, p)
 
@@ -87,23 +102,39 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
     cs = prof.concentration_duffy(msj, zsj, mdef, p, p["H0"] / 100.0)
     rvirs = prof.rvir_grid(msj, zsj, mdef, rhocritz, rhomz, omz)
     rss = rvirs / cs
+
+    kq = ksj
+    if uk_subsample is not None:
+        from .utils.weights import catmull_taps_nonuniform
+        ksplit, every = uk_subsample
+        ks_np = np.asarray(ks)
+        ilow = np.where(ks_np < ksplit)[0]
+        sub = np.unique(np.concatenate([ilow[::every], ilow[-1:],
+                                        np.where(ks_np >= ksplit)[0]]))
+        tap_i, tap_w = catmull_taps_nonuniform(np.log(ks_np[sub]),
+                                               np.log(ks_np))
+        kq = jnp.asarray(ks_np[sub])
     if (fast_nfw and jax.default_backend() != "cpu"
             and jax.config.jax_enable_x64):
         if fast_nfw == "exact":
             from .ops.pallas_kernels import nfw_uk_fast_ds
-            uk = nfw_uk_fast_ds(ksj, zsj, cs, rss)
+            uk = nfw_uk_fast_ds(kq, zsj, cs, rss)
         else:
             from .ops.pallas_kernels import nfw_uk_fast
-            uk = nfw_uk_fast(ksj, zsj, cs, rss)
+            uk = nfw_uk_fast(kq, zsj, cs, rss)
     else:
-        uk = prof.nfw_uk_analytic(ksj, zsj, cs, rss)
+        uk = prof.nfw_uk_analytic(kq, zsj, cs, rss)
+    if uk_subsample is not None:
+        uk = sum(uk[..., jnp.asarray(tap_i[j])] * tap_w[j]
+                 for j in range(4))
     return bg, pzk, nzm, bh, rho_m0, uk
 
 
 def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
                 mdef: str = "vir", accuracy: str = "medium",
                 engine=None, jit: bool = True, fast: bool = False,
-                growth: str = "auto"):
+                growth: str = "auto", static_params: dict | None = None,
+                uk_subsample=None):
     """Build params -> Pmm(1h+2h) on a static (zs, ks, ms) grid.
 
     The returned function takes a dict of cosmological parameter overrides
@@ -114,18 +145,25 @@ def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
     kernel (measured 1.2e-6 relative on Pmm vs the f64 twin, 8x inside
     the 1e-5 parity gate; fast=False is the 2e-8 all-f64 build).
     No-op on CPU or without x64.
+
+    static_params: build-time (non-traced) default overrides -- e.g.
+    {'sigma2_numks': 1250} for the batch-serving tier (the sigma^2
+    integrand is smooth enough that 1250 Simpson points already sit at
+    1.6e-8 vs the 10000-point twin; the k-grid must be static because it
+    shapes the compiled program).
     """
     zs = np.asarray(zs)
     ks = np.asarray(ks)
     ms = np.asarray(ms)
-    defaults = merge_params()
+    defaults = merge_params(static_params)
     engine = engine or lpm.EHEngine()
 
     def pmm(overrides=None):
         p = {**defaults, **(overrides or {})}
         _, pzk, nzm, bh, rho_m0, uk = _stages(
             p, zs, ks, ms, mass_function, mdef, accuracy, engine,
-            fast_nfw=fast, growth_mode=_growth_mode_from(overrides, growth))
+            fast_nfw=fast, growth_mode=_growth_mode_from(overrides, growth),
+            uk_subsample=uk_subsample)
         tr = pwr.MatterTracer(uk=uk)
         return pwr.power_total(tr, tr, nzm, bh, ms, ks, pzk, rho_m0,
                                p["kstar_damping"],
@@ -534,7 +572,7 @@ def make_ksz_survey_fn(num_bins: int,
 
 
 def make_batched_fn(fn, param_names, base: dict | None = None,
-                    jit: bool = True):
+                    jit: bool = True, out_dtype=None):
     """Batch any pipeline function over cosmological parameter SETS.
 
     The serving/inference surface the reference has no analogue for:
@@ -547,6 +585,10 @@ def make_batched_fn(fn, param_names, base: dict | None = None,
     fn: a make_*_fn(..., jit=False) product (overrides dict -> pytree)
     param_names: parameter keys varied across the batch
     base: fixed overrides applied to every batch element
+    out_dtype: optional output cast (e.g. jnp.float32 for serving:
+        halves the device->host transfer -- the dominant per-cosmology
+        cost on a bandwidth-limited link -- at ~6e-8 relative cast
+        noise, far inside the 1e-5 twin gate)
 
     Returns batched(theta) with theta (B, len(param_names)) -- or a dict
     of (B,) leaves -- evaluating all B cosmologies in one program.
@@ -558,7 +600,11 @@ def make_batched_fn(fn, param_names, base: dict | None = None,
         ov = dict(base)
         for i, k in enumerate(names):
             ov[k] = theta_row[i]
-        return fn(ov)
+        out = fn(ov)
+        if out_dtype is not None:
+            out = jax.tree_util.tree_map(
+                lambda x: x.astype(out_dtype), out)
+        return out
 
     def batched(theta):
         if isinstance(theta, dict):

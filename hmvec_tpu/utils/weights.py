@@ -93,3 +93,39 @@ def gauss_legendre(n: int):
     """Gauss-Legendre nodes/weights on [0, 1]."""
     t, w = leggauss_cached(n)
     return (t + 1.0) / 2.0, w / 2.0
+
+
+def catmull_taps_nonuniform(src, dst):
+    """4-tap gather stencil (idx (4, nd), weights (4, nd)) evaluating a
+    nonuniform Catmull-Rom cubic through nodes ``src`` at points ``dst``
+    as  f(dst) = sum_j W[j] * f_src[idx[j]].
+
+    Finite-difference tangents m_i = (p_{i+1} - p_{i-1})/(x_{i+1} -
+    x_{i-1}) (one-sided at the ends -- points in the first/last interval
+    interpolate, never extrapolate from a neighboring interval); exact at
+    nodes.  Host-side statics: both grids must be concrete, so the taps
+    compile to static gathers (used by the batch-serving NFW u(k)
+    low-k subsampling in pipeline._stages).
+    """
+    src = np.asarray(src, dtype=np.float64)
+    dst = np.asarray(dst, dtype=np.float64)
+    n = src.size
+    i = np.clip(np.searchsorted(src, dst, side="right") - 1, 0, n - 2)
+    x0, x1 = src[i], src[i + 1]
+    h = x1 - x0
+    t = (dst - x0) / h
+    h00 = 2 * t**3 - 3 * t**2 + 1
+    h10 = t**3 - 2 * t**2 + t
+    h01 = -2 * t**3 + 3 * t**2
+    h11 = t**3 - t**2
+    im = np.maximum(i - 1, 0)
+    ip = np.minimum(i + 2, n - 1)
+    dA = src[i + 1] - src[im]
+    dB = src[ip] - src[i]
+    W = np.zeros((4, dst.size))
+    idx = np.stack([im, i, i + 1, ip])
+    W[0] += -h10 * h / dA
+    W[2] += h10 * h / dA + h01
+    W[1] += h00 - h11 * h / dB
+    W[3] += h11 * h / dB
+    return idx, W
