@@ -75,18 +75,25 @@ def default_k_grid(kmax: float = 0.65, kmin: float = 5e-5,
 
 def matter_power_z0(params=None, ks=None, kmax: float = 0.65,
                     zre: float = 7.7, n_c_inner: int | None = None,
-                    solver_opts: dict | None = None):
+                    solver_opts: dict | None = None,
+                    massive_nu: bool = False, component: str = "total"):
     """Linear matter power P(k, z=0) in Mpc^3 from the hierarchy solve.
 
     Returns (ks, P0) as numpy arrays.  ``ks`` defaults to
     default_k_grid(kmax); ``n_c_inner`` defaults to the CFL-stable count
     for the grid's kmax (boltzlite.segment_c_inner_steps -- the measured
     stability edge, not the naive estimate).
+
+    massive_nu=True solves with the exact Fermi-Dirac neutrino
+    background + the (delta, v) fluid (boltzlite round-4 extension) and
+    includes its free-streaming suppression natively; ``component``
+    then picks 'total' (cb + nu, CAMB delta_tot convention) or 'cb'
+    (cold matter only, what halo-model sigma/nu wants at mnu > 0).
     """
     p = merge_params(params or {})
     bg = bgmod.background(p)
     rec = recombination(bg, zre=zre)
-    ctx = bz.make_ctx(bg, rec)
+    ctx = bz.make_ctx(bg, rec, massive_nu=massive_nu)
     if ks is None:
         ks = default_k_grid(kmax)
     ks = np.asarray(ks, dtype=np.float64)
@@ -102,7 +109,13 @@ def matter_power_z0(params=None, ks=None, kmax: float = 0.65,
     # delta -> delta + 3 Hp theta/k^2 with theta = -k v in these variables
     dc = s_end[:, bz._I_DC] - 3.0 * (hp0 / ksj) * s_end[:, bz._I_VC]
     db = s_end[:, bz._I_DB] - 3.0 * (hp0 / ksj) * s_end[:, bz._I_VB]
-    dm = (ctx.omc * dc + ctx.omb * db) / (ctx.omc + ctx.omb)
+    num = ctx.omc * dc + ctx.omb * db
+    den = ctx.omc + ctx.omb
+    if massive_nu and component == "total" and float(ctx.omnm0) > 0:
+        dn = s_end[:, bz._I_NM] - 3.0 * (hp0 / ksj) * s_end[:, bz._I_NM + 1]
+        num = num + ctx.omnm0 * dn
+        den = den + ctx.omnm0
+    dm = num / den
     tm = dm / sol.zeta_unit
     p0 = (2.0 * np.pi**2 / ksj**3
           * bg.As * (ksj / bg.pivot_scalar) ** (bg.ns - 1.0) * tm**2)
@@ -157,13 +170,13 @@ def rs_drag_integral(params=None, zre: float = 7.7, rec=None, bg=None):
 _TABLE_CACHE: dict = {}
 
 
-def _shape_key(p, kmax, zre, n_c_inner, ks):
+def _shape_key(p, kmax, zre, n_c_inner, ks, massive_nu="eh99"):
     vals = tuple(float(p[k]) for k in
                  ("omch2", "ombh2", "H0", "omk", "w0", "wa", "mnu",
                   "T_CMB", "Yp", "nnu")
                  if k in p)
     kk = None if ks is None else tuple(np.asarray(ks).tolist())
-    return vals + (float(kmax), float(zre), n_c_inner, kk)
+    return vals + (float(kmax), float(zre), n_c_inner, kk, massive_nu)
 
 
 class BoltzEngine:
@@ -180,18 +193,32 @@ class BoltzEngine:
 
     def __init__(self, params=None, kmax: float = 0.65,
                  k_graft: float = 0.55, k_table_max: float = 2100.0,
-                 zre: float = 7.7, ks=None, n_c_inner: int | None = None):
+                 zre: float = 7.7, ks=None, n_c_inner: int | None = None,
+                 massive_nu: str = "eh99", component: str = "total"):
+        """massive_nu: how mnu > 0 enters the served spectrum --
+        'eh99' (default): massless hierarchy solve + the EH99
+        free-streaming response applied at serve time from the TRACED
+        background (responds to traced mnu, Fisher-safe); 'fluid': the
+        boltzlite massive-nu fluid solves the suppression natively
+        (engine-grade shape, mnu then PINNED at the init value like the
+        other shape parameters; ``component`` picks delta_tot vs
+        delta_cb)."""
+        if massive_nu not in ("eh99", "fluid"):
+            raise ValueError(massive_nu)
         p = merge_params(params or {})
         bg = bgmod.background(p)
-        key = _shape_key(p, kmax, zre, n_c_inner, ks)
+        self._mnu_in_table = (massive_nu == "fluid")
+        key = _shape_key(p, kmax, zre, n_c_inner, ks,
+                         massive_nu + ":" + component)
         if key in _TABLE_CACHE:
             ks_b, p0_b, As0, ns0, pivot0 = _TABLE_CACHE[key]
             # rescale the cached table to THIS cosmology's As/ns (exact)
             p0_b = (p0_b * float(bg.As) / As0
                     * (ks_b / pivot0) ** (float(bg.ns) - ns0))
         else:
-            ks_b, p0_b = matter_power_z0(p, ks=ks, kmax=kmax, zre=zre,
-                                         n_c_inner=n_c_inner)
+            ks_b, p0_b = matter_power_z0(
+                p, ks=ks, kmax=kmax, zre=zre, n_c_inner=n_c_inner,
+                massive_nu=self._mnu_in_table, component=component)
             _TABLE_CACHE[key] = (ks_b, p0_b, float(bg.As), float(bg.ns),
                                  float(bg.pivot_scalar))
 
@@ -246,7 +273,9 @@ class BoltzEngine:
         a = 1.0 / (1.0 + zs)
         dz0 = bgmod.d_growth(bg, a, norm="z0norm", mode=growth_mode)
         pzk = p0[None, :] * amp[None, :] * dz0[:, None] ** 2
-        if _mnu_maybe_active(bg.omnu0):
+        if _mnu_maybe_active(bg.omnu0) and not self._mnu_in_table:
+            # serve-time EH99 free-streaming response (skipped when the
+            # fluid solve already built the suppression into the table)
             dz = bgmod.d_growth(bg, a, norm="anorm", mode=growth_mode)
             pzk = pzk * eh99_neutrino_ratio(bg, ks, dz,
                                             component=component) ** 2

@@ -52,16 +52,94 @@ import numpy as np
 from . import background as bgmod
 from .recomb import RecombTable, recombination
 
-# state layout: [Phi, dc, vc, db, vb, Th0..Th8, ThP0..ThP8, N0..N8]
+# state layout: [Phi, dc, vc, db, vb, Th0..Th8, ThP0..ThP8, N0..N8, dn, vn]
+# (dn, vn) = massive-neutrino FLUID density contrast / velocity (round-4
+# extension; exactly inert when mnu = 0 -- their metric feedback carries
+# a factor rho_nu = 0, so the massless solution is bit-identical)
 _L = 8                       # hierarchy truncation for photons/pol/neutrinos
 _NTH = _L + 1
 _I_PHI, _I_DC, _I_VC, _I_DB, _I_VB = 0, 1, 2, 3, 4
 _I_TH = 5
 _I_THP = _I_TH + _NTH
 _I_N = _I_THP + _NTH
-_NSTATE = _I_N + _NTH
+_I_NM = _I_N + _NTH          # massive-nu fluid: delta, v
+_NSTATE = _I_NM + 2
 
 _C_KMS = 299792.458
+
+# --- massive-neutrino Fermi-Dirac integrals (fixed Gauss-Laguerre) --------
+#
+# rho_nu(a) = (omnu_rel / a^4) I_rho(y)/I_rho(0),  y = y0 a = m a / T_nu0,
+# P_nu likewise with I_P; I_rho(0) = 7 pi^4/120, and the nonrelativistic
+# limit I_rho -> y * 3 zeta(3)/2 ties omnu_rel to the standard
+# omnu0 = mnu/93.14/h^2.  dI_rho/dy = (I_rho - 3 I_P)/y exactly, so
+# d(rho_nu)/dx = -3 (1 + w) rho_nu with w = I_P/I_rho -- no extra tables.
+_FD_Q, _FD_W = np.polynomial.laguerre.laggauss(64)
+_FD_COMMON = _FD_W * _FD_Q**2 / (1.0 + np.exp(-np.minimum(_FD_Q, 500.0)))
+_I_RHO0 = 7.0 * np.pi**4 / 120.0
+_I_NUM = 1.8030853547393952          # int q^2/(e^q+1) = 3 zeta(3)/2
+_KT_NU0_EV = 8.617333262e-5 * 2.7255 * (4.0 / 11.0) ** (1.0 / 3.0)
+
+
+def _fd_rho_p(y):
+    """(I_rho(y), I_P(y)) by 64-node Gauss-Laguerre; exact limits at both
+    ends (y=0 radiation, y>>1 matter) to ~1e-10 relative."""
+    q = jnp.asarray(_FD_Q)
+    c = jnp.asarray(_FD_COMMON)
+    s = jnp.sqrt(q * q + y * y)
+    i_rho = jnp.sum(c * s)
+    i_p = jnp.sum(c * q * q / s) / 3.0
+    return i_rho, i_p
+
+
+def _nu_rho_w(ctx, a):
+    """(rho_nu(a)/rho_crit0, w_nu(a)) of the massive species; (0, 1/3)
+    when the cosmology has no massive neutrinos."""
+    y = ctx.y0_nu * a
+    i_rho, i_p = _fd_rho_p(y)
+    rho = ctx.omnu_rel / a**4 * i_rho / _I_RHO0
+    w = i_p / jnp.maximum(i_rho, 1e-300)
+    return rho, w
+
+
+def _nu_rho_w_cg(ctx, a):
+    """(rho, w, c_g^2): adiabatic sound speed c_g^2 = dP/drho along the
+    expansion, = w - y w'(y) / (3 (1 + w)); exact 1/3 -> 0 limits."""
+    y = ctx.y0_nu * a
+    q = jnp.asarray(_FD_Q)
+    c = jnp.asarray(_FD_COMMON)
+    s = jnp.sqrt(q * q + y * y)
+    i_rho = jnp.sum(c * s)
+    i_p = jnp.sum(c * q * q / s) / 3.0
+    di_rho = jnp.sum(c * y / s)                   # dI_rho/dy = y int q^2/s
+    di_p = -(y / 3.0) * jnp.sum(c * q * q / s**3)
+    rho = ctx.omnu_rel / a**4 * i_rho / _I_RHO0
+    w = i_p / i_rho
+    dw = (di_p * i_rho - i_p * di_rho) / i_rho**2
+    cg2 = w - y * dw / (3.0 * (1.0 + w))
+    return rho, w, cg2
+
+
+def _nu_fluid_derivs(ctx, x, k, s, psi, dphi, ckh):
+    """(d dn/dx, d vn/dx) of the massive-nu fluid (conformal Newtonian,
+    this module's v-conventions: theta = -k v, d/dx = (1/Hp) d/deta;
+    Ma & Bertschinger eq. 30 with delta P/delta rho = c_g^2, sigma = 0):
+
+        dn' = (1+w)(ckh vn - 3 Phi') - 3 (c_g^2 - w) dn
+        vn' = -(1 - 3 c_g^2) vn - ckh [ c_g^2 dn/(1+w) + Psi ]
+
+    Reduces exactly to the CDM equations at (w, c_g^2) = 0 and to a
+    shear-free radiation fluid at 1/3.  The omitted shear means
+    relativistic free-streaming damping is approximated -- fine for the
+    sub-% neutrino fractions this targets (the effect on the TOTAL
+    spectra is second order in f_nu)."""
+    a = jnp.exp(x)
+    _, w, cg2 = _nu_rho_w_cg(ctx, a)
+    dn = s[_I_NM]
+    vn = s[_I_NM + 1]
+    ddn = (1.0 + w) * (ckh * vn - 3.0 * dphi) - 3.0 * (cg2 - w) * dn
+    dvn = -(1.0 - 3.0 * cg2) * vn - ckh * (cg2 * dn / (1.0 + w) + psi)
+    return ddn, dvn
 
 
 class BoltzCtx(NamedTuple):
@@ -70,7 +148,7 @@ class BoltzCtx(NamedTuple):
     bg: bgmod.BackgroundParams
     h0m: jnp.ndarray          # H0/c in 1/Mpc
     omg: jnp.ndarray          # photon density parameter
-    omnu: jnp.ndarray         # massless-neutrino density parameter
+    omnu: jnp.ndarray         # MASSLESS-neutrino density parameter
     omb: jnp.ndarray
     omc: jnp.ndarray
     # recombination tables on the uniform x-grid
@@ -80,33 +158,66 @@ class BoltzCtx(NamedTuple):
     tau_t: jnp.ndarray
     eta_t: jnp.ndarray
     eta0: jnp.ndarray
+    # massive-neutrino fluid (0 / inert when mnu = 0)
+    omnm0: jnp.ndarray        # nonrelativistic Omega_nu today (mnu/93.14/h^2)
+    y0_nu: jnp.ndarray        # m_nu,per-species a / T_nu0 at a = 1
+    omnu_rel: jnp.ndarray     # relativistic-limit amplitude of rho_nu a^4
 
 
-def make_ctx(bg: bgmod.BackgroundParams, rec: RecombTable) -> BoltzCtx:
+def make_ctx(bg: bgmod.BackgroundParams, rec: RecombTable,
+             massive_nu: bool = True) -> BoltzCtx:
+    """massive_nu=False reproduces the round-3 bookkeeping exactly
+    (mnu counted as both massless radiation AND extra matter -- the
+    documented approximation); True moves the massive species onto the
+    exact Fermi-Dirac background + the (dn, vn) fluid.  Identical when
+    mnu = 0 either way."""
     h2 = (bg.H0 / 100.0) ** 2
     omg = 2.47282e-5 / h2
     lntaux = jnp.log(-rec.tau_x)
     dx = rec.xs[1] - rec.xs[0]
     dlntaux = jnp.gradient(lntaux) / dx
+    omnu_all = bg.omr0 - omg              # all-massless-nu radiation
+    omnm0 = bg.omnu0 if massive_nu else jnp.zeros_like(bg.omnu0)
+    has_m = omnm0 > 0.0
+    # per-species mass in eV: mnu = omnu0 * 93.14 * h^2, split over nnu_m
+    m_per = omnm0 * 93.14 * h2 / jnp.maximum(bg.nnu_m, 1.0)
+    y0 = jnp.where(has_m, m_per / _KT_NU0_EV, 1.0)
+    omnu_rel = jnp.where(has_m, omnm0 * _I_RHO0 / (y0 * _I_NUM), 0.0)
+    # the massive species' radiation share leaves the massless pool
+    # (equal Neff shares across the 3 species)
+    f_ml = jnp.where(has_m,
+                     jnp.clip(1.0 - bg.nnu_m / 3.0, 0.0, 1.0), 1.0)
     return BoltzCtx(
         bg=bg, h0m=bg.H0 / _C_KMS,
-        omg=jnp.asarray(omg), omnu=bg.omr0 - omg,
+        omg=jnp.asarray(omg), omnu=omnu_all * f_ml,
         omb=bg.ombh2 / h2, omc=bg.omch2 / h2,
         xs_t=rec.xs, lntaux_t=lntaux, dlntaux_t=dlntaux,
-        tau_t=rec.tau, eta_t=rec.eta, eta0=rec.eta0)
+        tau_t=rec.tau, eta_t=rec.eta, eta0=rec.eta0,
+        omnm0=omnm0, y0_nu=y0, omnu_rel=omnu_rel)
 
 
 # --- background closed forms ---------------------------------------------
 
 def _e2_and_slope(ctx: BoltzCtx, x):
-    """E^2(x) = (H/H0)^2 and d E^2/dx (closed forms, w0/wa-aware)."""
+    """E^2(x) = (H/H0)^2 and d E^2/dx (closed forms, w0/wa-aware).
+
+    Massless radiation = photons + the massless-nu pool (ctx.omnu may
+    exclude massive species); the massive species ride the exact
+    Fermi-Dirac rho_nu(a) with d rho_nu/dx = -3 (1 + w) rho_nu.  When
+    ctx carries no massive fluid (omnu_rel = 0) this reduces exactly to
+    the round-3 form (mnu folded into matter)."""
     bg = ctx.bg
     a = jnp.exp(x)
     de = a ** (-3.0 * (1.0 + bg.w0 + bg.wa)) * jnp.exp(-3.0 * bg.wa * (1.0 - a))
-    omm = bg.omm0 + bg.omnu0
-    e2 = (bg.omr0 / a**4 + omm / a**3 + bg.omk0 / a**2 + bg.oml0 * de)
-    de2 = (-4.0 * bg.omr0 / a**4 - 3.0 * omm / a**3 - 2.0 * bg.omk0 / a**2
-           + bg.oml0 * de * (-3.0 * (1.0 + bg.w0 + bg.wa) + 3.0 * bg.wa * a))
+    has_m = ctx.omnu_rel > 0.0
+    omr = jnp.where(has_m, ctx.omg + ctx.omnu, bg.omr0)
+    omm = jnp.where(has_m, bg.omm0, bg.omm0 + bg.omnu0)
+    rho_nu, w_nu = _nu_rho_w(ctx, a)
+    e2 = (omr / a**4 + omm / a**3 + bg.omk0 / a**2 + bg.oml0 * de
+          + rho_nu)
+    de2 = (-4.0 * omr / a**4 - 3.0 * omm / a**3 - 2.0 * bg.omk0 / a**2
+           + bg.oml0 * de * (-3.0 * (1.0 + bg.w0 + bg.wa) + 3.0 * bg.wa * a)
+           - 3.0 * (1.0 + w_nu) * rho_nu)
     return e2, de2
 
 
@@ -167,10 +278,15 @@ def _common_metric(ctx, x, k, s):
     th2 = s[_I_TH + 2]
     n2 = s[_I_N + 2]
     psi = _psi_of(ctx, x, k, phi, th2, n2)
+    # massive-nu fluid momentum source: (rho+P) v a^2 with the same
+    # normalization as the Om/a matter terms (rho_nu is the full
+    # dimensionless rho_nu(a), so the factor is rho_nu (1+w) a^2 v)
+    rho_nu, w_nu = _nu_rho_w(ctx, a)
     dphi = (psi + 1.5 * (ctx.h0m / hp) ** 2 * (hp / k)
             * (ctx.omc / a * s[_I_VC] + ctx.omb / a * s[_I_VB]
                - 4.0 * ctx.omg / a**2 * s[_I_TH + 1]
-               - 4.0 * ctx.omnu / a**2 * s[_I_N + 1]))
+               - 4.0 * ctx.omnu / a**2 * s[_I_N + 1]
+               + rho_nu * (1.0 + w_nu) * a**2 * s[_I_NM + 1]))
     return psi, dphi, hp, ckh
 
 
@@ -182,11 +298,13 @@ def energy_constraint_residual(ctx, x, k, s, dphi):
     hp = _hp(ctx, x)
     phi = s[_I_PHI]
     psi = _psi_of(ctx, x, k, phi, s[_I_TH + 2], s[_I_N + 2])
+    rho_nu, _ = _nu_rho_w(ctx, a)
     rhs = (psi - (k / hp) ** 2 / 3.0 * phi
            + (ctx.h0m / hp) ** 2 / 2.0
            * (ctx.omc / a * s[_I_DC] + ctx.omb / a * s[_I_DB]
               + 4.0 * ctx.omg / a**2 * s[_I_TH]
-              + 4.0 * ctx.omnu / a**2 * s[_I_N]))
+              + 4.0 * ctx.omnu / a**2 * s[_I_N]
+              + rho_nu * a**2 * s[_I_NM]))
     return dphi - rhs
 
 
@@ -240,9 +358,10 @@ def _rhs_full(ctx: BoltzCtx, k, x, s):
     dn1 = (ckh / 3.0) * (nn[0] + psi) - (2.0 * ckh / 3.0) * nn[2]
     dn_hi = _hierarchy_derivs(ckh, nn, 0.0, 0.0, eta, hp, k, False)
 
+    ddn_m, dvn_m = _nu_fluid_derivs(ctx, x, k, s, psi, dphi, ckh)
     return jnp.stack(
         [dphi, ddc, dvc, ddb, dvb, dth0, dth1, *dth_hi,
-         dthp0, dthp1, *dthp_hi, dn0, dn1, *dn_hi])
+         dthp0, dthp1, *dthp_hi, dn0, dn1, *dn_hi, ddn_m, dvn_m])
 
 
 def _slaved_multipoles(ctx, k, x, th1):
@@ -303,9 +422,10 @@ def _rhs_tc(ctx: BoltzCtx, k, x, s):
 
     zeros = [jnp.zeros(()) for _ in range(_NTH - 2)]   # slaved Theta_2..L
     zerosp = [jnp.zeros(()) for _ in range(_NTH)]      # slaved polarization
+    ddn_m, dvn_m = _nu_fluid_derivs(ctx, x, k, s, psi, dphi, ckh)
     return jnp.stack(
         [dphi, ddc, dvc, ddb, dvb, dth0, dth1, *zeros, *zerosp,
-         dn0, dn1, *dn_hi])
+         dn0, dn1, *dn_hi, ddn_m, dvn_m])
 
 
 def _tc_active(ctx, k, x):
@@ -337,9 +457,17 @@ def _initial_state(ctx: BoltzCtx, k, x0):
     s = s.at[_I_DB].set(dc).at[_I_VB].set(vc)
     s = s.at[_I_TH].set(th0).at[_I_TH + 1].set(th1)
     s = s.at[_I_N].set(th0).at[_I_N + 1].set(th1)
-    # N2 from the anisotropic-stress closure of Psi
-    n2 = -(psi + phi) * (k * a0 / ctx.h0m) ** 2 / (12.0 * ctx.omnu)
+    # N2 from the anisotropic-stress closure of Psi (guard: with every
+    # species massive the massless pool is empty -- psi + phi = 0 there,
+    # but 0/0 must not NaN)
+    n2 = jnp.where(ctx.omnu > 0.0,
+                   -(psi + phi) * (k * a0 / ctx.h0m) ** 2
+                   / (12.0 * jnp.maximum(ctx.omnu, 1e-30)), 0.0)
     s = s.at[_I_N + 2].set(n2)
+    # massive-nu fluid: adiabatic, ultra-relativistic at x0
+    # (delta_i/(1+w_i) equal across species; w ~ 1/3 to ~1e-11 there)
+    _, w0, _ = _nu_rho_w_cg(ctx, a0)
+    s = s.at[_I_NM].set(3.0 * (1.0 + w0) * th0).at[_I_NM + 1].set(vc)
     return _with_slaved(ctx, k, x0, s)
 
 
@@ -769,7 +897,7 @@ def segment_c_inner_steps(kmax, h0_kms, n_c_outer: int = 380,
 def compute_cls(params=None, lmax: int = 1500, *, zre: float = 7.7,
                 l_nodes=None, nk: int | None = None, nkf: int | None = None,
                 kmax: float | None = None, lens_potential: bool = False,
-                lmax_pp: int = 150):
+                lmax_pp: int = 150, massive_nu: bool = True):
     """Engine-free unlensed scalar TT/EE/TE to lmax (muK^2, raw_cl).
 
     The labeled few-percent approximation tier standing in for the
@@ -792,7 +920,7 @@ def compute_cls(params=None, lmax: int = 1500, *, zre: float = 7.7,
     p = merge_params(params or {})
     bg = bgmod.background(p)
     rec = recombination(bg, zre=zre)
-    ctx = make_ctx(bg, rec)
+    ctx = make_ctx(bg, rec, massive_nu=massive_nu)
     eta0 = float(rec.eta0)
 
     kmin = 2e-5
