@@ -498,8 +498,17 @@ def _plin_j(engine, accuracy, growth_mode="closed", component="total"):
         if len(_PLIN_JIT_CACHE) > 16:
             _PLIN_JIT_CACHE.pop(next(iter(_PLIN_JIT_CACHE)))
         kw = {} if component == "total" else {"component": component}
-        fn = jax.jit(lambda bg, zs, ks: engine.plin(
-            bg, zs, ks, accuracy=accuracy, growth_mode=growth_mode, **kw))
+
+        # NAMED (not a lambda): the persistent-cache segfault guard in
+        # tests/conftest.py blacklists cache entries by module name, and
+        # this is one of the executables whose native serialization
+        # crashes (three independent cold-suite deaths at the same
+        # frame); "jit__lambda_" was invisible to the name filter
+        def hmcode_plin_eval(bg, zs, ks):
+            return engine.plin(bg, zs, ks, accuracy=accuracy,
+                               growth_mode=growth_mode, **kw)
+
+        fn = jax.jit(hmcode_plin_eval)
         _PLIN_JIT_CACHE[key] = fn
     return fn
 

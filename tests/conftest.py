@@ -20,7 +20,9 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite's wall time is dominated by
 # recompiling the big fused pipelines per module; cache hits cut repeat
 # runs from ~28 min to minutes (VERDICT r1 weak #7).
-jax.config.update("jax_compilation_cache_dir", "/tmp/hmvec_tpu_jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("HMVEC_CACHE_DIR",
+                                 "/tmp/hmvec_tpu_jax_cache_cpu"))
 # threshold overridable for cache experiments (suite time is a flat
 # compile tail -- DEVNOTES; 0.0 caches even sub-second programs)
 jax.config.update("jax_persistent_cache_min_compile_time_secs",

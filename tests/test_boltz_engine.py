@@ -173,8 +173,8 @@ def test_mnu_response(engine):
 
 def test_solver_convergence_n_c_inner():
     """Halving the segment-C step changes P(k,0) by < 0.3% -- the solve
-    is converged at the CFL-margin default (tiny 12-mode grid)."""
-    ks = np.geomspace(5e-4, 0.2, 12)
+    is converged at the CFL-margin default (tiny 8-mode grid)."""
+    ks = np.geomspace(5e-4, 0.12, 8)
     _, p_a = matter_power_z0(ks=ks)
     _, p_b = matter_power_z0(ks=ks, n_c_inner=22)
     assert np.all(np.abs(p_b / p_a - 1.0) < 3e-3)

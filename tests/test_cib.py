@@ -11,7 +11,7 @@ from hmvec_tpu.models import cib as cibm
 from hmvec_tpu.twin import cib as tcib
 
 ZS = np.array([0.5, 1.5, 3.0])
-KS = np.geomspace(1e-3, 20.0, 48)
+KS = np.geomspace(1e-3, 20.0, 64)   # canonical nk=64 (shape-shared traces)
 MS = np.geomspace(1e10, 1e15, 80)
 P = dict(cibm.default_cib_params)
 

@@ -15,8 +15,8 @@ from hmvec_tpu.models import profiles as prof
 from hmvec_tpu.twin.halo_ext import TwinHaloModelExt
 
 ZS = np.linspace(0.2, 1.5, 3)
-KS = np.geomspace(1e-3, 50, 48)
-MS = np.geomspace(1e11, 1e16, 24)
+KS = np.geomspace(1e-3, 50.0, 64)   # canonical nk=64
+MS = np.geomspace(1e11, 1e16, 80)   # canonical nm=80
 SIG = 0.35
 
 

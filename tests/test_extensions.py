@@ -22,7 +22,7 @@ from hmvec_tpu.twin import profile_fft as tpf
 
 ZS = np.array([0.0, 0.6, 1.2])
 KS = np.geomspace(1e-3, 20.0, 64)
-MS = np.geomspace(1e10, 1e16, 96)
+MS = np.geomspace(1e10, 1e16, 80)   # canonical nm=80
 DELTAC = 1.686
 
 

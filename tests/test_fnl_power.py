@@ -11,9 +11,9 @@ import pytest
 from hmvec_tpu.models.halo_model import HaloModel
 from hmvec_tpu.twin.halo_ext import TwinHaloModelExt
 
-ZS = np.linspace(0.3, 1.2, 4)
-MS = np.geomspace(2e10, 1e16, 60)
-KS = np.geomspace(1e-4, 2.0, 48)
+ZS = np.linspace(0.3, 1.2, 3)       # canonical nz=3
+MS = np.geomspace(2e10, 1e16, 80)   # canonical nm=80
+KS = np.geomspace(1e-4, 2.0, 64)
 NGAL = np.full(ZS.size, 2e-4)
 FNL = 50.0
 

@@ -9,8 +9,8 @@ from hmvec_tpu.models.halo_model import HaloModel
 from hmvec_tpu.models import hi as him
 
 ZS = np.array([0.5, 1.0, 1.5])
-MS = np.geomspace(1e9, 1e16, 120)
-KS = np.geomspace(1e-3, 20, 96)
+MS = np.geomspace(1e9, 1e16, 80)    # canonical nm=80 (shape-shared traces)
+KS = np.geomspace(1e-3, 20.0, 64)
 
 
 @pytest.fixture(scope="module")

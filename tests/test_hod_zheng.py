@@ -13,9 +13,9 @@ from hmvec_tpu.models.halo_model import HaloModel
 from hmvec_tpu.models.hod import (avg_nc_zheng05, avg_ns_zheng05,
                                   build_hod_zheng05)
 
-ZS = np.array([0.3, 0.8])
-KS = np.geomspace(1e-3, 10.0, 48)
-MS = np.geomspace(1e10, 1e16, 64)
+ZS = np.array([0.3, 0.55, 0.8])     # canonical nz=3
+KS = np.geomspace(1e-3, 10.0, 64)
+MS = np.geomspace(1e10, 1e16, 80)
 
 
 @pytest.fixture(scope="module")
@@ -33,10 +33,10 @@ def test_occupation_shapes_and_oracle(hc):
     Ns_ref = Nc_ref * np.where(MS > M0, np.maximum(MS - M0, 0.0) / M1,
                                0.0) ** 1.0
     np.testing.assert_allclose(np.asarray(hod["Nc"]),
-                               np.broadcast_to(Nc_ref, (2, MS.size)),
+                               np.broadcast_to(Nc_ref, (ZS.size, MS.size)),
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(hod["Ns"]),
-                               np.broadcast_to(Ns_ref, (2, MS.size)),
+                               np.broadcast_to(Ns_ref, (ZS.size, MS.size)),
                                rtol=1e-12)
     nzm, bh = np.asarray(hc.nzm), np.asarray(hc.bh)
     ngal_ref = np.trapezoid(nzm * (Nc_ref + Ns_ref), MS, axis=-1)
@@ -60,7 +60,7 @@ def test_ngal_solve_and_grad(hc):
     """ngal -> log10 Mmin bisection hits the target (HALO-mass bracket,
     not the Leauthaud stellar one), and the occupation responds to
     Mmin with a finite negative gradient."""
-    target = np.array([1e-4, 1e-4])
+    target = np.full(ZS.size, 1e-4)
     hod = hc.add_hod("zg_solved", family="zheng05", ngal=target)
     np.testing.assert_allclose(np.asarray(hod["ngal"]), target, rtol=1e-8)
     mmin = np.asarray(hod["log10mthresh"]).ravel()

@@ -59,7 +59,7 @@ def test_pk_suppression_envelope():
     envelope -- ~ -8 f_nu at high k, small at low k, monotone decrease
     through the transition; delta_cb less suppressed than delta_tot."""
     from hmvec_tpu.models.boltz_engine import matter_power_z0
-    ks = np.geomspace(5e-4, 0.4, 16)
+    ks = np.geomspace(5e-4, 0.4, 12)
     _, p0 = matter_power_z0({}, ks=ks)
     _, pm = matter_power_z0({"mnu": 0.3}, ks=ks, massive_nu=True,
                             component="total")
@@ -91,7 +91,7 @@ def test_clpp_response_sign_and_shape():
     pinning that the new background really replaced the old one."""
     from hmvec_tpu.models.boltzlite import compute_cls
     kw = dict(lmax=300, nk=32, nkf=600, lens_potential=True, lmax_pp=120)
-    _, pp0 = compute_cls(merge_params({}), **kw)
+    cl0, pp0 = compute_cls(merge_params({}), **kw)
     clm, ppm = compute_cls(merge_params({"mnu": 0.3}), **kw)
     r = ppm[2:121] / pp0[2:121]
     Ls = np.arange(2, 121)
@@ -100,8 +100,8 @@ def test_clpp_response_sign_and_shape():
     assert hi < 0.995          # suppressed at high L (measured ~0.975)
     assert lo > hi             # monotone envelope: low L less suppressed
     assert abs(lo - 1.0) < 0.03
-    # old-bookkeeping TT response is larger (double-counted background)
-    cl0 = compute_cls(merge_params({}), lmax=300, nk=32, nkf=600)
+    # old-bookkeeping TT response is larger (double-counted background);
+    # cl0/clm reused from the solves above -- only ONE extra solve here
     clm_old = compute_cls(merge_params({"mnu": 0.3}), lmax=300, nk=32,
                           nkf=600, massive_nu=False)
     l = np.arange(40, 301)
