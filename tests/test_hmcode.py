@@ -1,407 +1,46 @@
-"""HMcode-2016 ('mead') nonlinear power tests.
+"""Process-isolated runner for the HMcode test battery.
 
-Round 3: the jax implementation is pinned against an INDEPENDENT
-explicit-loop numpy oracle (twin/hmcode.py -- scipy sici/brentq/quad, its
-own window functions and ST normalization, written against the Mead
-2015/2016 papers separately from models/hmcode.py), plus two externally
-sourced quantitative anchors (the Mead-2015 Table-2 eta0 value, and the
-A=2.32 feedback suppression vs the reference's digitized OWLS curve).
-The golden is a regression guard regenerated after the round-3
-concentration fixes (ADVICE.md: Bullock z_f condition, sigma(0.01 M)
-interpolation).
+Four independent full-suite runs this round died with NATIVE crashes
+(SIGSEGV/abort) in the XLA:CPU compile/serialize path, every one of
+them on an hmcode-family program (cache read, cache write x2, and one
+fresh `backend_compile_and_load`) -- while the same tests pass solo,
+reliably, every time (also observed in round 3: "the crash needs
+full-suite accumulated state", DEVNOTES).  The programs are fine; the
+native pipeline is flaky under a process that has already compiled
+~10^3 programs.  Running the battery in a FRESH subprocess removes the
+accumulated-state trigger and, if the native flake still fires, turns
+a suite-killing segfault into a retryable test failure.
+
+The real tests live in tests/_hmcode_suite.py (not collected directly);
+HMVEC_HMCODE_INPROC=1 runs them in-process for debugging.
 """
 
 import os
-
-import numpy as np
-import jax
-import jax.numpy as jnp
-import pytest
-
-from hmvec_tpu.models.cosmology import Cosmology
-from hmvec_tpu.models.hmcode import hmcode_power, hmcode_nonlinear, _KG
-from hmvec_tpu.models.halofit import halofit_power
-
-
-@pytest.fixture(scope="module")
-def cosmo():
-    return Cosmology()
-
-
-@pytest.fixture(scope="module")
-def pnl_grid(cosmo):
-    zs = np.array([0.0, 0.5, 1.0, 2.0])
-    ks = np.geomspace(1e-4, 50.0, 160)
-    return zs, ks, np.asarray(hmcode_power(cosmo, zs, ks))
-
-
-def test_twin_oracle_parity(cosmo, pnl_grid):
-    """jax vs the independent numpy twin (LCDM, two feedback amplitudes).
-
-    The twin shares only the quadrature spec (grids, trapz-in-ln); its
-    windows, Si/Ci, root finds, and ST normalization are independent
-    implementations -- a transcription slip on either side breaks this."""
-    from hmvec_tpu.twin.core import TwinCosmology
-    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
-
-    zs = np.array([0.0, 1.0, 2.0])
-    ks = np.geomspace(1e-3, 30.0, 64)
-    tc = TwinCosmology()
-    for A in (3.13, 2.3):
-        pj = np.asarray(hmcode_power(cosmo, zs, ks, A_bary=A))
-        pt = hmcode_nonlinear_twin(tc, zs, ks, A_bary=A)
-        assert np.max(np.abs(pj / pt - 1.0)) < 1e-8, A
-
-
-def test_twin_oracle_parity_wcdm():
-    """w0/wa: jax ODE growth (background.growth_table) vs the twin's
-    scipy solve_ivp growth -- fully independent formulations."""
-    from hmvec_tpu.twin.core import TwinCosmology
-    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
-
-    zs = np.array([0.0, 1.0])
-    ks = np.geomspace(1e-3, 30.0, 48)
-    pars = {"w0": -0.9, "wa": 0.3}
-    pj = np.asarray(hmcode_power(Cosmology(pars), zs, ks))
-    pt = hmcode_nonlinear_twin(TwinCosmology(pars), zs, ks)
-    assert np.max(np.abs(pj / pt - 1.0)) < 1e-6
-
-
-def test_mead2015_version(cosmo):
-    """'mead2015' (reference bin/test_halofit.py:5): twin parity of the
-    2015 parameter set, and its published differences from 2016 -- same
-    linear limit, O(10%)-level shifts at nonlinear k, and the softer
-    exponential one-halo damping leaving MORE relative power just below
-    k* than the 2016 k^4/(1+k^4) cutoff."""
-    from hmvec_tpu.twin.core import TwinCosmology
-    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
-
-    zs = np.array([0.0, 1.0])
-    ks = np.geomspace(1e-3, 30.0, 64)
-    pj = np.asarray(hmcode_power(cosmo, zs, ks, version="2015"))
-    pt = hmcode_nonlinear_twin(TwinCosmology(), zs, ks, version="2015")
-    assert np.max(np.abs(pj / pt - 1.0)) < 1e-8
-
-    p16 = np.asarray(hmcode_power(cosmo, zs, ks))
-    r = pj / p16
-    assert np.max(np.abs(r[:, ks < 3e-3] - 1.0)) < 1e-2   # linear limit
-    assert 0.7 < r.min() and r.max() < 1.4                # bounded revision
-    assert np.max(np.abs(r - 1.0)) > 0.02                 # but a real one
-
-
-def test_mead2020_version(cosmo):
-    """HMcode-2020 ('mead2020', CAMB >= 1.3's default): twin parity of
-    the full pipeline incl. the dewiggled, PT-damped two-halo term, plus
-    structural properties -- exact linear limit, bounded revision vs
-    2016, and the dewiggle actually suppressing the BAO oscillation of
-    the two-halo residual."""
-    from hmvec_tpu.twin.core import TwinCosmology
-    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
-
-    zs = np.array([0.0, 1.0])
-    ks = np.geomspace(1e-3, 30.0, 64)
-    pj = np.asarray(hmcode_power(cosmo, zs, ks, version="2020"))
-    pt = hmcode_nonlinear_twin(TwinCosmology(), zs, ks, version="2020")
-    assert np.max(np.abs(pj / pt - 1.0)) < 1e-8
-
-    p16 = np.asarray(hmcode_power(cosmo, zs, ks))
-    r = pj / p16
-    assert np.max(np.abs(r[:, ks < 3e-3] - 1.0)) < 1e-2   # linear limit
-    assert 0.8 < r.min() and r.max() < 1.25               # bounded revision
-    assert np.max(np.abs(r - 1.0)) > 0.02                 # but a real one
-
-    # w0/wa exercises 2020's Dolag exponent (power 1, vs 1.5 in 2016)
-    # through both independent implementations
-    pars = {"w0": -0.9, "wa": 0.2}
-    pjw = np.asarray(hmcode_power(Cosmology(pars), zs, ks,
-                                  version="2020"))
-    ptw = hmcode_nonlinear_twin(TwinCosmology(pars), zs, ks,
-                                version="2020")
-    assert np.max(np.abs(pjw / ptw - 1.0)) < 1e-6
-
-
-def test_mead2020_feedback_version(cosmo):
-    """'mead2020_feedback' (CAMB >= 1.3's T_AGN variant): twin parity of
-    the full response pipeline, plus the BAHAMAS-shaped physical
-    properties of the suppression S = P_feedback / P_2020 -- unity at
-    linear scales, a 5-20% trough around k ~ 5 h/Mpc whose depth grows
-    monotonically with T_AGN, a partial high-k recovery from the
-    central star component, and weaker suppression at z = 1 than z = 0.
-    Envelopes bracket the published BAHAMAS response depths
-    (van Daalen et al; Mead et al 2021 fig. 19)."""
-    from hmvec_tpu.twin.core import TwinCosmology
-    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
-
-    zs = np.array([0.0, 1.0])
-    ks = np.geomspace(1e-3, 30.0, 48)
-    pj = np.asarray(hmcode_power(cosmo, zs, ks, version="2020_feedback",
-                                 logT_AGN=7.8))
-    pt = hmcode_nonlinear_twin(TwinCosmology(), zs, ks,
-                               version="2020_feedback", logT_AGN=7.8)
-    assert np.max(np.abs(pj / pt - 1.0)) < 1e-8
-
-    h = cosmo.p["H0"] / 100.0
-    kh = ks / h
-    # properties asserted inside the BAHAMAS-calibrated range k/h <~ 20
-    # (beyond it the central-star delta function dominates the response
-    # and S grows without bound -- a known limitation of the model)
-    cal = kh <= 20.0
-    p20 = np.asarray(hmcode_power(cosmo, zs, ks, version="2020"))
-    mins = {}
-    for lt in (7.6, 7.8, 8.0):
-        pf = np.asarray(hmcode_power(cosmo, zs, ks,
-                                     version="2020_feedback", logT_AGN=lt))
-        S = pf / p20
-        assert np.max(np.abs(S[:, ks < 3e-3] - 1.0)) < 1e-3  # linear limit
-        # bounded below; above, the star upturn may cross unity toward
-        # k/h ~ 20 (physical: stellar contraction beats gas expulsion
-        # at small scales, earlier for weaker heating)
-        assert S[:, cal].min() > 0.70 and S[0, cal].max() < 1.2
-        assert S[1, cal].min() > S[0, cal].min()  # weaker at z = 1
-        # star component: partial recovery past the trough at z=0
-        assert S[0, cal][-1] > S[0, cal].min() + 0.01
-        mins[lt] = S[0, cal].min()
-    assert mins[8.0] < mins[7.8] < mins[7.6]  # deeper with hotter AGN
-    # BAHAMAS-scale envelopes at the fiducial heating temperature
-    S78 = (np.asarray(hmcode_power(cosmo, zs, ks,
-                                   version="2020_feedback", logT_AGN=7.8))
-           / p20)[0]
-    s_at = lambda x: S78[np.argmin(np.abs(kh - x))]
-    assert 0.93 < s_at(1.0) < 0.99
-    assert 0.80 < mins[7.8] < 0.94
-    assert 2.0 < kh[np.argmin(S78)] < 12.0    # trough position
-
-
-def test_mead2020_feedback_dispatch_and_grad(cosmo):
-    """Class-API dispatch ('mead2020_feedback', params['hmcode_logT_AGN']
-    override) and a finite, negative d ln P / d logT_AGN at the trough
-    (hotter AGN -> deeper suppression), jit+grad through the response."""
-    zs = np.array([0.0])
-    ks = np.array([3.0])                     # ~4.4 h/Mpc, in the trough
-    p_fid = np.asarray(cosmo.P_mm_nonlinear(
-        ks, zs, halofit_version="mead2020_feedback"))
-    c_hot = Cosmology({"hmcode_logT_AGN": 8.0})
-    c_hot.engine = cosmo.engine
-    p_hot = np.asarray(c_hot.P_mm_nonlinear(
-        ks, zs, halofit_version="mead2020_feedback"))
-    assert p_hot[0, 0] < p_fid[0, 0]         # params override engages
-
-    g = jax.grad(lambda lt: jnp.log(hmcode_power(
-        cosmo, zs, ks, version="2020_feedback", logT_AGN=lt))[0, 0])(7.8)
-    assert np.isfinite(g) and g < 0.0
-
-
-def test_mead2020_dewiggle_suppresses_bao(cosmo):
-    """The 2020 two-halo term must carry DAMPED BAO wiggles: the
-    oscillatory residual of P_2h-dominated scales against a smooth
-    reference is smaller for mead2020 than for mead2016 (which keeps
-    the full linear wiggles)."""
-    zs = np.array([0.0])
-    ks = np.geomspace(0.05, 0.35, 220)                    # BAO range
-    p20 = np.asarray(hmcode_power(cosmo, zs, ks, version="2020"))[0]
-    p16 = np.asarray(hmcode_power(cosmo, zs, ks))[0]
-    pnw = np.asarray(cosmo.P_lin_approx(ks, zs, type="eisenhu"))[0]
-
-    def wiggle_power(p):
-        r = np.log(p / pnw)
-        # remove the broadband with a quadratic fit in lnk, keep the
-        # oscillation
-        x = np.log(ks)
-        resid = r - np.polyval(np.polyfit(x, r, 2), x)
-        return np.sqrt(np.mean(resid**2))
-
-    assert wiggle_power(p20) < 0.75 * wiggle_power(p16)
-
-
-def test_hmcode_massive_nu():
-    """Massive neutrinos through HMcode: twin parity (exercises the
-    Mead-2016 f_nu collapse-threshold terms and the EH99-suppressed
-    linear power on both sides) plus the nonlinear suppression shape."""
-    from hmvec_tpu.twin.core import TwinCosmology
-    from hmvec_tpu.twin.hmcode import hmcode_nonlinear_twin
-
-    zs = np.array([0.0])
-    ks = np.geomspace(1e-3, 20.0, 48)
-    pars = {"mnu": 0.2}
-    pj = np.asarray(hmcode_power(Cosmology(pars), zs, ks))
-    pt = hmcode_nonlinear_twin(TwinCosmology(pars), zs, ks)
-    assert np.max(np.abs(pj / pt - 1.0)) < 1e-8
-    p0 = np.asarray(hmcode_power(Cosmology({"mnu": 0.0}), zs, ks))
-    r = (pj / p0)[0]
-    i1 = np.argmin(np.abs(ks - 1.0))
-    assert r[i1] < 0.85          # strong nonlinear suppression at k ~ 1
-    assert r[0] > 0.95           # large scales barely affected
-
-
-def test_dolag_ratio():
-    """Dolag-2004 DE concentration factor: exactly 1 at LCDM; for
-    w0/wa it matches the twin's independent solve_ivp integration at
-    1e-6 and moves in the direction of the growth histories (w0 > -1:
-    DE dominates earlier, growth saturates earlier, ratio < 1)."""
-    from hmvec_tpu.models import background as bgmod
-    from hmvec_tpu.params import merge_params
-    from hmvec_tpu.twin.core import TwinCosmology
-
-    bg = bgmod.background(merge_params({}))
-    assert float(bgmod.growth_dolag_ratio(bg)) == 1.0
-
-    pars = {"w0": -0.9, "wa": 0.2}
-    bgw = bgmod.background(merge_params(pars))
-    rj = float(bgmod.growth_dolag_ratio(bgw))
-    rt = TwinCosmology(pars).dolag_ratio()
-    assert abs(rj / rt - 1.0) < 1e-6, (rj, rt)
-    assert rj < 1.0
-    # phantom side: also a sub-unity, percent-level shift (the a > 1
-    # tail, where w < -1 DE grows and freezes the mode faster than
-    # Lambda, dominates the ratio) -- pinned against the same twin
-    pars2 = {"w0": -1.1, "wa": 0.0}
-    r2 = float(bgmod.growth_dolag_ratio(bgmod.background(
-        merge_params(pars2))))
-    rt2 = TwinCosmology(pars2).dolag_ratio()
-    assert abs(r2 / rt2 - 1.0) < 1e-6
-    assert 0.98 < r2 < 1.0
-
-
-def test_eta0_matches_mead2015_table2():
-    """External anchor: the 2016 tied relation eta0 = 0.98 - 0.12 A at the
-    DMONLY amplitude A = 3.13 must recover the independently fitted
-    Mead-2015 Table-2 value eta0 = 0.603."""
-    assert abs((0.98 - 0.12 * 3.13) - 0.603) < 2e-3
-
-
-def test_linear_limit_and_boost(cosmo, pnl_grid):
-    zs, ks, pnl = pnl_grid
-    plin = np.asarray(cosmo.P_lin(ks, zs))
-    r = pnl / plin
-    # two-halo damping vanishes at k -> 0 (tanh^2 ~ k^2)
-    assert np.allclose(r[:, 0], 1.0, atol=1e-4)
-    # strong nonlinear boost at small scales, decreasing with z
-    i1 = np.argmin(np.abs(ks - 1.0))
-    assert np.all(r[:, i1] > 2.0)
-    assert np.all(np.diff(r[:, i1]) < 0)
-    assert np.all(np.isfinite(pnl)) and np.all(pnl > 0)
-
-
-def test_agreement_with_takahashi(cosmo, pnl_grid):
-    """HMcode and Takahashi-2012 are independent fits to simulations; with
-    the round-3 concentration fixes they track each other to ~14% for
-    k < 1 and ~13%/+12% out to k ~ 10 at z <= 2 (measured 0.860-0.996 and
-    0.871-1.112; envelope padded)."""
-    zs, ks, pnl = pnl_grid
-    ptak = np.asarray(halofit_power(cosmo, zs, ks))
-    sel_mid = (ks > 0.03) & (ks < 1.0)
-    r = (pnl / ptak)[:, sel_mid]
-    assert r.max() < 1.10 and r.min() > 0.82, (r.min(), r.max())
-    sel_hi = (ks >= 1.0) & (ks < 10.0)
-    rh = (pnl / ptak)[:, sel_hi]
-    assert rh.max() < 1.30 and rh.min() > 0.80, (rh.min(), rh.max())
-
-
-def test_feedback_knob_direction(cosmo):
-    """Lower concentration amplitude A = stronger baryonic feedback =
-    suppressed small-scale power (Mead 2015 fig. 6), no effect at k->0."""
-    zs = np.array([0.0, 1.0])
-    ks = np.geomspace(1e-3, 10.0, 64)
-    p_dm = np.asarray(hmcode_power(cosmo, zs, ks, A_bary=3.13))
-    p_fb = np.asarray(hmcode_power(cosmo, zs, ks, A_bary=2.0))
-    i5 = np.argmin(np.abs(ks - 5.0))
-    supp = (p_fb / p_dm)[:, i5]
-    assert np.all(supp < 0.9) and np.all(supp > 0.4)
-    assert np.allclose((p_fb / p_dm)[:, 0], 1.0, atol=1e-3)
-
-
-SCHNEIDER_DIR = "/root/reference/hmvec/data"
-
-
-@pytest.mark.skipif(not os.path.isdir(SCHNEIDER_DIR),
-                    reason="reference data not available")
-def test_feedback_suppression_vs_owls_curve(cosmo):
-    """External anchor: A = 2.32 is Mead-2015's fitted amplitude for the
-    OWLS AGN simulation; the suppression P(A=2.32)/P(A=3.13) must track
-    the digitized OWLS suppression curve shipped by the reference
-    (hmvec/data/schneider_owls.csv, used visually in bin/tests.py:539-547).
-    Measured max |diff| 0.042 over 0.3 < k/h < 8 (the 2016 one-parameter
-    eta0-tied model, not the 2015 two-parameter fit); envelope 0.08."""
-    from hmvec_tpu.params import merge_params
-
-    h = merge_params()["H0"] / 100.0
-    kh, owls = np.loadtxt(os.path.join(SCHNEIDER_DIR, "schneider_owls.csv"),
-                          delimiter=",", unpack=True)
-    ks = np.geomspace(0.05, 30.0, 120)
-    z0 = np.array([0.0])
-    p_dm = np.asarray(hmcode_power(cosmo, z0, ks, A_bary=3.13))[0]
-    p_fb = np.asarray(hmcode_power(cosmo, z0, ks, A_bary=2.32))[0]
-    r_at = np.interp(kh * h, ks, p_fb / p_dm)
-    sel = (kh > 0.3) & (kh < 8.0)
-    assert np.max(np.abs(r_at - owls)[sel]) < 0.08
-
-
-def test_amplitude_scaling(cosmo):
-    """Higher As -> more nonlinear structure: the boost at k=1 grows."""
-    zs = np.array([0.0])
-    ks = np.geomspace(1e-3, 2.0, 48)
-    chi = Cosmology({"As": 2.6e-9})
-    p_lo = np.asarray(hmcode_power(cosmo, zs, ks))
-    p_hi = np.asarray(hmcode_power(chi, zs, ks))
-    l_lo = np.asarray(cosmo.P_lin(ks, zs))
-    l_hi = np.asarray(chi.P_lin(ks, zs))
-    i1 = np.argmin(np.abs(ks - 1.0))
-    assert (p_hi / l_hi)[0, i1] > (p_lo / l_lo)[0, i1]
-
-
-def test_halomodel_mead_dispatch():
-    """HaloModel(halofit='mead') populates nPzk through HMcode (the
-    reference's default CAMB halofit_version, cosmology.py:174)."""
-    from hmvec_tpu.models.halo_model import HaloModel
-    zs = np.array([0.0, 1.0])
-    ks = np.geomspace(1e-3, 10.0, 40)
-    ms = np.geomspace(1e11, 1e15, 24)
-    hm = HaloModel(zs, ks, ms=ms, halofit="mead")
-    c = Cosmology()
-    expect = np.asarray(hmcode_power(c, zs, ks))
-    assert np.allclose(np.asarray(hm.nPzk), expect, rtol=1e-10)
-
-
-def test_jit_and_grad(cosmo):
-    zs = jnp.asarray([0.0, 1.0])
-    ks = jnp.geomspace(1e-2, 5.0, 24)
-    bg = cosmo.bg
-    kgj = jnp.asarray(_KG)
-
-    def total(a_bary):
-        plin_g = cosmo.engine.plin(bg, zs, kgj)
-        plin = cosmo.engine.plin(bg, zs, ks)
-        # num_iter=20: enough for finite-grad structure, 3x less to compile
-        pnl = hmcode_nonlinear(bg, zs, ks, plin_g, plin,
-                               jnp.asarray(0.8484), A_bary=a_bary,
-                               num_iter=12)
-        return jnp.sum(jnp.log(pnl))
-
-    f = jax.jit(total)
-    v = f(jnp.asarray(3.13))
-    g = jax.grad(total)(jnp.asarray(3.13))
-    assert np.isfinite(float(v)) and np.isfinite(float(g))
-    assert float(g) > 0.0  # more concentration -> more power
-
-
-def test_golden_regression(cosmo):
-    """Regression guard (regenerated after the round-3 ADVICE fixes; the
-    twin-parity tests above are the correctness oracle)."""
-    ks = np.array([0.1, 1.0, 10.0])
-    pnl = np.asarray(hmcode_power(cosmo, np.array([0.0]), ks))[0]
-    golden = np.array([1.227075709722e+04, 9.098805675666e+02,
-                       1.577775171753e+01])
-    assert np.allclose(pnl, golden, rtol=5e-4), pnl
-
-
-def test_hmcode_wcdm_direction():
-    """w0/wa cosmologies use the integrated growing mode (round 3; the
-    former LCDM-closed-form deviation is gone -- see
-    test_twin_oracle_parity_wcdm for the accuracy pin)."""
-    ks = np.geomspace(1e-3, 10.0, 48)
-    zs = np.array([0.0, 1.0])
-    p_l = np.asarray(hmcode_power(Cosmology(), zs, ks))
-    p_w = np.asarray(hmcode_power(Cosmology({"w0": -0.9, "wa": 0.2}),
-                                  zs, ks))
-    assert np.all(np.isfinite(p_w)) and np.all(p_w > 0)
-    assert np.max(np.abs(p_w / p_l - 1.0)) > 1e-3  # w actually matters
+import pathlib
+import subprocess
+import sys
+
+HERE = pathlib.Path(__file__).resolve().parent
+
+if os.environ.get("HMVEC_HMCODE_INPROC"):
+    from _hmcode_suite import *          # noqa: F401,F403 (direct debug)
+else:
+    def test_hmcode_suite_subprocess():
+        cmd = [sys.executable, "-m", "pytest",
+               str(HERE / "_hmcode_suite.py"), "-q", "--no-header", "-p",
+               "no:cacheprovider"]
+        env = dict(os.environ)
+        env["PYTHONPATH"] = str(HERE.parent) + os.pathsep + \
+            env.get("PYTHONPATH", "")
+        for attempt in (1, 2):
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=1800, cwd=str(HERE.parent), env=env)
+            if r.returncode == 0:
+                return
+            crashed = r.returncode < 0 or "Fatal Python error" in (
+                r.stdout + r.stderr)
+            if not crashed:
+                break  # real test failure: don't retry, report it
+        raise AssertionError(
+            f"hmcode battery rc={r.returncode} (attempt {attempt})\n"
+            + r.stdout[-4000:] + r.stderr[-2000:])
