@@ -1,0 +1,10 @@
+"""Process-isolated runner (see tests/_isolation.py: the XLA:CPU native
+pipeline crashes nondeterministically on large scan/hierarchy programs
+under accumulated full-suite state; the battery itself lives in
+tests/_boltzlite_suite.py and runs unchanged in a fresh subprocess)."""
+
+from _isolation import run_isolated
+
+
+def test_boltzlite_suite_subprocess():
+    run_isolated("_boltzlite_suite.py")

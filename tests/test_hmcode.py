@@ -1,46 +1,9 @@
-"""Process-isolated runner for the HMcode test battery.
+"""Process-isolated runner for the HMcode battery (tests/_hmcode_suite.py;
+see tests/_isolation.py for why: four of five full-suite native crashes
+this round were on hmcode-family programs)."""
 
-Four independent full-suite runs this round died with NATIVE crashes
-(SIGSEGV/abort) in the XLA:CPU compile/serialize path, every one of
-them on an hmcode-family program (cache read, cache write x2, and one
-fresh `backend_compile_and_load`) -- while the same tests pass solo,
-reliably, every time (also observed in round 3: "the crash needs
-full-suite accumulated state", DEVNOTES).  The programs are fine; the
-native pipeline is flaky under a process that has already compiled
-~10^3 programs.  Running the battery in a FRESH subprocess removes the
-accumulated-state trigger and, if the native flake still fires, turns
-a suite-killing segfault into a retryable test failure.
+from _isolation import run_isolated
 
-The real tests live in tests/_hmcode_suite.py (not collected directly);
-HMVEC_HMCODE_INPROC=1 runs them in-process for debugging.
-"""
 
-import os
-import pathlib
-import subprocess
-import sys
-
-HERE = pathlib.Path(__file__).resolve().parent
-
-if os.environ.get("HMVEC_HMCODE_INPROC"):
-    from _hmcode_suite import *          # noqa: F401,F403 (direct debug)
-else:
-    def test_hmcode_suite_subprocess():
-        cmd = [sys.executable, "-m", "pytest",
-               str(HERE / "_hmcode_suite.py"), "-q", "--no-header", "-p",
-               "no:cacheprovider"]
-        env = dict(os.environ)
-        env["PYTHONPATH"] = str(HERE.parent) + os.pathsep + \
-            env.get("PYTHONPATH", "")
-        for attempt in (1, 2):
-            r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=1800, cwd=str(HERE.parent), env=env)
-            if r.returncode == 0:
-                return
-            crashed = r.returncode < 0 or "Fatal Python error" in (
-                r.stdout + r.stderr)
-            if not crashed:
-                break  # real test failure: don't retry, report it
-        raise AssertionError(
-            f"hmcode battery rc={r.returncode} (attempt {attempt})\n"
-            + r.stdout[-4000:] + r.stderr[-2000:])
+def test_hmcode_suite_subprocess():
+    run_isolated("_hmcode_suite.py")
