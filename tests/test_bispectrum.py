@@ -14,9 +14,9 @@ from hmvec_tpu.models import bispectrum as bsp
 from hmvec_tpu.twin.halo_ext import TwinHaloModelExt
 from hmvec_tpu.twin import bispectrum as tbsp
 
-ZS = np.array([0.3, 1.0])
-MS = np.geomspace(2e10, 1e16, 60)
-KS = np.geomspace(1e-3, 30, 96)
+ZS = np.array([0.3, 0.65, 1.0])    # canonical nz=3 (shape-shared traces)
+MS = np.geomspace(2e10, 1e16, 80)  # canonical nm=80
+KS = np.geomspace(1e-3, 30.0, 64)  # canonical nk=64
 
 
 @pytest.fixture(scope="module")
@@ -121,7 +121,8 @@ def test_per_z_leg_broadcast(pair):
     """(nz, nq) per-z legs (the Limber shape) agree with evaluating each
     z row's configuration explicitly via a shared-leg call."""
     hm, tw = pair
-    kq = np.array([[0.05, 0.5], [0.08, 0.9]])   # (nz=2, nq=2)
+    kq = np.array([[0.05, 0.5], [0.06, 0.7],
+                   [0.08, 0.9]])               # (nz=3, nq=2)
     bj = np.asarray(hm.get_bispectrum(kq, kq, kq, "nfw", terms="total"))
     bt = tbsp.bispectrum(tw, "nfw", "nfw", "nfw", kq, kq, kq, "total")
     np.testing.assert_allclose(bj, bt, rtol=1e-8)
@@ -272,12 +273,12 @@ def test_cib_cross_frequency_population_convention(pair):
     # (evaluated AT grid points of KS so the per-piece lerps are exact --
     # lerp(u1)*lerp(u2) != lerp(u1*u2) between nodes)
     from hmvec_tpu.models import bispectrum as bspm
-    knodes = np.asarray(KS)[[40, 70]]
+    knodes = np.asarray(KS)[[30, 55]]
     kq2 = bspm._normalize_kq(knodes, ZS.size)
     legA = bspm._Leg(t217, MS, float(hm.rho_matter_z(0.0)), KS, kq2)
     legB = bspm._Leg(t545, MS, float(hm.rho_matter_z(0.0)), KS, kq2)
     got_pair = np.asarray(bspm._pair_term(legA, legB))
     sq = np.asarray(pwr.one_halo_square_term(
         t217, t545, MS, float(hm.rho_matter_z(0.0))))
-    want_pair = sq[:, :, [40, 70]]
+    want_pair = sq[:, :, [30, 55]]
     np.testing.assert_allclose(got_pair, want_pair, rtol=1e-7)
