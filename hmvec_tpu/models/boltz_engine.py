@@ -171,9 +171,11 @@ _TABLE_CACHE: dict = {}
 
 
 def _shape_key(p, kmax, zre, n_c_inner, ks, massive_nu="eh99"):
+    # pivot_scalar is in the key because the cache-hit rescale
+    # (ks/pivot0)**(ns-ns0) is exact only for a shared pivot (ADVICE r4)
     vals = tuple(float(p[k]) for k in
                  ("omch2", "ombh2", "H0", "omk", "w0", "wa", "mnu",
-                  "T_CMB", "Yp", "nnu")
+                  "T_CMB", "Yp", "nnu", "pivot_scalar")
                  if k in p)
     kk = None if ks is None else tuple(np.asarray(ks).tolist())
     return vals + (float(kmax), float(zre), n_c_inner, kk, massive_nu)

@@ -129,10 +129,16 @@ def _nu_fluid_derivs(ctx, x, k, s, psi, dphi, ckh):
         vn' = -(1 - 3 c_g^2) vn - ckh [ c_g^2 dn/(1+w) + Psi ]
 
     Reduces exactly to the CDM equations at (w, c_g^2) = 0 and to a
-    shear-free radiation fluid at 1/3.  The omitted shear means
-    relativistic free-streaming damping is approximated -- fine for the
-    sub-% neutrino fractions this targets (the effect on the TOTAL
-    spectra is second order in f_nu)."""
+    shear-free radiation fluid at 1/3.  Accuracy of the omitted shear
+    (ADVICE r4): at LATE times, once the species is nonrelativistic,
+    the error on the total spectra is second order in f_nu; at EARLY
+    times, with the default num_massive_neutrinos=3 the ENTIRE neutrino
+    radiation share rides this shear-free fluid, so the radiation-era
+    metric loses neutrino anisotropic stress -- a first-order-in-R_nu
+    (~few %) effect there.  Set num_massive_neutrinos < 3 to keep the
+    remainder in the exact massless hierarchy.  Note also that
+    ctx.eta_t / recombination still integrate the mnu-as-matter
+    e_of_z background, not the FD-consistent H(x) used here."""
     a = jnp.exp(x)
     _, w, cg2 = _nu_rho_w_cg(ctx, a)
     dn = s[_I_NM]

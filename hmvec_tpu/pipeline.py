@@ -85,8 +85,12 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
     # fast tier: double-single f32 MXU sigma^2 contraction (the emulated
     # f64 dot is ~21 GMAC/s and its batched form materializes a huge
     # expanded temp -- an HBM OOM at B >= 128); 'exact' keeps f64
+    # without x64 the double-single split in _mixed32_matmul degrades
+    # silently to plain f32 (lo parts vanish), so gate on it like the
+    # fast-NFW condition below (ADVICE r4)
     s2_mm = "mixed32" if (fast_nfw is True
-                          and jax.default_backend() != "cpu") else "f64"
+                          and jax.default_backend() != "cpu"
+                          and jax.config.jax_enable_x64) else "f64"
     sigma2 = lpm.sigma2_R(bg, R, zsj, spzk, ks_s2, p["Wkr_taylor_switch"],
                           matmul=s2_mm)
     nzm, bh = mfm.mass_function_grid(sigma2, zsj, msj, rho_m0,

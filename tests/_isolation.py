@@ -32,11 +32,22 @@ def run_isolated(suite_file: str, timeout: int = 2400):
         r = subprocess.run(cmd, capture_output=True, text=True,
                           timeout=timeout, cwd=str(HERE.parent), env=env)
         if r.returncode == 0:
+            if attempt == 2:
+                # the retry passed, but a native crash DID happen --
+                # keep it visible in the suite log so a recurring
+                # repo-caused crash can't hide behind the environment
+                # flake (ADVICE r4)
+                print(f"\n[isolation] {suite_file}: native crash on "
+                      f"attempt 1 (rc={first.returncode}); retry passed."
+                      f" First-attempt tail:\n"
+                      + (first.stdout + first.stderr)[-2000:],
+                      file=sys.stderr)
             return
         crashed = r.returncode < 0 or "Fatal Python error" in (
             r.stdout + r.stderr)
         if not crashed:
             break  # real test failure: report, don't retry
+        first = r
     raise AssertionError(
         f"{suite_file} rc={r.returncode} (attempt {attempt})\n"
         + r.stdout[-4000:] + r.stderr[-2000:])

@@ -16,10 +16,20 @@ def test_install_and_example_subprocess(tmp_path):
     # a REAL (non-editable) offline install: builds the wheel with the
     # baked-in setuptools and copies the package into the target dir
     # (--target layouts work from a plain PYTHONPATH entry; editable
-    # .pth finders would need site-dir processing)
+    # .pth finders would need site-dir processing).  The build runs
+    # from a TEMP COPY of the source tree, never the repo itself, so
+    # no build/ or *.egg-info artifacts are deposited in (let alone
+    # committed to) the working tree (ADVICE r4, medium).
+    import shutil
+    src = tmp_path / "src"
+    src.mkdir()
+    for name in ("pyproject.toml", "README.md"):
+        shutil.copy2(REPO / name, src / name)
+    shutil.copytree(REPO / "hmvec_tpu", src / "hmvec_tpu",
+                    ignore=shutil.ignore_patterns("__pycache__"))
     target = tmp_path / "site"
     r = subprocess.run(
-        [sys.executable, "-m", "pip", "install", str(REPO),
+        [sys.executable, "-m", "pip", "install", str(src),
          "--no-deps", "--no-build-isolation", "--quiet",
          "--target", str(target)],
         capture_output=True, text=True, timeout=300)
