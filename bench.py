@@ -49,6 +49,9 @@ import numpy as np
 GATE = 1e-5
 _SMOKE = False   # set by --smoke: tags every JSON line so downstream
                  # collectors cannot mistake tiny-grid numbers for real ones
+_RPC_FLOOR_MS = None   # measured null-program fetch latency (see
+                       # _measure_rpc_floor); stamped on every line
+_CACHE_REGIME = None   # 'warm'|'cold' remote-compile-cache indicator
 
 
 def _fetch(out):
@@ -87,8 +90,34 @@ def _emit(metric, tpu_s, twin_s, err, extra=None, gate=GATE):
         line["smoke"] = True
     if extra:
         line.update(extra)
+    # self-attribution (VERDICT r4 item 4): the measured RPC floor under
+    # every latency (a ~23-29 ms tunnel constant on this host -- an
+    # apparent-latency swing that is NOT chip regression), and whether
+    # the remote compile cache was warm or cold for this run
+    if _RPC_FLOOR_MS is not None:
+        line["rpc_floor_ms"] = _RPC_FLOOR_MS
+        line["net_of_rpc_ms"] = round(line["value"] - _RPC_FLOOR_MS, 3)
+    if _CACHE_REGIME is not None:
+        line["compile_cache"] = _CACHE_REGIME
     print(json.dumps(line), flush=True)
     return ok
+
+
+def _measure_rpc_floor(iters: int = 10):
+    """Null-program RPC floor: median end-to-end fetch of a 1-element
+    jitted program.  Everything a real config's latency contains except
+    the actual pipeline compute -- the tunnel's round-trip constant."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.asarray(1.0)
+    _fetch(f(x))                      # compile + first-execute
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _fetch(f(x))
+        ts.append(time.perf_counter() - t0)
+    return round(float(np.median(ts)) * 1e3, 2)
 
 
 def _probe_backend(timeout_s: float = 240.0):
@@ -334,8 +363,22 @@ def main():
     # when timed during the other compiles)
     for p in progs.values():
         p.wait()
-    print(f"# all compiles done at t+{time.perf_counter() - t_round0:.1f}s: "
+    compile_wall_s = time.perf_counter() - t_round0
+    print(f"# all compiles done at t+{compile_wall_s:.1f}s: "
           + " ".join(f"{k}={p.compile_s:.0f}s" for k, p in progs.items()),
+          file=sys.stderr)
+
+    # self-attribution (VERDICT r4 item 4): measure the tunnel RPC floor
+    # AFTER the compile barrier (quiet link, same conditions as the
+    # timed configs), and classify the remote compile cache: measured
+    # cold runs compiled for 700-860 s of wall on this service vs
+    # 130-250 s warm (ROUND4_NOTES section 1 / BENCH_r04), so the
+    # midpoint 420 s separates the regimes cleanly
+    global _RPC_FLOOR_MS, _CACHE_REGIME
+    _RPC_FLOOR_MS = _measure_rpc_floor()
+    _CACHE_REGIME = "cold" if compile_wall_s > 420.0 else "warm"
+    print(f"# rpc_floor={_RPC_FLOOR_MS:.1f}ms "
+          f"compile_cache={_CACHE_REGIME} (wall {compile_wall_s:.0f}s)",
           file=sys.stderr)
     all_ok = True
 

@@ -3,7 +3,15 @@ note asks for (hmvec.py:50-64) but does by finite-difference re-runs.
 
 One jacfwd through the fused pipeline gives dC_kk/dtheta for all parameters
 simultaneously; the Fisher matrix follows from a Knox covariance.
+
+Run with ``--engine boltz`` for the ENGINE-GRADE mode: the linear tier is
+the boltzlite hierarchy solve with shape_response, so the omch2/H0 columns
+of the Jacobian carry the solved transfer-function response (cached +-h
+re-solves differenced inside the trace) instead of the EH98 shape
+derivative -- autodiff Fisher at Boltzmann-solver fidelity.
 """
+
+import sys
 
 import numpy as np
 import jax.numpy as jnp
@@ -18,7 +26,19 @@ def main():
     ks = np.geomspace(1e-4, 50, 300)
     ells = np.geomspace(30, 2000, 25)
 
-    fn = hm.make_lensing_cls_fn(zs, ks, ms, ells, jit=False)
+    engine = None
+    if "--engine" in sys.argv and \
+            sys.argv[sys.argv.index("--engine") + 1] == "boltz":
+        from hmvec_tpu.models.boltz_engine import BoltzEngine, default_k_grid
+        # reduced solver grid keeps the 1 + 6 cached host solves ~minutes
+        engine = BoltzEngine(kmax=0.3, k_graft=0.26,
+                             ks=default_k_grid(kmax=0.3, dk_bao=0.0075,
+                                               nk_log=12),
+                             shape_response=True)
+        print("engine-grade mode: boltz + shape_response "
+              "(omch2/H0 Jacobian columns from cached re-solves)")
+
+    fn = hm.make_lensing_cls_fn(zs, ks, ms, ells, jit=False, engine=engine)
     names = ("omch2", "As", "H0")
     fid = {"omch2": 0.1198, "As": 2.2e-9, "H0": 67.3}
 

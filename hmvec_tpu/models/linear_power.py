@@ -51,7 +51,8 @@ def _mnu_maybe_active(omnu0) -> bool:
 
 
 def plin_approx(bg, zs, ks, kind: str = "eisenhu_osc",
-                growth_mode: str = "closed", component: str = "total"):
+                growth_mode: str = "closed", component: str = "total",
+                fast_f32: bool = False):
     """Fully analytic linear P(k,z) in Mpc^3 (reference: cosmology.py:391-402).
 
     P = [8 pi^2 As c^4 / (25 (omm H0^2)^2)] (k/kp)^(ns-1) k D(z)^2 T(k)^2
@@ -67,19 +68,34 @@ def plin_approx(bg, zs, ks, kind: str = "eisenhu_osc",
     """
     zs = jnp.atleast_1d(jnp.asarray(zs))
     ks = jnp.asarray(ks)
-    tk = transfer_eh98(bg, ks, kind)[None, :]
+    # serving-tier fast path (fast_f32): the per-k transcendental chain
+    # (EH98 transfer + tilt powers + EH99 ratio) runs in f32 -- native
+    # VPU speed instead of TPU-emulated f64 -- while the z-factors
+    # (growth) and the final assembly stay f64.  ~1e-6-class on P;
+    # gated against the f64 twin in tests/test_fast_sampling.py.
+    cd = jnp.float32 if fast_f32 else None
+    ksc = ks.astype(cd) if cd is not None else ks
+    tk = transfer_eh98(bg, ks, kind, compute_dtype=cd)[None, :]
     a = 1.0 / (1.0 + zs)
     dz = bgmod.d_growth(bg, a, norm="anorm", mode=growth_mode)[:, None]
     # omm*H0^2 including massive neutrinos (ref cosmology.py:399)
     omh2 = (bg.omch2 + bg.ombh2) * 100.0**2 + bg.omnu0 * bg.H0**2
-    kfacts = (ks / bg.pivot_scalar) ** (bg.ns - 1.0) * ks
+    kfacts = (ksc / (bg.pivot_scalar.astype(cd) if cd else bg.pivot_scalar)
+              ) ** ((bg.ns.astype(cd) if cd else bg.ns) - 1.0) * ksc
     # host-folded constant first, then traced factors: keeps device
     # intermediates mid-range (TPU double-single f64, see background.py)
     pref = bg.As * (8.0 * np.pi**2 * CSPEED_KMS**4 / 25.0) / omh2**2
     p = pref * kfacts[None, :] * dz**2 * tk**2
     if _mnu_maybe_active(bg.omnu0):
-        p = p * eh99_neutrino_ratio(bg, ks, dz[:, 0],
-                                    component=component) ** 2
+        if cd is not None:
+            bgc = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v).astype(cd), bg)
+            ratio = eh99_neutrino_ratio(bgc, ksc, dz[:, 0].astype(cd),
+                                        component=component)
+        else:
+            ratio = eh99_neutrino_ratio(bg, ks, dz[:, 0],
+                                        component=component)
+        p = p * ratio ** 2
     return p
 
 
@@ -89,21 +105,25 @@ class EHEngine:
     accuracy='low' mode, cosmology.py:98-99)."""
 
     name = "eh"
+    supports_fast_f32 = True   # pipeline serving tier may request the
+    #                            f32 per-k transcendental chain
 
     def plin(self, bg, zs, ks, accuracy: str = "medium",
-             growth_mode: str = "closed", component: str = "total"):
+             growth_mode: str = "closed", component: str = "total",
+             fast_f32: bool = False):
         p = plin_approx(bg, zs, ks, growth_mode=growth_mode,
-                        component=component)
+                        component=component, fast_f32=fast_f32)
         if accuracy != "low":
             p = bg.as8**2 * p  # as8 knob applies on engine-normalized tiers
         return p
 
     def pzk_grid(self, bg, zs, ks, nonlinear: bool = False,
-                 growth_mode: str = "closed"):
+                 growth_mode: str = "closed", fast_f32: bool = False):
         if nonlinear:
             raise NotImplementedError(
                 "EHEngine has no nonlinear power; use halofit module or a table")
-        return bg.as8**2 * plin_approx(bg, zs, ks, growth_mode=growth_mode)
+        return bg.as8**2 * plin_approx(bg, zs, ks, growth_mode=growth_mode,
+                                       fast_f32=fast_f32)
 
 
 def _hermite_weights(t):

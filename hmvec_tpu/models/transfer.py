@@ -11,6 +11,7 @@ fits require.  Fully differentiable in the cosmological parameters.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # The reference hardcodes T_CMB = 2.726 K inside Tk (cosmology.py:410) even
@@ -49,8 +50,23 @@ def _eh_scales(bg):
                 z_d=z_d, r_d=r_d, r_eq=r_eq, sh_d=sh_d, k_silk=k_silk)
 
 
-def transfer_eh98(bg, ks, kind: str = "eisenhu_osc"):
-    """T(k) for ks in Mpc^-1 (matches reference Tk semantics)."""
+def transfer_eh98(bg, ks, kind: str = "eisenhu_osc", compute_dtype=None):
+    """T(k) for ks in Mpc^-1 (matches reference Tk semantics).
+
+    compute_dtype=jnp.float32: serving-tier fast path -- the whole chain
+    (scalar fits and the ~20-transcendental per-element body) runs in
+    f32 instead of TPU-emulated f64 (~10-20x cheaper transcendentals).
+    Accuracy ~1e-6-class on T: the only large-argument hazard is the
+    BAO sinc phase (k s_d up to ~1.6e4 rad, f32 ulp there ~1e-3 rad),
+    but where the phase is large the baryon term is Silk-damped to
+    irrelevance -- in the BAO band (phase <~ 60 rad) the f32 phase
+    error is ~5e-6 rad and enters T at <1e-8 (measured in
+    tests/test_fast_sampling.py)."""
+    if compute_dtype is not None:
+        bgc = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(v).astype(compute_dtype), bg)
+        return transfer_eh98(bgc, jnp.asarray(ks).astype(compute_dtype),
+                             kind)
     s = _eh_scales(bg)
     k = jnp.asarray(ks) / s["h"]  # fits want h/Mpc
     fb = bg.ombh2 / (bg.omch2 + bg.ombh2)

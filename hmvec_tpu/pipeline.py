@@ -70,16 +70,27 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
     ksj = jnp.asarray(ks)
     msj = jnp.asarray(ms)
 
+    # serving/fast tier: run the per-k EH transcendental chain in f32
+    # (native VPU) instead of emulated f64 -- the measured C1 cost at
+    # B=128 was 4.7 ms/cosmology dominated by this chain (DEVNOTES
+    # round-4 attribution); ~1e-6-class on P, twin-gated
+    f32_eh = (fast_nfw is True and jax.default_backend() != "cpu"
+              and jax.config.jax_enable_x64
+              and getattr(engine, "supports_fast_f32", False))
+
     # C1: linear power on the target grid
     if accuracy == "low":
-        pzk = lpm.plin_approx(bg, zsj, ksj, growth_mode=growth_mode)
+        pzk = lpm.plin_approx(bg, zsj, ksj, growth_mode=growth_mode,
+                              fast_f32=f32_eh)
     else:
-        pzk = engine.pzk_grid(bg, zsj, ksj, growth_mode=growth_mode)
+        pzk = engine.pzk_grid(bg, zsj, ksj, growth_mode=growth_mode,
+                              **({"fast_f32": True} if f32_eh else {}))
 
     # C2: sigma^2 -> mass function
     ks_s2 = lpm.sigma2_k_grid(p)
     spzk = engine.plin(bg, zsj, ks_s2, accuracy=accuracy,
-                       growth_mode=growth_mode)
+                       growth_mode=growth_mode,
+                       **({"fast_f32": True} if f32_eh else {}))
     rho_m0 = bgmod.rho_matter_z(bg, 0.0)
     R = mfm.R_from_M(msj, rho_m0, delta=1.0)
     # fast tier: double-single f32 MXU sigma^2 contraction (the emulated

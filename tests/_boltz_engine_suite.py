@@ -112,7 +112,9 @@ def test_graft_continuity(engine):
 
 def test_amplitude_tilt_growth_factorization(engine):
     """As/ns rescale EXACTLY (analytic response to the traced background)
-    and the z-dependence is the growth factor squared."""
+    and -- in the separable serving mode -- the z-dependence is the
+    growth factor squared (the round-4 pin, now on z_resolved=False;
+    the shared table is a cache hit, no second solve)."""
     p1 = merge_params()
     p2 = merge_params({"As": 2.6e-9, "ns": 0.93})
     bg1 = bgmod.background(p1)
@@ -124,11 +126,97 @@ def test_amplitude_tilt_growth_factorization(engine):
         * (p1["pivot_scalar"]) ** (p1["ns"] - 0.93)
     np.testing.assert_allclose(a2 / a1, expect, rtol=1e-12)
     zs = jnp.asarray([0.0, 1.0, 3.0])
-    pz = np.asarray(engine.plin(bg1, zs, ks))
     d = np.asarray(bgmod.d_growth(bg1, 1.0 / (1.0 + np.asarray(zs)),
                                   norm="z0norm"))
+    eng_sep = BoltzEngine(kmax=KMAX, k_graft=KGRAFT,
+                          ks=default_k_grid(kmax=KMAX, dk_bao=0.005,
+                                            nk_log=16),
+                          z_resolved=False)
+    pz = np.asarray(eng_sep.plin(bg1, zs, ks))
     np.testing.assert_allclose(
         pz / pz[0], np.broadcast_to((d**2)[:, None], pz.shape), rtol=1e-9)
+    # the default z-resolved serving departs from separability by the
+    # solved residual: nonzero but small at z <= 3
+    pzr = np.asarray(engine.plin(bg1, zs, ks))
+    dev = np.abs(pzr / pzr[0] / (d**2)[:, None] - 1.0)
+    assert dev[0].max() < 1e-12            # z = 0 identical
+    assert 1e-5 < dev[1:].max() < 5e-3
+
+
+def test_z_resolved_residual(engine, bg):
+    """The engine-grade 2-D serving (VERDICT r4 item 2): P(k,z) read off
+    the solved trajectory deviates from separable D^2(z) scaling with
+    the radiation-era signature -- suppressed at low k, enhanced at
+    high k, growing with z -- and serving AT a stored slice reproduces
+    the solved ratio exactly."""
+    kd = jnp.asarray(engine.ks_t[engine.ks_t <= KGRAFT][2:])
+    zs = jnp.asarray([0.0, 2.0, 8.0])
+    pz = np.asarray(engine.plin(bg, zs, kd))
+    d = np.asarray(bgmod.d_growth(bg, 1.0 / (1.0 + np.asarray(zs)),
+                                  norm="z0norm"))
+    r = np.sqrt(pz / pz[0]) / d[:, None]
+    # z = 0: exactly 1 by construction
+    np.testing.assert_allclose(r[0], 1.0, atol=1e-12)
+    # z = 8: low-k suppressed, high-k enhanced, ~few-1e-3 k-spread
+    assert r[2][0] < 0.9985
+    assert r[2][-1] > 1.0003
+    assert 1.5e-3 < (r[2].max() - r[2].min()) < 2e-2
+    # the spread GROWS with z
+    assert (r[2].max() - r[2].min()) > 2.0 * (r[1].max() - r[1].min())
+    # slice-exactness: kd sits on solver nodes and z=2 is a stored
+    # slice, so the served ratio IS the solved ratio (no interp error)
+    iz = engine.z_slices.index(2.0)
+    node = np.isin(np.round(np.log(np.asarray(kd)), 12),
+                   np.round(engine._lnk_b, 12))
+    lnr_srv = np.log(r[1])[node]
+    lnr_tab = engine._resid("closed")[iz][
+        np.isin(np.round(engine._lnk_b, 12),
+                np.round(np.log(np.asarray(kd)), 12))]
+    np.testing.assert_allclose(lnr_srv, lnr_tab, atol=1e-9)
+    # beyond the last stored slice the residual is held (finite, no
+    # extrapolation blow-up)
+    p25 = np.asarray(engine.plin(bg, jnp.asarray([25.0]), kd))
+    assert np.all(np.isfinite(p25)) and np.all(p25 > 0)
+
+
+def test_shape_response_jacfwd():
+    """Engine-grade Fisher in the shape parameters (VERDICT r4 item 3):
+    jacfwd of ln P through engine='boltz' with shape_response matches
+    central finite differences of FULL re-solves taken at a DIFFERENT
+    step, to <= 1% of the derivative scale.  Tiny 19-mode grid to keep
+    the 5 solves cheap."""
+    kmx, kgr = 0.12, 0.10
+    ks_s = default_k_grid(kmax=kmx, k_bao_lo=0.02, dk_bao=0.01, nk_log=8)
+    eng = BoltzEngine(kmax=kmx, k_graft=kgr, ks=ks_s,
+                      shape_response=("omch2",))
+    kd = jnp.geomspace(2e-3, 0.5, 12)
+    p0f = merge_params()
+
+    def f(omch2):
+        bgt = bgmod.background(merge_params({"omch2": omch2}))
+        return jnp.log(eng.plin(bgt, jnp.asarray([0.0]), kd)[0])
+
+    jac = np.asarray(jax.jacfwd(f)(jnp.asarray(p0f["omch2"])))
+    # independent central difference of full re-solves, h' != ctor h
+    from hmvec_tpu.models.boltz_engine import (_solved_slices,
+                                               _graft_eh_tail)
+    h2 = 0.0012
+    tabs = []
+    for sgn in (+1.0, -1.0):
+        pp = dict(p0f)
+        pp["omch2"] = p0f["omch2"] + sgn * h2
+        ks2, psl2, _, _, _ = _solved_slices(
+            pp, kmx, 7.7, ks_s, None, "eh99", "total", eng.z_slices)
+        bg2 = bgmod.background(merge_params(pp))
+        kf2, pf2, _ = _graft_eh_tail(bg2, ks2, psl2[0], kgr, 2100.0)
+        tabs.append(np.interp(np.log(np.asarray(kd)), np.log(kf2),
+                              np.log(pf2)))
+    fd = (tabs[0] - tabs[1]) / (2.0 * h2)
+    scale = np.abs(fd).max()
+    assert np.abs(jac - fd).max() / scale < 0.01
+    # and the derivative is the real thing, not noise: d lnP/d omch2
+    # swings tens per unit omch2 across this k range
+    assert scale > 5.0
 
 
 def test_engine_switch_and_class_api(engine):
@@ -173,8 +261,11 @@ def test_mnu_response(engine):
 
 def test_solver_convergence_n_c_inner():
     """Halving the segment-C step changes P(k,0) by < 0.3% -- the solve
-    is converged at the CFL-margin default (tiny 8-mode grid)."""
-    ks = np.geomspace(5e-4, 0.12, 8)
+    is converged at the CFL-margin default.  The grid is the SAME
+    12-mode geomspace the mnu-fluid battery solves, so in the merged
+    isolation process the base solve shares that compile (suite-time
+    lever, VERDICT r4 item 1)."""
+    ks = np.geomspace(5e-4, 0.4, 12)
     _, p_a = matter_power_z0(ks=ks)
-    _, p_b = matter_power_z0(ks=ks, n_c_inner=22)
+    _, p_b = matter_power_z0(ks=ks, n_c_inner=26)
     assert np.all(np.abs(p_b / p_a - 1.0) < 3e-3)

@@ -19,12 +19,17 @@ import sys
 HERE = pathlib.Path(__file__).resolve().parent
 
 
-def run_isolated(suite_file: str, timeout: int = 2400):
-    """Run tests/<suite_file> via pytest in a fresh subprocess; retry
+def run_isolated(suite_file, timeout: int = 2400):
+    """Run tests/<suite_file> (a name or a list of names -- several
+    suites sharing one subprocess amortizes their compiles, the
+    round-5 suite-time lever) via pytest in a fresh subprocess; retry
     once if the failure looks like a native crash rather than a real
     test failure."""
-    cmd = [sys.executable, "-m", "pytest", str(HERE / suite_file), "-q",
+    files = [suite_file] if isinstance(suite_file, str) else list(suite_file)
+    cmd = [sys.executable, "-m", "pytest",
+           *(str(HERE / f) for f in files), "-q",
            "--no-header", "-p", "no:cacheprovider"]
+    suite_file = " ".join(files)
     env = dict(os.environ)
     env["PYTHONPATH"] = str(HERE.parent) + os.pathsep + \
         env.get("PYTHONPATH", "")

@@ -57,15 +57,28 @@ def test_mnu_zero_bit_identical():
 def test_pk_suppression_envelope():
     """P(mnu)/P(0) from the fluid solve: the published free-streaming
     envelope -- ~ -8 f_nu at high k, small at low k, monotone decrease
-    through the transition; delta_cb less suppressed than delta_tot."""
-    from hmvec_tpu.models.boltz_engine import matter_power_z0
+    through the transition; delta_cb less suppressed than delta_tot;
+    and the suppression EVOLVES with z (round-5: read off the stored
+    trajectory, not frozen at its z=0 shape)."""
+    from hmvec_tpu.models.boltz_engine import matter_power_slices
     ks = np.geomspace(5e-4, 0.4, 12)
-    _, p0 = matter_power_z0({}, ks=ks)
-    _, pm = matter_power_z0({"mnu": 0.3}, ks=ks, massive_nu=True,
-                            component="total")
-    _, pcb = matter_power_z0({"mnu": 0.3}, ks=ks, massive_nu=True,
-                             component="cb")
+    zsl = (0.0, 3.0)
+    _, P0 = matter_power_slices({}, ks=ks, zs=zsl)
+    _, Pm = matter_power_slices({"mnu": 0.3}, ks=ks, zs=zsl,
+                                massive_nu=True, component="total")
+    _, pcb_2 = matter_power_slices({"mnu": 0.3}, ks=ks, zs=(0.0,),
+                                   massive_nu=True, component="cb")
+    p0, pm, pcb = P0[0], Pm[0], pcb_2[0]
     r = pm / p0
+    # free-streaming suppression accumulates: shallower at z=3 than at
+    # z=0 at the high-k end (the growth-rate deficit has had less time
+    # to act; measured +0.020), while the low-k response evolves much
+    # less (measured -0.007, mostly near-horizon/background effects) --
+    # the z-evolution is concentrated at high k as free-streaming
+    # physics requires
+    r3 = Pm[1] / P0[1]
+    assert r3[-1] > r[-1] + 0.01
+    assert abs(r3[1] - r[1]) < 0.5 * (r3[-1] - r[-1])
     h = 0.673
     omm = (0.1198 + 0.02225 + 0.3 / 93.14) / h**2
     fnu = (0.3 / 93.14 / h**2) / omm

@@ -192,3 +192,23 @@ def test_catmull_taps_exact_at_nodes_and_on_cubics():
     got = sum(W[j] * f[idx[j]] for j in range(4))
     want = np.sin(dst) + 0.3 * dst**2
     assert np.max(np.abs(got - want)) < 5e-3   # cubic on this node density
+
+
+def test_fast_f32_eh_chain_vs_f64():
+    """Round-5 serving lever (VERDICT r4 item 6): the per-k EH98/EH99
+    transcendental chain evaluated in f32 (plin_approx(fast_f32=True),
+    the C1 stage's dominant cost at B=128) stays ~1e-6-class against
+    the f64 chain across the full serving grids, with and without
+    massive neutrinos -- including the large-phase BAO sinc band."""
+    from hmvec_tpu.models.linear_power import plin_approx
+    from hmvec_tpu.models import background as bgmod
+    from hmvec_tpu.params import merge_params
+    zs = jnp.linspace(0.1, 3.0, 20)
+    for pars, tol in (({}, 3e-6), ({"mnu": 0.1}, 6e-6)):
+        bg = bgmod.background(merge_params(pars))
+        for ks in (jnp.geomspace(1e-4, 100.0, 1001),     # target grid
+                   jnp.geomspace(1e-4, 2000.0, 1250)):   # sigma^2 grid
+            p64 = np.asarray(plin_approx(bg, zs, ks))
+            p32 = np.asarray(plin_approx(bg, zs, ks, fast_f32=True))
+            err = np.max(np.abs(p32 / p64 - 1.0))
+            assert err < tol, (pars, ks.shape, err)
