@@ -96,7 +96,14 @@ def _emit(metric, tpu_s, twin_s, err, extra=None, gate=GATE):
     # the remote compile cache was warm or cold for this run
     if _RPC_FLOOR_MS is not None:
         line["rpc_floor_ms"] = _RPC_FLOOR_MS
-        line["net_of_rpc_ms"] = round(line["value"] - _RPC_FLOOR_MS, 3)
+        if "batch_latency_ms" in line:
+            # batch lines report ms/cosmology; the ONE fetch's floor
+            # amortizes over the whole batch
+            line["net_of_rpc_ms"] = round(
+                (line["batch_latency_ms"] - _RPC_FLOOR_MS)
+                / line.get("batch", 1), 3)
+        else:
+            line["net_of_rpc_ms"] = round(line["value"] - _RPC_FLOOR_MS, 3)
     if _CACHE_REGIME is not None:
         line["compile_cache"] = _CACHE_REGIME
     print(json.dumps(line), flush=True)

@@ -13,11 +13,52 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # The reference hardcodes T_CMB = 2.726 K inside Tk (cosmology.py:410) even
 # though its CAMB background runs at 2.7255 K; we reproduce that split
 # deliberately for parity (tests/test_reference_parity.py pins it).
 T_CMB_TRANSFER_K = 2.726
+
+_LN2_F32 = np.float32(0.6931471805599453)
+_SQRT2_F32 = np.float32(1.4142135623730951)
+
+
+def _log_f32(y32):
+    """ln(y) for y > 0 in f32 WITHOUT the log intrinsic.
+
+    This TPU's XLA f32 log is only ~2.6e-4 relative even on [1, 100]
+    (measured on-chip; the same finding profiles._exp2_poly_f32
+    documents), and L = ln(e + 1.8 beta q) enters the EH98 transfer
+    LINEARLY -- the round-5 f32 serving path failed its 1e-5 twin gate
+    at exactly that error.  Exponent extraction + the atanh-series
+    log1p polynomial (mul/add only, correctly rounded on the VPU)
+    restores ~1e-7."""
+    bits = jax.lax.bitcast_convert_type(y32, jnp.int32)
+    n = (bits >> 23) - 127
+    m = jax.lax.bitcast_convert_type(
+        (bits & ((1 << 23) - 1)) | (127 << 23), jnp.float32)  # [1, 2)
+    big = m > _SQRT2_F32
+    m = jnp.where(big, m * np.float32(0.5), m)
+    n = n + big.astype(jnp.int32)
+    # ln(m) = 2 atanh(u/(2+u)), u = m-1 in [-0.3, 0.42]
+    u = m - 1.0
+    w = u / (2.0 + u)
+    w2 = w * w
+    acc = jnp.full_like(w, np.float32(1.0 / 13.0))
+    for ck in (1.0 / 11.0, 1.0 / 9.0, 1.0 / 7.0, 1.0 / 5.0,
+               1.0 / 3.0, 1.0):
+        acc = acc * w2 + np.float32(ck)
+    return n.astype(jnp.float32) * _LN2_F32 + 2.0 * w * acc
+
+
+def _ln(x):
+    """jnp.log, with the f32 intrinsic replaced by the polynomial kernel
+    (f64 paths are untouched -- bit-identical to jnp.log)."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float32:
+        return _log_f32(x)
+    return jnp.log(x)
 
 
 def _eh_scales(bg):
@@ -40,7 +81,7 @@ def _eh_scales(bg):
     r_eq = 31.5 * w_b / t27_sq**2 * (1.0e3 / z_eq)  # eq (5)
 
     sh_d = (2.0 / (3.0 * k_eq) * jnp.sqrt(6.0 / r_eq)
-            * jnp.log((jnp.sqrt(1.0 + r_d) + jnp.sqrt(r_eq + r_d))
+            * _ln((jnp.sqrt(1.0 + r_d) + jnp.sqrt(r_eq + r_d))
                       / (1.0 + jnp.sqrt(r_eq))))    # eq (6), [Mpc/h]
 
     k_silk = (1.6 * w_b**0.52 * w_m**0.73
@@ -74,12 +115,12 @@ def transfer_eh98(bg, ks, kind: str = "eisenhu_osc", compute_dtype=None):
 
     if kind == "eisenhu":
         # zero-baryon shape with alpha_gamma suppression, EH98 eqs (28-31)
-        alpha_gamma = (1.0 - 0.328 * jnp.log(431.0 * s["w_m"]) * s["w_b"] / s["w_m"]
-                       + 0.38 * jnp.log(22.3 * s["w_m"]) * fb**2)
+        alpha_gamma = (1.0 - 0.328 * _ln(431.0 * s["w_m"]) * s["w_b"] / s["w_m"]
+                       + 0.38 * _ln(22.3 * s["w_m"]) * fb**2)
         gamma_eff = bg.omm0 * s["h"] * (
             alpha_gamma + (1.0 - alpha_gamma) / (1.0 + (0.43 * k * s["sh_d"]) ** 4))
         q = k * s["t27_sq"] / gamma_eff
-        L = jnp.log(2.0 * jnp.e + 1.8 * q)
+        L = _ln(2.0 * jnp.e + 1.8 * q)
         C = 14.2 + 731.0 / (1.0 + 62.5 * q)
         return L / (L + C * q * q)
 
@@ -96,7 +137,7 @@ def transfer_eh98(bg, ks, kind: str = "eisenhu_osc", compute_dtype=None):
 
     def t_tilde(k1, alpha, beta):
         q = k1 / (13.41 * s["k_eq"])           # eq (10)
-        L = jnp.log(jnp.e + 1.8 * beta * q)
+        L = _ln(jnp.e + 1.8 * beta * q)
         C = 14.2 / alpha + 386.0 / (1.0 + 69.9 * q**1.08)
         return L / (L + C * q * q)             # eq (19)
 
@@ -106,7 +147,7 @@ def transfer_eh98(bg, ks, kind: str = "eisenhu_osc", compute_dtype=None):
     # --- baryon part, EH98 eqs (13-15, 21-24) ---
     y = (1.0 + s["z_eq"]) / (1.0 + s["z_d"])
     x = jnp.sqrt(1.0 + y)
-    g_eh = y * (-6.0 * x + (2.0 + 3.0 * y) * jnp.log((x + 1.0) / (x - 1.0)))
+    g_eh = y * (-6.0 * x + (2.0 + 3.0 * y) * _ln((x + 1.0) / (x - 1.0)))
     alpha_b = 2.07 * s["k_eq"] * s["sh_d"] * (1.0 + s["r_d"]) ** -0.75 * g_eh
 
     beta_node = 8.41 * s["w_m"] ** 0.435
@@ -115,9 +156,29 @@ def transfer_eh98(bg, ks, kind: str = "eisenhu_osc", compute_dtype=None):
 
     tb = (t_tilde(k, 1.0, 1.0) / (1.0 + (k * s["sh_d"] / 5.2) ** 2)
           + alpha_b / (1.0 + (beta_b / (k * s["sh_d"])) ** 3)
-          * jnp.exp(-((k / s["k_silk"]) ** 1.4))) * jnp.sinc(k * tilde_s / jnp.pi)
+          * jnp.exp(-((k / s["k_silk"]) ** 1.4))) * _sinc(k * tilde_s)
 
     return fb * tb + fc * tc
+
+
+def _sinc(x):
+    """sin(x)/x with TPU-f32-safe argument reduction.
+
+    XLA:TPU's f32 sin mis-reduces large arguments (measured 5e-2
+    relative at |x| ~ 1e3 on-chip, exactly where the BAO phase k s_d
+    lives), so in the f32 fast path the phase is reduced mod 2pi in f64
+    first (multiplies only -- cheap even as emulated f64) and the sin
+    evaluated in f32 on the reduced argument.  The f32 PRODUCT k*s is
+    precise enough (~2e-6 rad in the BAO band; beyond it the baryon
+    term is Silk-damped), only the in-op reduction was broken."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float32 and jax.config.jax_enable_x64:
+        x64 = x.astype(jnp.float64)
+        red = x64 - (2.0 * jnp.pi) * jnp.round(x64 / (2.0 * jnp.pi))
+        s = jnp.sin(red.astype(jnp.float32))
+        return jnp.where(jnp.abs(x) < 1e-4,
+                         1.0 - x * x / 6.0, s / x)
+    return jnp.sinc(x / jnp.pi)
 
 
 # ---------------------------------------------------------------------------
@@ -146,7 +207,7 @@ def _eh99_tsup(w_m, t27_sq, k, s_mpc, alpha_nu, beta_c):
     gamma_eff = w_m * (sqa + (1.0 - sqa)
                        / (1.0 + (0.43 * k * s_mpc) ** 4))      # eq (16)
     q_eff = k * t27_sq / gamma_eff                             # eq (17)
-    L = jnp.log(jnp.e + 1.84 * beta_c * sqa * q_eff)           # eq (19)
+    L = _ln(jnp.e + 1.84 * beta_c * sqa * q_eff)           # eq (19)
     C = 14.4 + 325.0 / (1.0 + 60.5 * q_eff**1.11)              # eq (20)
     return L / (L + C * q_eff**2)                              # eq (18)
 
@@ -192,7 +253,7 @@ def eh99_neutrino_ratio(bg, ks, d_anorm, component: str = "total"):
     z_d = (1291.0 * w_m**0.251 / (1.0 + 0.659 * w_m**0.828)
            * (1.0 + b1 * w_b**b2))                             # eq (2)
     y_d = (1.0 + z_eq) / (1.0 + z_d)                           # eq (3)
-    s_mpc = (44.5 * jnp.log(9.83 / w_m)
+    s_mpc = (44.5 * _ln(9.83 / w_m)
              / jnp.sqrt(1.0 + 10.0 * w_b**0.75))               # eq (4)
     q = k * t27_sq / w_m                                       # eq (5)
 
