@@ -229,9 +229,8 @@ def _sici_f32(x, sinx, cosx):
             jnp.where(in0, ci_small, ci_large), B, f, g, in0)
 
 
-def _nfw_uk_kernel(s1h_ref, s1l_ref, s2h_ref, s2l_ref, cs_ref,
-                   kh_ref, kl_ref, out_ref):
-    """One (TB, TK) tile of u(k).
+def _nfw_u_tile(s1h, s1l, s2h, s2l, c, kh, kl):
+    """One (TB, TK) tile of u(k) from the split row/column inputs.
 
     Row inputs (TB,1): s1 = r_s(1+z) and s2 = (1+c) s1 as f64-split
     (hi, lo) f32 pairs, plus c; column inputs (1,TK): k as an (hi, lo)
@@ -239,10 +238,6 @@ def _nfw_uk_kernel(s1h_ref, s1l_ref, s2h_ref, s2l_ref, cs_ref,
     double-single through the trig range reduction; everything
     phase-insensitive (Si/Ci auxiliaries, NFW assembly) is plain f32.
     """
-    s1h, s1l = s1h_ref[:], s1l_ref[:]     # (TB, 1)
-    s2h, s2l = s2h_ref[:], s2l_ref[:]
-    c = cs_ref[:]
-    kh, kl = kh_ref[:], kl_ref[:]         # (1, TK)
     xh, xl = _ds_phase(kh, kl, s1h, s1l)  # (TB, TK)
     x2h, x2l = _ds_phase(kh, kl, s2h, s2l)
     sx, cx = _sincos_ds(xh, xl)
@@ -261,7 +256,66 @@ def _nfw_uk_kernel(s1h_ref, s1l_ref, s2h_ref, s2l_ref, cs_ref,
     dsi_large = (f1 * cx + g1 * sx) - (f2 * cx2 + g2 * sx2)
     dsi = jnp.where(in0_1, sic - si, dsi_large)
     mc = ln1pc - c / (1.0 + c)
-    out_ref[:] = (sx * dsi - sin_cx / x2h + cx * dci) / mc
+    return (sx * dsi - sin_cx / x2h + cx * dci) / mc
+
+
+def _nfw_uk_kernel(s1h_ref, s1l_ref, s2h_ref, s2l_ref, cs_ref,
+                   kh_ref, kl_ref, out_ref):
+    """One (TB, TK) tile of u(k) (see _nfw_u_tile)."""
+    out_ref[:] = _nfw_u_tile(s1h_ref[:], s1l_ref[:], s2h_ref[:],
+                             s2l_ref[:], cs_ref[:],
+                             kh_ref[:], kl_ref[:])
+
+
+def _nfw_contract_kernel(s1h_ref, s1l_ref, s2h_ref, s2l_ref, cs_ref,
+                         za_ref, zb_ref, kh_ref, kl_ref,
+                         out1_ref, out2_ref, acc1_ref, acc2_ref):
+    """Fused u(k) + mass contraction: one row-tile's contribution to
+
+        S1(z, k) = sum_m a_zm u^2     S2(z, k) = sum_m b_zm u
+
+    (a = w n (m/rho)^2, b = w n b_h (m/rho) -- the 1-halo and 2-halo-leg
+    mass integrands with the trapz weights folded in).  The weights
+    arrive as (nzp, TB) MATRICES Za/Zb whose (z, row) entry is the
+    weight if flattened row `row` belongs to redshift z and 0 otherwise
+    (also 0 on padded rows), so the contraction is one MXU matmul per
+    quantity -- this sidesteps Mosaic's (8, 128) output-block tiling
+    rule that forbids per-z (1, TK) outputs, and the one-hot structure
+    does the z-bucketing for free.  The grid is (nk_tiles, nrow_tiles)
+    with rows INNERMOST: consecutive steps see the same output block,
+    zeroed on the first row-tile then accumulated (the standard
+    sequential-TPU-grid matmul pattern).  Emitting (z, k) directly
+    removes the (B, z, m, k) HBM materialization between the u kernel
+    and the mass integral (the measured ~2.9 ms/cosmology assembly cost
+    at B=128, DEVNOTES round-5 attribution)."""
+    u = _nfw_u_tile(s1h_ref[:], s1l_ref[:], s2h_ref[:], s2l_ref[:],
+                    cs_ref[:], kh_ref[:], kl_ref[:])
+
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _init():
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
+
+    # VMEM scratch accumulators: accumulating straight into out_ref
+    # costs an HBM read-modify-write of both (nzp, TK) blocks per grid
+    # step (~1.2 GB over the serving grid -- measured, it ate most of
+    # the fusion win); the scratch stays resident and the outputs are
+    # written ONCE on the last row-tile.
+    # HIGHEST: the f32 MXU pass decomposition -- the default precision
+    # would run bf16-class and destroy the kernel's 1e-6 budget; the
+    # matmuls are tiny (nzp x TB x TK) next to the transcendental work
+    hi = jax.lax.Precision.HIGHEST
+    acc1_ref[:] += jnp.dot(za_ref[:], u * u, precision=hi,
+                           preferred_element_type=jnp.float32)
+    acc2_ref[:] += jnp.dot(zb_ref[:], u, precision=hi,
+                           preferred_element_type=jnp.float32)
+
+    @pl.when(m == pl.num_programs(1) - 1)
+    def _flush():
+        out1_ref[:] = acc1_ref[:]
+        out2_ref[:] = acc2_ref[:]
 
 
 def nfw_uk_pallas(ks, scales, cs, tb: int = 256, tk: int = 256,
@@ -329,6 +383,78 @@ def nfw_uk_fast(ks, zs, cs, rss, **kw):
     scales = (rss * (1.0 + jnp.asarray(zs)[:, None])).reshape(-1)
     out = nfw_uk_pallas(ks, scales, cs.reshape(-1), **kw)
     return out.reshape(nz, nm, -1)
+
+
+def nfw_contract_pallas(ks, scales_zm, cs_zm, a_zm, b_zm,
+                        tb: int = 256, tk: int = 256,
+                        interpret: bool = False):
+    """Fused NFW u(k) + mass contraction: (S1, S2), each (nz, nk) f32.
+
+        S1(z,k) = sum_m a_zm u(k|z,m)^2      (1-halo mass integral)
+        S2(z,k) = sum_m b_zm u(k|z,m)        (2-halo leg mass integral)
+
+    scales_zm = r_s (1+z), cs_zm = concentration, a/b = weights with
+    the trapz dm weights, nzm, bias and (m/rho)-powers folded in -- all
+    (nz, nm) f64.  The u tile math is identical to nfw_uk_pallas; the
+    contraction happens in VMEM so the (z, m, k) cube never touches
+    HBM (the serving-tier B=128 assembly cost, DEVNOTES round-5).
+    """
+    if not jax.config.jax_enable_x64:
+        raise ValueError("nfw_contract_pallas needs jax_enable_x64 "
+                         "(double-single phase splits)")
+    nz, nm = cs_zm.shape
+    ks = jnp.asarray(ks, jnp.float64)
+    nk = ks.shape[0]
+    nr = nz * nm                          # flattened (z, m) rows
+    nrp = -(-nr // tb) * tb
+    nkp = -(-nk // tk) * tk
+    nrt = nrp // tb
+    nzp = -(-nz // 8) * 8                 # Mosaic sublane multiple
+
+    def rows(v64, const):
+        v = jnp.pad(jnp.asarray(v64, jnp.float64).reshape(-1),
+                    (0, nrp - nr), constant_values=const)
+        h, l = _split_f32(v)
+        return h[:, None], l[:, None]
+
+    s1h, s1l = rows(scales_zm, 1.0)
+    s2h, s2l = rows((1.0 + jnp.asarray(cs_zm, jnp.float64)) * scales_zm, 6.0)
+    cpad = jnp.pad(jnp.asarray(cs_zm).reshape(-1), (0, nrp - nr),
+                   constant_values=5.0).astype(jnp.float32)[:, None]
+    # weight MATRICES: Z[z, row] = weight if row // nm == z else 0
+    # (static one-hot structure; padded rows/z all zero)
+    zidx = np.arange(nr) // nm            # (nr,) static
+    base = np.zeros((nzp, nrp), np.float32)
+    onehot = jnp.asarray(base).at[zidx, np.arange(nr)].set(1.0)
+    za = onehot * jnp.pad(jnp.asarray(a_zm).reshape(-1).astype(jnp.float32),
+                          (0, nrp - nr))[None, :]
+    zb = onehot * jnp.pad(jnp.asarray(b_zm).reshape(-1).astype(jnp.float32),
+                          (0, nrp - nr))[None, :]
+    kh, kl = _split_f32(ks)
+    kh = jnp.pad(kh, (0, nkp - nk), constant_values=1.0)[None, :]
+    kl = jnp.pad(kl, (0, nkp - nk), constant_values=0.0)[None, :]
+
+    with jax.enable_x64(False):
+        row = pl.BlockSpec((tb, 1), lambda i, m: (m, 0),
+                           memory_space=pltpu.VMEM)
+        zmat = pl.BlockSpec((nzp, tb), lambda i, m: (0, m),
+                            memory_space=pltpu.VMEM)
+        col = pl.BlockSpec((1, tk), lambda i, m: (0, i),
+                           memory_space=pltpu.VMEM)
+        out = pl.BlockSpec((nzp, tk), lambda i, m: (0, i),
+                           memory_space=pltpu.VMEM)
+        s1o, s2o = pl.pallas_call(
+            _nfw_contract_kernel,
+            out_shape=(jax.ShapeDtypeStruct((nzp, nkp), jnp.float32),
+                       jax.ShapeDtypeStruct((nzp, nkp), jnp.float32)),
+            grid=(nkp // tk, nrt),
+            in_specs=[row, row, row, row, row, zmat, zmat, col, col],
+            out_specs=(out, out),
+            scratch_shapes=[pltpu.VMEM((nzp, tk), jnp.float32),
+                            pltpu.VMEM((nzp, tk), jnp.float32)],
+            interpret=interpret,
+        )(s1h, s1l, s2h, s2l, cpad, za, zb, kh, kl)
+    return s1o[:nz, :nk], s2o[:nz, :nk]
 
 
 # ---------------------------------------------------------------------------

@@ -50,7 +50,7 @@ def _growth_mode_from(overrides, setting: str) -> str:
 
 def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
             fast_nfw: bool = False, growth_mode: str = "closed",
-            uk_subsample=None):
+            uk_subsample=None, profile: str = "uk"):
     """Shared staged computation: background through mass function + NFW.
 
     fast_nfw: replace the f64 Si/Ci analytic NFW stage (the largest single
@@ -117,6 +117,10 @@ def _stages(p, zs, ks, ms, mass_function, mdef, accuracy, engine,
     cs = prof.concentration_duffy(msj, zsj, mdef, p, p["H0"] / 100.0)
     rvirs = prof.rvir_grid(msj, zsj, mdef, rhocritz, rhomz, omz)
     rss = rvirs / cs
+    if profile == "inputs":
+        # fused-contraction serving path: the caller feeds (cs, rss)
+        # straight into the Pallas contraction kernel -- no u(k) cube
+        return bg, pzk, nzm, bh, rho_m0, (cs, rss)
 
     kq = ksj
     if uk_subsample is not None:
@@ -149,7 +153,7 @@ def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
                 mdef: str = "vir", accuracy: str = "medium",
                 engine=None, jit: bool = True, fast: bool = False,
                 growth: str = "auto", static_params: dict | None = None,
-                uk_subsample=None):
+                uk_subsample=None, fused_serving: bool = False):
     """Build params -> Pmm(1h+2h) on a static (zs, ks, ms) grid.
 
     The returned function takes a dict of cosmological parameter overrides
@@ -173,6 +177,11 @@ def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
     defaults = merge_params(static_params)
     engine = engine or lpm.EHEngine()
 
+    if fused_serving:
+        return _make_pmm_fused_fn(zs, ks, ms, mass_function, mdef,
+                                  accuracy, engine, jit, growth, defaults,
+                                  uk_subsample)
+
     def pmm(overrides=None):
         p = {**defaults, **(overrides or {})}
         _, pzk, nzm, bh, rho_m0, uk = _stages(
@@ -183,6 +192,70 @@ def make_pmm_fn(zs, ks, ms, mass_function: str = "sheth-torman",
         return pwr.power_total(tr, tr, nzm, bh, ms, ks, pzk, rho_m0,
                                p["kstar_damping"],
                                fast_assembly=fast is True)
+
+    return jax.jit(pmm) if jit else pmm
+
+
+# test hook: run the fused contraction kernel in Pallas interpret mode
+# (CPU twin-gating of the whole fused pipeline; see test_fast_sampling)
+_FUSED_INTERPRET = False
+
+
+def _make_pmm_fused_fn(zs, ks, ms, mass_function, mdef, accuracy, engine,
+                       jit, growth, defaults, uk_subsample):
+    """Fused-contraction serving tier (round 5): u(k) and its two mass
+    integrals computed in ONE Pallas kernel pass,
+
+        S1(z,k) = int dm n(m) (m/rho)^2 u^2      (1-halo)
+        S2(z,k) = int dm n(m) b(m) (m/rho) u     (2-halo leg)
+
+    accumulated over m-tiles in VMEM, so the (B, z, m, k) cube never
+    round-trips HBM -- the measured ~2.9 ms/cosmology assembly cost of
+    the vmapped serving path (DEVNOTES round-5 attribution).  The
+    consistency completion (u -> 1 limit) is the same integrals with
+    u = 1, i.e. plain sums -- no kernel needed.  Pmm parity vs the f64
+    twin is gated in tests/test_fast_sampling.py.  Requires TPU + x64
+    (same condition as the fast tier)."""
+    from .utils.weights import trapz_weights, catmull_taps_nonuniform
+    from .ops.pallas_kernels import nfw_contract_pallas
+
+    w_m = np.asarray(trapz_weights(np.asarray(ms)))
+    kq = np.asarray(ks)
+    taps = None
+    if uk_subsample is not None:
+        ksplit, every = uk_subsample
+        ks_np = np.asarray(ks)
+        ilow = np.where(ks_np < ksplit)[0]
+        sub = np.unique(np.concatenate([ilow[::every], ilow[-1:],
+                                        np.where(ks_np >= ksplit)[0]]))
+        taps = catmull_taps_nonuniform(np.log(ks_np[sub]), np.log(ks_np))
+        kq = ks_np[sub]
+
+    def pmm(overrides=None):
+        p = {**defaults, **(overrides or {})}
+        bg, pzk, nzm, bh, rho_m0, (cs, rss) = _stages(
+            p, zs, ks, ms, mass_function, mdef, accuracy, engine,
+            fast_nfw=True, growth_mode=_growth_mode_from(overrides, growth),
+            profile="inputs")
+        mfac = jnp.asarray(ms)[None, :] / rho_m0
+        a_zm = w_m[None, :] * nzm * mfac**2
+        b_zm = w_m[None, :] * nzm * bh * mfac
+        c_z = jnp.sum(b_zm, axis=1)           # u -> 1 consistency
+        scales = rss * (1.0 + jnp.asarray(zs)[:, None])
+        s1, s2 = nfw_contract_pallas(kq, scales, cs, a_zm, b_zm,
+                                     interpret=_FUSED_INTERPRET)
+        if taps is not None:
+            tap_i, tap_w = taps
+            s1 = sum(s1[..., jnp.asarray(tap_i[j])] * tap_w[j]
+                     for j in range(4))
+            s2 = sum(s2[..., jnp.asarray(tap_i[j])] * tap_w[j]
+                     for j in range(4))
+        s1 = s1.astype(jnp.float64)
+        s2 = s2.astype(jnp.float64)
+        damping = 1.0 - jnp.exp(-((jnp.asarray(ks)
+                                   / p["kstar_damping"]) ** 2))
+        e = s2 + 1.0 - c_z[:, None]
+        return s1 * damping[None, :] + pzk * e**2
 
     return jax.jit(pmm) if jit else pmm
 

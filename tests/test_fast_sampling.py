@@ -212,3 +212,29 @@ def test_fast_f32_eh_chain_vs_f64():
             p32 = np.asarray(plin_approx(bg, zs, ks, fast_f32=True))
             err = np.max(np.abs(p32 / p64 - 1.0))
             assert err < tol, (pars, ks.shape, err)
+
+
+def test_fused_serving_pipeline_vs_twin():
+    """Round-5 fused-contraction serving tier: make_pmm_fn(fused_serving)
+    computes u(k) and both mass integrals in one Pallas pass (interpret
+    mode here) -- the full Pmm must hold the 1e-5 twin gate on a reduced
+    grid (the B=128 bench line gates the full grid on hardware)."""
+    import jax
+    from hmvec_tpu import pipeline as pl_mod
+    from hmvec_tpu.pipeline import make_pmm_fn
+    from hmvec_tpu.twin.halo_ext import TwinHaloModelExt
+    zs = np.linspace(0.1, 3.0, 3)
+    ms = np.geomspace(2e10, 1e17, 80)
+    ks = np.geomspace(1e-4, 100, 160)
+    old = pl_mod._FUSED_INTERPRET
+    pl_mod._FUSED_INTERPRET = True
+    try:
+        fn = make_pmm_fn(zs, ks, ms, growth="closed", jit=False,
+                         fused_serving=True)
+        out = np.asarray(fn({"omch2": jnp.asarray(0.1198)}))
+    finally:
+        pl_mod._FUSED_INTERPRET = old
+    tw = TwinHaloModelExt(zs, ks, ms)
+    pt = tw.get_power("nfw")
+    err = np.max(np.abs(out - pt) / np.abs(pt))
+    assert err < 1e-5, err

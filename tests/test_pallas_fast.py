@@ -127,3 +127,30 @@ def test_v3_ds_math_large_phases():
         u3 = np.asarray(_nfw_uk_ds_math(*args)).reshape(1, 2, ks.size)
     # u ~ 1e-4-1e-3 at these phases; absolute agreement is what matters
     assert np.abs(u3 - u64).max() < 2e-7
+
+
+def test_pallas_fused_contraction_matches_reference():
+    """Round-5 fused serving kernel: u(k) + BOTH mass contractions in
+    one VMEM pass (S1 = sum_m a u^2, S2 = sum_m b u) match the
+    compose-it-yourself route through the exact u at the f32-sum level,
+    including padded m rows and a multi-m-tile grid."""
+    from hmvec_tpu.ops.pallas_kernels import nfw_contract_pallas
+    rng = np.random.default_rng(3)
+    nz, nm = 3, 37                       # nm far from the 256 tile
+    cs = jnp.asarray(rng.uniform(2.0, 15.0, (nz, nm)))
+    scales = jnp.asarray(rng.uniform(0.02, 1.5, (nz, nm)))
+    a = jnp.asarray(rng.lognormal(0.0, 2.0, (nz, nm)))
+    b = jnp.asarray(rng.lognormal(0.0, 2.0, (nz, nm)))
+    ks = np.geomspace(1e-3, 50, 90)
+    zs = np.zeros(nz)                    # scales passed directly
+    u = np.asarray(nfw_uk_analytic(ks, zs, cs, scales))
+    s1_ref = np.einsum("zm,zmk->zk", np.asarray(a), u**2)
+    s2_ref = np.einsum("zm,zmk->zk", np.asarray(b), u)
+    s1, s2 = nfw_contract_pallas(ks, scales, cs, a, b, interpret=True)
+    assert np.max(np.abs(np.asarray(s1) / s1_ref - 1.0)) < 2e-5
+    assert np.max(np.abs(np.asarray(s2) / s2_ref - 1.0)) < 2e-5
+    # multi-m-tile accumulation path (tb smaller than nm)
+    s1b, s2b = nfw_contract_pallas(ks, scales, cs, a, b, tb=16,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(s1b), np.asarray(s1), rtol=3e-6)
+    np.testing.assert_allclose(np.asarray(s2b), np.asarray(s2), rtol=3e-6)
