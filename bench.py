@@ -328,6 +328,16 @@ def main():
                                                  growth="closed",
                                                  fast="exact"),
                                (overrides,), pool)
+        # round-5 fused-contraction serving kernel (u(k) + both mass
+        # integrals in one VMEM pass): reported as an EXTRA line next to
+        # the batch128 gate -- on-chip timings of the two routes swing
+        # with tunnel/host load, so the artifact carries both
+        progs["bNf"] = _Program("bNf", make_batched_fn(
+            make_pmm_fn(zs, ks, ms, jit=False, growth="closed",
+                        static_params={"sigma2_numks": 1250},
+                        uk_subsample=(0.2, 4), fused_serving=True),
+            ("omch2", "As"), jit=False, out_dtype=jnp.float32),
+            (thetaN,), pool)
     print(f"# lowered {len(progs)} programs in "
           f"{time.perf_counter() - t_round0:.1f}s; compiling concurrently",
           file=sys.stderr)
@@ -446,6 +456,14 @@ def main():
     # ---- phase 4: optional lines LAST (a timeout can only cost these)
     if on_tpu:
         report("1x", "config1_f64_exact", tw1, [p_twin], gate=1e-7)
+        pf = progs["bNf"]
+        tf = pf.timeit(5)
+        out_f = np.asarray(_fetch(pf.compiled(*pf.args)))
+        all_ok &= _emit(f"batch{BN}_pmm_fused_per_cosmology", tf / BN, tw1,
+                        _relerr(out_f[0].astype(np.float64), p_twin_b0),
+                        extra={"batch": BN,
+                               "batch_latency_ms": round(tf * 1e3, 3),
+                               "compile_s": round(pf.compile_s, 1)})
 
     print(f"# total wall {time.perf_counter() - t_round0:.1f}s "
           f"(compiles overlapped)", file=sys.stderr)

@@ -237,20 +237,21 @@ def _shape_key(p, kmax, zre, n_c_inner, ks, massive_nu="eh99",
 
 
 def _solved_slices(p, kmax, zre, ks, n_c_inner, massive_nu, component,
-                   z_slices):
+                   z_slices, solver_opts=None):
     """Cached hierarchy solve -> (ks_b, p_sl (nzs, nk), As0, ns0, pivot0).
 
     The cache stores the RAW slices at the solve cosmology's As/ns; the
     caller rescales (exact -- amplitude/tilt are k-wise factors shared
     by every z row, so the z-residual is invariant under the rescale).
     """
+    so = tuple(sorted((solver_opts or {}).items()))
     key = _shape_key(p, kmax, zre, n_c_inner, ks,
-                     massive_nu + ":" + component, z_slices)
+                     massive_nu + ":" + component, z_slices) + (so,)
     if key not in _TABLE_CACHE:
         ks_b, p_sl = matter_power_slices(
             p, ks=ks, zs=z_slices, kmax=kmax, zre=zre,
             n_c_inner=n_c_inner, massive_nu=(massive_nu == "fluid"),
-            component=component)
+            component=component, solver_opts=solver_opts)
         bg = bgmod.background(p)
         _TABLE_CACHE[key] = (ks_b, p_sl, float(bg.As), float(bg.ns),
                              float(bg.pivot_scalar))
@@ -320,7 +321,8 @@ class BoltzEngine:
                  zre: float = 7.7, ks=None, n_c_inner: int | None = None,
                  massive_nu: str = "eh99", component: str = "total",
                  z_slices=DEFAULT_Z_SLICES, z_resolved: bool = True,
-                 shape_response: bool = False, shape_steps=None):
+                 shape_response: bool = False, shape_steps=None,
+                 solver_opts: dict | None = None):
         """massive_nu: how mnu > 0 enters the served spectrum --
         'eh99' (default): massless hierarchy solve + the EH99
         free-streaming response applied at serve time from the TRACED
@@ -338,7 +340,8 @@ class BoltzEngine:
         if z_slices[0] != 0.0:
             raise ValueError("z_slices must start at 0")
         ks_b, p_sl, As0, ns0, pivot0 = _solved_slices(
-            p, kmax, zre, ks, n_c_inner, massive_nu, component, z_slices)
+            p, kmax, zre, ks, n_c_inner, massive_nu, component, z_slices,
+            solver_opts)
         # rescale the cached rows to THIS cosmology's As/ns (exact; the
         # rescale is a pure k-factor so the z-residual is untouched)
         p_sl = (p_sl * float(bg.As) / As0
@@ -382,7 +385,7 @@ class BoltzEngine:
                     pp[nm] = float(p[nm]) + sgn * h
                     ks2, psl2, As2, ns2, piv2 = _solved_slices(
                         pp, kmax, zre, ks, n_c_inner, massive_nu,
-                        component, z_slices)
+                        component, z_slices, solver_opts)
                     bg2 = bgmod.background(merge_params(pp))
                     p02 = (psl2[0] * float(bg.As) / As2
                            * (ks2 / piv2) ** (float(bg.ns) - ns2))

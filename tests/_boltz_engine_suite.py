@@ -183,12 +183,15 @@ def test_shape_response_jacfwd():
     """Engine-grade Fisher in the shape parameters (VERDICT r4 item 3):
     jacfwd of ln P through engine='boltz' with shape_response matches
     central finite differences of FULL re-solves taken at a DIFFERENT
-    step, to <= 1% of the derivative scale.  Tiny 19-mode grid to keep
-    the 5 solves cheap."""
+    step, to <= 1% of the derivative scale.  Tiny 19-mode grid and a
+    reduced RK4 schedule (derivative CONSISTENCY needs both routes on
+    the same schedule, not full convergence) keep the 5 solves cheap;
+    the CFL edge for the reduced segment C is ~0.15/Mpc > kmax."""
     kmx, kgr = 0.12, 0.10
+    so = dict(n_a=600, n_b_outer=420, n_b_inner=4, n_c_outer=170)
     ks_s = default_k_grid(kmax=kmx, k_bao_lo=0.02, dk_bao=0.01, nk_log=8)
     eng = BoltzEngine(kmax=kmx, k_graft=kgr, ks=ks_s,
-                      shape_response=("omch2",))
+                      shape_response=("omch2",), solver_opts=so)
     kd = jnp.geomspace(2e-3, 0.5, 12)
     p0f = merge_params()
 
@@ -206,7 +209,7 @@ def test_shape_response_jacfwd():
         pp = dict(p0f)
         pp["omch2"] = p0f["omch2"] + sgn * h2
         ks2, psl2, _, _, _ = _solved_slices(
-            pp, kmx, 7.7, ks_s, None, "eh99", "total", eng.z_slices)
+            pp, kmx, 7.7, ks_s, None, "eh99", "total", eng.z_slices, so)
         bg2 = bgmod.background(merge_params(pp))
         kf2, pf2, _ = _graft_eh_tail(bg2, ks2, psl2[0], kgr, 2100.0)
         tabs.append(np.interp(np.log(np.asarray(kd)), np.log(kf2),
