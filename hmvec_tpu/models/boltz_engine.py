@@ -109,7 +109,8 @@ def matter_power_slices(params=None, ks=None, zs=(0.0,), kmax: float = 0.65,
     """
     p = merge_params(params or {})
     bg = bgmod.background(p)
-    rec = recombination(bg, zre=zre)
+    fd = bool(massive_nu) and float(np.asarray(bg.omnu0)) > 0.0
+    rec = recombination(bg, zre=zre, massive_nu=fd)
     ctx = bz.make_ctx(bg, rec, massive_nu=massive_nu)
     if ks is None:
         ks = default_k_grid(kmax)

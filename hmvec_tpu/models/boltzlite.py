@@ -136,9 +136,10 @@ def _nu_fluid_derivs(ctx, x, k, s, psi, dphi, ckh):
     radiation share rides this shear-free fluid, so the radiation-era
     metric loses neutrino anisotropic stress -- a first-order-in-R_nu
     (~few %) effect there.  Set num_massive_neutrinos < 3 to keep the
-    remainder in the exact massless hierarchy.  Note also that
-    ctx.eta_t / recombination still integrate the mnu-as-matter
-    e_of_z background, not the FD-consistent H(x) used here."""
+    remainder in the exact massless hierarchy.  The eta/recombination
+    tables are FD-consistent too when built with
+    recombination(massive_nu=True) -- compute_cls and
+    matter_power_slices do this automatically for mnu > 0 (round 5)."""
     a = jnp.exp(x)
     _, w, cg2 = _nu_rho_w_cg(ctx, a)
     dn = s[_I_NM]
@@ -168,6 +169,47 @@ class BoltzCtx(NamedTuple):
     omnm0: jnp.ndarray        # nonrelativistic Omega_nu today (mnu/93.14/h^2)
     y0_nu: jnp.ndarray        # m_nu,per-species a / T_nu0 at a = 1
     omnu_rel: jnp.ndarray     # relativistic-limit amplitude of rho_nu a^4
+
+
+def fd_background_pieces(bg: bgmod.BackgroundParams):
+    """(omg, omnu_massless, omnm0, y0, omnu_rel) -- the make_ctx
+    bookkeeping for the Fermi-Dirac massive-neutrino background, shared
+    with the FD-consistent recombination path (e_of_z_fd)."""
+    h2 = (bg.H0 / 100.0) ** 2
+    omg = 2.47282e-5 / h2
+    omnu_all = bg.omr0 - omg
+    omnm0 = bg.omnu0
+    has_m = omnm0 > 0.0
+    m_per = omnm0 * 93.14 * h2 / jnp.maximum(bg.nnu_m, 1.0)
+    y0 = jnp.where(has_m, m_per / _KT_NU0_EV, 1.0)
+    omnu_rel = jnp.where(has_m, omnm0 * _I_RHO0 / (y0 * _I_NUM), 0.0)
+    f_ml = jnp.where(has_m, jnp.clip(1.0 - bg.nnu_m / 3.0, 0.0, 1.0), 1.0)
+    return omg, omnu_all * f_ml, omnm0, y0, omnu_rel
+
+
+def e_of_z_fd(bg: bgmod.BackgroundParams, z):
+    """E(z) = H(z)/H0 with the EXACT Fermi-Dirac massive-neutrino
+    density (vectorized in z).
+
+    background.e_of_z counts mnu as pressureless matter at ALL times
+    (reference-parity bookkeeping); at recombination the massive species
+    are still (semi-)relativistic, so the mnu-as-matter H(z) is
+    inconsistent with the FD background the massive_nu=True hierarchy
+    integrates (ADVICE r4) -- this is the consistent form for the
+    eta/recombination tables.  Exactly e_of_z when mnu = 0."""
+    omg, omnu_ml, omnm0, y0, omnu_rel = fd_background_pieces(bg)
+    z = jnp.asarray(z)
+    scalar = z.ndim == 0
+    zp1 = 1.0 + jnp.atleast_1d(z)
+    a = 1.0 / zp1
+    i_rho = jax.vmap(lambda aa: _fd_rho_p(y0 * aa)[0])(a)
+    rho_nu = omnu_rel * zp1**4 * i_rho / _I_RHO0
+    de = zp1 ** (3.0 * (1.0 + bg.w0 + bg.wa)) \
+        * jnp.exp(-3.0 * bg.wa * (1.0 - 1.0 / zp1))
+    e2 = ((omg + omnu_ml) * zp1**4 + bg.omm0 * zp1**3
+          + bg.omk0 * zp1**2 + bg.oml0 * de + rho_nu)
+    e = jnp.sqrt(e2)
+    return e[0] if scalar else e
 
 
 def make_ctx(bg: bgmod.BackgroundParams, rec: RecombTable,
@@ -925,7 +967,11 @@ def compute_cls(params=None, lmax: int = 1500, *, zre: float = 7.7,
     from ..params import merge_params
     p = merge_params(params or {})
     bg = bgmod.background(p)
-    rec = recombination(bg, zre=zre)
+    # FD-consistent recombination background when the massive fluid is
+    # on AND the cosmology has mnu > 0 (identical otherwise; keeps the
+    # mnu = 0 tables bit-stable) -- ADVICE r4 consistency item
+    fd = bool(massive_nu) and float(np.asarray(bg.omnu0)) > 0.0
+    rec = recombination(bg, zre=zre, massive_nu=fd)
     ctx = make_ctx(bg, rec, massive_nu=massive_nu)
     eta0 = float(rec.eta0)
 

@@ -126,12 +126,24 @@ def _reio_xe(z, zre, f_he, dz=0.5):
 
 
 def recombination(bg: bgmod.BackgroundParams, n: int = 16384,
-                  x_init: float = -18.0, zre: float = 7.7) -> RecombTable:
+                  x_init: float = -18.0, zre: float = 7.7,
+                  massive_nu: bool = False) -> RecombTable:
     """Full ionization history on a uniform ln-a grid (RK4 scan).
 
     Saha is used while its x_e > 0.985 (blended smoothly); the Peebles
     ODE takes over through recombination and freeze-out.
+
+    massive_nu=True integrates with the EXACT Fermi-Dirac neutrino
+    background (boltzlite.e_of_z_fd) instead of the mnu-as-matter
+    bookkeeping -- the FD-consistent H(z) for the massive_nu=True
+    hierarchy (ADVICE r4: with mnu > 0 the species is semi-relativistic
+    at recombination, so counting it as matter misstates H there by the
+    relativistic excess; exactly identical at mnu = 0).
     """
+    if massive_nu:
+        from .boltzlite import e_of_z_fd as _e_of_z
+    else:
+        _e_of_z = bgmod.e_of_z
     h = bg.H0 / 100.0
     nh0 = (1.0 - bg.Yp) * bg.ombh2 * RHO_CRIT_H2 / M_H_G    # cm^-3 at a=1
     f_he = bg.Yp / (4.0 * (1.0 - bg.Yp))
@@ -142,7 +154,7 @@ def recombination(bg: bgmod.BackgroundParams, n: int = 16384,
 
     def h_of_x(x):
         z = jnp.exp(-x) - 1.0
-        return bg.H0 * bgmod.e_of_z(bg, z) * _H0_UNIT / 100.0 * 100.0
+        return bg.H0 * _e_of_z(bg, z) * _H0_UNIT / 100.0 * 100.0
 
     def rhs(x, xe):
         a = jnp.exp(x)
@@ -184,7 +196,7 @@ def recombination(bg: bgmod.BackgroundParams, n: int = 16384,
     # d tau/dx = n_e sigma_T c / H  (dimensionless per e-fold), negative
     a_grid = jnp.exp(xs)
     ne = xe * nh0 * a_grid**-3
-    hs = bg.H0 * bgmod.e_of_z(bg, zs) * _H0_UNIT
+    hs = bg.H0 * _e_of_z(bg, zs) * _H0_UNIT
     tau_x = -ne * SIGMA_T_CM2 * 2.99792458e10 / hs
 
     # tau(x) = -int_x^0 tau_x dx' (trapezoid, exact on the table grid)
@@ -194,7 +206,7 @@ def recombination(bg: bgmod.BackgroundParams, n: int = 16384,
 
     # conformal time eta(x) = int_0^a c da'/(a'^2 H) (trapezoid in x:
     # d eta/dx = c/(a H) [Mpc])
-    detadx = (2.99792458e5 / (bg.H0 * bgmod.e_of_z(bg, zs))) / a_grid
+    detadx = (2.99792458e5 / (bg.H0 * _e_of_z(bg, zs))) / a_grid
     seg_eta = 0.5 * (detadx[1:] + detadx[:-1]) * dx
     eta_rel = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg_eta)])
     # absolute offset: eta at x_init from the RD closed form a/(H0 sqrt(omr))
